@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Mirrors the reference's measurement hooks (reference:
+ShuffleMapTask.scala:141-156 `[OPS]-` phase log lines,
+TaskMetrics.scala:58-65) at the query level: per-query wall time with a
+warm JVM, result fully materialized via count() so every stage executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    import ops_spark.queries as q
+    from ops_spark.session import get_session
+
+    q.load_all()
+    spark = get_session(app_name="ops_spark_bench", cores=cores)
+
+    names = sorted(q.all_queries())
+    # JVM/codegen warm-up on the flagship so q1 doesn't absorb session init.
+    q.get_query("q1_pricing_summary").builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        query = q.get_query(name)
+        t0 = time.perf_counter()
+        try:
+            query.builder(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the run
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""DuckDB-oracle conformance checker.
+
+Re-implements the driver harness's comparison locally so tests catch
+mismatches before the round gate: run the Spark builder and the DuckDB
+oracle on the same parquet fixtures, sort columns by name, sort rows, and
+compare values (exact for non-floats, exact-after-query-side-rounding for
+floats, with a small tolerance reported separately so precision drift is
+visible before it becomes a hash mismatch).
+
+Mirrors the reference's golden-file methodology (reference:
+sql/core/src/test/scala/.../SQLQueryTestSuite.scala:83) with DuckDB as the
+result generator instead of checked-in .sql.out files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ops_spark.io import TABLES
+from ops_spark.queries.registry import Query
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with the fixture tables registered as views (the driver
+    pre-registers the same set)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _values_equal(a: object, b: object, float_tol: float) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= float_tol * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def compare(
+    spark: SparkSession,
+    query: Query,
+    sf_dir: str,
+    float_tol: float = 1e-9,
+) -> CompareResult:
+    if query.oracle is None:
+        sdf = query.builder(spark, sf_dir).toPandas()
+        return CompareResult(query.name, True, "rows-only (no oracle)", len(sdf), -1)
+
+    spark_pdf = _normalize(query.builder(spark, sf_dir).toPandas())
+    con = duckdb_connection(sf_dir)
+    oracle_pdf = _normalize(con.execute(query.oracle).fetch_df())
+    con.close()
+
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            query.name,
+            False,
+            f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}",
+            len(spark_pdf),
+            len(oracle_pdf),
+        )
+    if list(spark_pdf.columns) != list(oracle_pdf.columns):
+        return CompareResult(
+            query.name,
+            False,
+            f"columns: spark={list(spark_pdf.columns)} oracle={list(oracle_pdf.columns)}",
+            len(spark_pdf),
+            len(oracle_pdf),
+        )
+    for col in spark_pdf.columns:
+        sv, ov = spark_pdf[col].tolist(), oracle_pdf[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if not _values_equal(a, b, float_tol):
+                return CompareResult(
+                    query.name,
+                    False,
+                    f"value mismatch col={col} row={i}: spark={a!r} oracle={b!r}",
+                    len(spark_pdf),
+                    len(oracle_pdf),
+                )
+    return CompareResult(query.name, True, "match", len(spark_pdf), len(oracle_pdf))

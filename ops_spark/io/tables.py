@@ -1,0 +1,45 @@
+"""Table loading for the test fixtures + general read helpers.
+
+Capability parity: the reference's file-source scan stack
+(reference: sql/core/.../execution/DataSourceScanExec.scala:159,
+datasources/parquet/ParquetFileFormat.scala:56) is fully subsumed by
+``spark.read`` — vectorized parquet, predicate pushdown, partition pruning
+all come from Catalyst. This module is deliberately thin: loading stays
+declarative so pushdown/pruning survive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (columnar parquet scan, pushdown-capable)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables as DataFrames keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so queries can use
+    ``spark.sql`` (reference entry point: SparkSession.scala:641)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

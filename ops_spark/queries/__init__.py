@@ -1,0 +1,20 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 is exposed as
+a named (Spark builder, DuckDB oracle SQL) pair via the registry."""
+
+from ops_spark.queries.registry import Query, all_queries, get_query, register
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from ops_spark.queries import (  # noqa: F401
+        aggregates,
+        functions_scalar,
+        joins,
+        llm,
+        sets_windows,
+        streaming,
+        tpch,
+    )
+
+
+__all__ = ["Query", "all_queries", "get_query", "register", "load_all"]

@@ -1,0 +1,97 @@
+"""Tuned SparkSession factory.
+
+The reference achieves shuffle efficiency with a custom push-based shuffle
+(reference: core/src/main/java/org/apache/spark/shuffle/sort/
+OpsPreShuffleWriter.java:66-327, OpsSharedShuffleWriter.java:61-261). Modern
+Spark ships the same capabilities as built-ins — AQE runtime re-planning,
+partition coalescing, skew-join splitting, push-based shuffle on YARN — so
+the session factory's job is to turn them on and size them to the workload.
+
+Scale posture: these defaults are written for a real multi-executor cluster
+reading ~100 TB; `local_cores` only adapts the parallelism knobs for the
+single-JVM test harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that express the OPS shuffle *capability* with modern Spark
+# machinery (SURVEY.md §4.3). All are safe on local mode and essential at
+# cluster scale.
+ADAPTIVE_CONFS: dict[str, str] = {
+    # AQE: runtime re-plan from actual map-output statistics — replaces the
+    # reference's fabricated MapStatus sizing (OpsPreShuffleWriter.java:290-295)
+    # with real sizes.
+    "spark.sql.adaptive.enabled": "true",
+    # Post-shuffle partition coalescing: the modern answer to "too many tiny
+    # reduce partitions" that OPS solved by per-node pre-merge
+    # (OpsTransferer.java:149-203).
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Skew-join splitting: OPS loses per-map skew stats entirely (fake
+    # MapStatus); we instead detect and split skewed partitions at runtime.
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Convert sort-merge join to broadcast at runtime when a side turns out
+    # small after filtering.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+}
+
+BASE_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for pandas_udf / applyInPandas / toPandas (the reference
+    # era used pickled rows; Arrow is the modern fast path —
+    # reference python/pyspark/worker.py, ArrowEvalPythonExec.scala:69).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet vectorized reader + pushdown are on by default; pin them
+    # explicitly since they are part of the capability contract
+    # (reference VectorizedParquetRecordReader.java:52, ParquetFilters.scala:43).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Keep ANSI off: the reference (Spark 2.4.3) pre-dates ANSI mode and the
+    # DuckDB-oracle fixtures assume permissive SQL semantics.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def _local_confs(cores: int) -> dict[str, str]:
+    """Knobs that depend on local parallelism (single-JVM harness only)."""
+    return {
+        # ~1 shuffle partition per core locally; AQE coalesces further.
+        # On a real cluster this would be sized to total cores × 2-3 or
+        # driven by spark.sql.adaptive.advisoryPartitionSizeInBytes.
+        "spark.sql.shuffle.partitions": str(max(cores, 4)),
+        "spark.default.parallelism": str(max(cores, 4)),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "spark.ui.enabled": "false",
+    }
+
+
+def get_session(
+    app_name: str = "ops_spark",
+    master: str | None = None,
+    cores: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or return) the tuned SparkSession.
+
+    Parameters default to the test-harness contract: ``local[$SPARK_GRAFT_CPUS]``
+    (falling back to all cores), AQE on, Arrow on, UTC.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cores}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for conf in (BASE_CONFS, ADAPTIVE_CONFS, _local_confs(cores), extra_confs or {}):
+        for k, v in conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
