@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,9 +29,21 @@ TABLES = (
 )
 
 
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+# (spark.sql.legacy.parquet.nanosAsLong) — normalized to TimestampType here.
+# The fixtures carry no sub-microsecond precision (verified), matching the
+# DuckDB oracle's microsecond TIMESTAMP view of the same files.
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar parquet scan, pushdown-capable)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # Integer division — epoch nanos exceed 2^53, double `/` loses µs.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,1 +1,307 @@
-"""Placeholder — filled in as coverage widens."""
+"""Aggregation operator coverage (SURVEY.md §2.4).
+
+Reference surface being reproduced: HashAggregateExec partial→final planning
+(reference: aggregate/HashAggregateExec.scala:40, AggUtils.scala:75,119),
+declarative agg functions (catalyst/expressions/aggregate/*.scala), DISTINCT
+rewrite (optimizer/RewriteDistinctAggregates), grouping sets / rollup / cube
+(Analyzer.scala ResolveGroupingAnalytics:291 → ExpandExec.scala:37), pivot
+(Analyzer.scala ResolvePivot:527), exact and approximate percentiles
+(Percentile.scala, ApproximatePercentile.scala), HLL++ count-distinct
+(HyperLogLogPlusPlus.scala), collect_list/collect_set (collect.scala:137),
+and df.stat helpers (DataFrameStatFunctions.scala:71,214,261).
+
+Scale notes: every aggregate here keeps map-side partial aggregation; the
+DISTINCT variants plan as Expand + double aggregation (shuffle on
+group+distinct keys first) which is the scalable strategy at 100 TB; the
+approx sketches exist precisely because exact distinct at that scale is a
+full shuffle of the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ops_spark.io import load_table
+from ops_spark.queries.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)                 AS distinct_parts,
+           count(DISTINCT l_suppkey)                 AS distinct_supps,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+           count(*)                                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Multiple DISTINCT aggregates in one GROUP BY (Expand-based rewrite).",
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           round(stddev_samp(l_extendedprice), 4) AS std_price,
+           round(var_samp(l_extendedprice), 2)    AS var_price,
+           round(stddev_pop(l_quantity), 6)       AS stdp_qty,
+           round(var_pop(l_quantity), 6)          AS varp_qty,
+           round(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qty_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    description="Statistical aggregates: stddev/variance (samp+pop), corr, covariance.",
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CentralMomentAgg-family functions (reference CentralMomentAgg.scala:223,
+    # Corr.scala, Covariance.scala) — all stream single-pass moments, so they
+    # partial-aggregate map-side like sum/count.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qty_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP hierarchy totals (ExpandExec-based grouping analytics).",
+    tags=("aggregate", "grouping-sets"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) * 2
+             + CAST(grouping(l_linestatus) AS INT) AS gid,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE with grouping_id disambiguation of null group keys.",
+    tags=("aggregate", "grouping-sets"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_price")
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS via SQL entry point (parser→ExpandExec).",
+    tags=("aggregate", "grouping-sets", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exercises the SQL entry point (reference SparkSession.scala:641 →
+    # AstBuilder) rather than the DataFrame DSL.
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Pivot on explicit value list (ResolvePivot → conditional aggs).",
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit value list avoids the extra distinct-values job the reference
+    # would otherwise run (pyspark group.py:195) — at 100 TB you always pass
+    # the list.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(quantile_cont(l_quantity, 0.25), 4)      AS p25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Exact interpolated percentiles (ObjectHashAggregate path).",
+    tags=("aggregate", "percentile"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact percentile buffers values per group (reference Percentile.scala —
+    # ObjectHashAggregateExec.scala:60 path). Scale note: exact percentiles
+    # at 100 TB require the full value multiset per group; prefer
+    # approx_percentile (see agg_approx) unless group cardinality is bounded.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+        F.round(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
+    )
+
+
+@register(
+    "agg_approx",
+    oracle=None,  # sketch internals differ between engines; driver does rows-only
+    description="Approximate sketches: HLL++ distinct + approx percentile (t-digest-ish).",
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ (reference HyperLogLogPlusPlus.scala, registry
+    # FunctionRegistry.scala:273) and ApproximatePercentile.scala:323. The
+    # 100 TB path: fixed-size sketches shuffle O(groups × sketch) bytes
+    # instead of O(rows).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list(DISTINCT c_nationkey ORDER BY c_nationkey), ',')
+             AS nations,
+           count(*) AS n
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_mktsegment
+    """,
+    description="collect_set with deterministic ordering via sort_array.",
+    tags=("aggregate", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set order is nondeterministic (reference collect.scala:137 uses
+    # a hash set) — sort_array + array_join pins a canonical form. Scale
+    # note: collected arrays must be bounded per group (here ≤25 nations).
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("c_nationkey")).cast("array<string>"), ","
+        ).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_first_last",
+    oracle="""
+    SELECT o_orderstatus,
+           (min(struct_pack(d := o_orderdate, k := o_orderkey))).k AS first_order,
+           (max(struct_pack(d := o_orderdate, k := o_orderkey))).k AS last_order,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="Deterministic first/last per group via lexicographic struct min/max.",
+    tags=("aggregate",),
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's First/Last aggregates (First.scala:108, Last.scala:106)
+    # are explicitly non-deterministic without ordering; min/max over a
+    # (date, key) struct is the deterministic single-pass equivalent —
+    # min_by/max_by would still tie-break arbitrarily on duplicate dates.
+    orders = _t(spark, sf_dir, "orders")
+    ordered = F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.min(ordered).getField("k").alias("first_order"),
+        F.max(ordered).getField("k").alias("last_order"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Contingency table (df.stat.crosstab capability).",
+    tags=("aggregate", "stat"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df.stat.crosstab (reference DataFrameStatFunctions.scala:214) returns a
+    # stringly-typed first column; we express the same contingency table with
+    # pivot-count to keep types clean for the oracle.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("l_returnflag", "l_returnflag")
+    )

@@ -1,1 +1,404 @@
-"""Placeholder — filled in as coverage widens."""
+"""Scalar function surface (SURVEY.md §2.8) + generators (§2.8 explode).
+
+Reference surface: the 282 function registrations in
+catalyst/analysis/FunctionRegistry.scala — string (stringExpressions.scala,
+regexpExpressions.scala), math (mathExpressions.scala), datetime
+(datetimeExpressions.scala), conditional (conditionalExpressions.scala,
+nullExpressions.scala), JSON (jsonExpressions.scala:345), collection +
+higher-order (collectionOperations.scala, higherOrderFunctions.scala:538),
+generators explode/posexplode (generators.scala:137 → GenerateExec.scala:58),
+hash functions (hash.scala), cast (Cast.scala).
+
+All of these run JVM-side inside whole-stage codegen — zero Python boundary
+crossings — which is the point at 100 TB: per-row scalar work is free
+relative to scan+shuffle only if it stays in the generated code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ops_spark.io import load_table
+from ops_spark.queries.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS uname,
+           lower(c_mktsegment)                    AS lseg,
+           substr(c_name, 10, 9)                  AS custnum,
+           length(c_name)::INT                    AS name_len,
+           concat(c_mktsegment, '#', c_name)      AS tagged,
+           replace(c_name, 'Customer', 'C')       AS shortname,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS natcode,
+           reverse(c_mktsegment)                  AS rseg,
+           strpos(c_name, '#')::INT               AS hashpos,
+           trim(concat('  ', c_mktsegment, '  ')) AS trimmed,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlate
+    FROM customer WHERE c_custkey <= 200
+    """,
+    description="String functions: case, substring, pad, translate, locate.",
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 10, 9).alias("custnum"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", "c_name").alias("tagged"),
+        F.regexp_replace("c_name", "Customer", "C").alias("shortname"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("natcode"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.instr("c_name", "#").cast("int").alias("hashpos"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("xlate"),
+    )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([0-9]+)', 1)          AS first_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')    AS devoweled,
+           CASE WHEN regexp_matches(p_name, '^part_1')
+                THEN 1 ELSE 0 END::INT                    AS is_p1,
+           split_part(p_brand, '#', 2)                    AS brand_num
+    FROM part WHERE p_partkey <= 300
+    """,
+    description="Regex: extract, global replace, rlike match, split_part.",
+    tags=("function", "string", "regexp"),
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^part_1").cast("int").alias("is_p1"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 30000), 4)   AS dev,
+           CAST(ceil(l_quantity / 7) AS DOUBLE)     AS qbucket,
+           CAST(floor(l_discount * 100) AS DOUBLE)  AS disc_pct,
+           round(sqrt(l_extendedprice), 6)          AS sqrt_price,
+           round(ln(l_extendedprice + 1), 6)        AS ln_price,
+           round(log10(l_extendedprice + 1), 6)     AS log10_price,
+           round(pow(1 + l_tax, 2), 6)              AS tax_sq,
+           round(exp(l_discount), 6)                AS exp_disc,
+           CAST(sign(l_quantity - 25) AS DOUBLE)    AS qty_side,
+           CAST(l_orderkey % 97 AS BIGINT)          AS key_mod,
+           greatest(l_tax, l_discount)              AS max_rate,
+           least(l_tax, l_discount)                 AS min_rate
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    description="Math functions: abs/ceil/floor/sqrt/ln/log10/pow/exp/sign/mod.",
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 4).alias("dev"),
+        F.ceil(F.col("l_quantity") / 7).cast("double").alias("qbucket"),
+        F.floor(F.col("l_discount") * 100).cast("double").alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_price"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.signum(F.col("l_quantity") - 25).cast("double").alias("qty_side"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)    AS yr,
+           CAST(month(o_orderdate) AS INT)   AS mo,
+           CAST(day(o_orderdate) AS INT)     AS dy,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           date_trunc('month', o_orderdate)  AS month_start,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)         AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s,
+           date_diff('day', o_orderdate,
+                     TIMESTAMP '2002-01-01 00:00:00')::INT AS days_to_2002
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    description="Datetime: extract fields, trunc, add, last_day, epoch, diff.",
+    tags=("function", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # DATE outputs are stringified: pandas renders Spark DateType as
+        # datetime.date but DuckDB DATE as Timestamp — strings compare stably.
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END                                AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')       AS status_x,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END::INT                        AS urgent,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    description="CASE WHEN / nullif / coalesce / IN-list / implicit NULL branch.",
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_x"
+        ),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("urgent"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).alias("f_price"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INT)                         AS qty_int,
+           CAST(l_extendedprice AS DECIMAL(12,2))::VARCHAR AS price_dec,
+           CAST(l_orderkey AS VARCHAR)                     AS key_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)       AS ship_day,
+           CAST(l_quantity > 25 AS INT)                    AS is_bulk
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    description="Cast matrix: double→int/decimal-string, ts→date→string, bool→int.",
+    tags=("function", "cast"),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cast.scala:1371's conversion matrix via the public API. Decimal output
+    # is cast to string so both engines pin the same scale rendering.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        (F.col("l_quantity") > 25).cast("int").alias("is_bulk"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')           AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events WHERE event_id <= 500
+    """,
+    description="JSON path extraction (get_json_object / from_json kin).",
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # jsonExpressions.scala:345 surface. from_json with an explicit schema is
+    # the scalable form (single parse, pushdown-friendly columns); shown here
+    # alongside path extraction.
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 100)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    description="explode(split(...)) word count (GenerateExec).",
+    tags=("function", "generator"),
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(unnest(range(len(t))) AS INT) AS pos,
+           unnest(t) AS word
+    FROM toks
+    """,
+    description="posexplode: token with position (LATERAL VIEW equivalent).",
+    tags=("function", "generator"),
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INT)                                   AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT)                    AS n_unique,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS INT)  AS n_long,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
+           array_to_string(list_transform(t[1:3], x -> upper(x)), '-') AS head3_upper,
+           CAST(list_contains(t, 'spark') AS INT)                AS has_spark
+    FROM toks
+    """,
+    description="Higher-order array functions: transform/filter/aggregate/exists.",
+    tags=("function", "higher-order", "array"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # higherOrderFunctions.scala:538 (2.4's transform/filter/aggregate/exists)
+    # — lambdas evaluate inside codegen, no Python involved.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("int").alias("n_unique"),
+        F.size(F.filter("t", lambda x: F.length(x) > 4)).cast("int").alias("n_long"),
+        F.aggregate(
+            "t", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice("t", 1, 3), lambda x: F.upper(x)), "-"
+        ).alias("head3_upper"),
+        F.array_contains("t", "spark").cast("int").alias("has_spark"),
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''))) AS words
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           words[1]                               AS first_word,
+           words[-1]                              AS last_word,
+           array_to_string(words[1:5], ',')       AS head5_csv,
+           CAST(len(words) AS INT)                AS n
+    FROM t
+    """,
+    description="Array ops: sort_array, element_at, slice, array_join.",
+    tags=("function", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.sort_array(
+        F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    )
+    t = docs.select("doc_id", words.alias("words"))
+    return t.select(
+        "doc_id",
+        F.element_at("words", 1).alias("first_word"),
+        F.element_at("words", -1).alias("last_word"),
+        # DuckDB's words[1:5] slice is INCLUSIVE (5 elements) — match it.
+        F.array_join(F.slice("words", 1, 5), ",").alias("head5_csv"),
+        F.size("words").cast("int").alias("n"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                       AS text_md5,
+           sha256(text)                    AS text_sha256,
+           length(md5(text || 'salt'))::INT AS salted_len
+    FROM documents WHERE doc_id < 100
+    """,
+    description="Cryptographic hash functions: md5, sha2-256.",
+    tags=("function", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.length(F.md5(F.concat(F.col("text"), F.lit("salt"))))
+        .cast("int")
+        .alias("salted_len"),
+    )

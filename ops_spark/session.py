@@ -53,6 +53,10 @@ BASE_CONFS: dict[str, str] = {
     # Keep ANSI off: the reference (Spark 2.4.3) pre-dates ANSI mode and the
     # DuckDB-oracle fixtures assume permissive SQL semantics.
     "spark.sql.ansi.enabled": "false",
+    # The fixture events table stores TIMESTAMP(NANOS) which Spark refuses
+    # by default; read as long and convert at the scan layer
+    # (ops_spark.io.tables normalizes nanos → timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
