@@ -1,0 +1,408 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Not in the reference (its dedup surface is Distinct→Aggregate,
+Optimizer.scala:151, and streaming dropDuplicates,
+statefulOperators.scala:428). These add the content-dedup family a
+training-data pipeline needs, each designed around one bounded shuffle:
+
+- exact_dedup        — hash-groupBy on a content digest
+- minhash signatures — k permutation-min hashes over shingle sets
+- minhash_lsh_*      — banded LSH bucketing → candidate pairs → exact verify
+- simhash            — 32-bit sign-of-weighted-sum fingerprint + banded
+                       Hamming candidate search
+- ngram_jaccard_pairs — exact blocked pairwise Jaccard (the oracle path)
+
+Hashing is md5-prefix based (ops_spark.operators.text.token_hash64) so any
+engine can reproduce signatures bit-for-bit — deliberate for conformance.
+
+Scale contract (100 TB): nothing here compares all pairs. LSH bucket sizes
+are capped (`max_bucket`) so a degenerate bucket (boilerplate shingle that
+hashes everywhere) cannot produce a quadratic stage; candidate verification
+touches only within-bucket pairs; all joins are equi joins on hash keys
+that AQE can re-balance.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ops_spark.operators.text import token_hash64, tokens
+
+# Mersenne prime 2^61 - 1: modulus for the affine permutation family.
+_MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per distinct content (lowest/highest id wins).
+
+    One shuffle on the content digest; the window's partition key is the
+    digest so row_number sees tiny partitions regardless of total scale.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = W.partitionBy(digest).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (codegen, no UDF).
+
+    Guarded for short docs: fewer than n tokens → empty array (Spark's
+    sequence() would otherwise count downward)."""
+    count = F.size(toks) - n + 1
+    made = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.when(count >= 1, made).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def permutation_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1)."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(k)]
+
+
+def minhash_signature(text_col: Column | str, k: int = 32, n: int = 3, seed: int = 42) -> Column:
+    """k-element MinHash signature over word n-gram shingles, as a Column.
+
+    P[sig_i(A)=sig_i(B)] = J(A, B). Single left-fold over the shingle-hash
+    array carrying all k running minima — each shingle is md5-hashed ONCE.
+    (k separate array_min(transform(...)) expressions would recompute the
+    hash array k times: Spark's subexpression elimination does not cross
+    higher-order-function lambdas.)
+
+    Prefer minhash_signatures (DataFrame form) in pipelines: the explode+
+    partial-agg plan shuffles only (id, k×int64) per doc and parallelizes
+    the hashing across the cluster scan.
+    """
+    sh = shingles(tokens(text_col), n)
+    hashes = F.transform(sh, lambda s: token_hash64(s, hex_chars=8))
+    params = permutation_params(k, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    init = F.array_repeat(F.lit(_MERSENNE61).cast("bigint"), k)
+    merged = F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            F.zip_with(acc, a_arr, lambda m, a: F.struct(m.alias("m"), a.alias("a"))),
+            b_arr,
+            lambda ma, b: F.least(
+                ma.getField("m"), (ma.getField("a") * x + b) % _MERSENNE61
+            ),
+        ),
+    )
+    return merged
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig) MinHash signatures via explode → hash once → k min-aggs.
+
+    The 100 TB plan shape: explode keeps doc locality, so map-side partial
+    aggregation collapses each doc to one row of k minima BEFORE the
+    shuffle — shuffle volume is docs × k × 8 bytes, independent of text
+    size. Docs with no shingles (< n tokens) are absent from the result.
+    """
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(text_col), n)).alias("__s"),
+    )
+    hashed = rows.select("__id", token_hash64(F.col("__s"), hex_chars=8).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE61).alias(f"__m{i}")
+        for i, (a, b) in enumerate(permutation_params(k, seed))
+    ]
+    return (
+        hashed.groupBy("__id")
+        .agg(*mins)
+        .select("__id", F.array(*[f"__m{i}" for i in range(k)]).alias("__sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    k/bands rows per band; docs sharing any band hash become candidates.
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Shuffle profile: explode ×bands, one groupBy on (band, band_hash)
+    — never all-pairs. `max_bucket` drops degenerate buckets (boilerplate)
+    instead of letting one hot key go quadratic; dropped buckets are the
+    docs so common that near-dedup should handle them by exact_dedup first.
+    """
+    rows = k // bands
+    sig_df = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
+    banded = sig_df.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("__sig"), b * rows + 1, rows).cast(
+                                "array<string>"
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("__id")).alias("ids")
+    )
+    bounded = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+    )
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def jaccard_shingles(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of two texts' n-gram shingle sets."""
+    sa, sb = shingles(tokens(text_a), n), shingles(tokens(text_b), n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Remove near-duplicates: keep the lowest id of each verified pair.
+
+    LSH candidates → exact shingle-Jaccard verification → drop the larger
+    id of every pair ≥ threshold ("keep first" semantics). Single-pass
+    (no transitive closure): A~B and B~C drops B and C even if A!~C —
+    the standard production trade-off vs an iterative connected-components
+    job, which ops_spark can add as an opt-in (see module docstring).
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    n = lsh_kwargs.get("n", 3)
+    # Shingle arrays are materialized once per doc on each join side (the
+    # aggregate-free projection feeds the join exchange), so per-pair work
+    # is only intersect/union — not re-tokenization.
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(tokens(text_col), n).alias("s")
+    )
+    left = sh.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
+    right = sh.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    verified = (
+        cands.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash32(text_col: Column | str) -> Column:
+    """32-bit SimHash fingerprint: sign of per-bit weighted token-hash sums.
+
+    Bit i of the fingerprint is 1 iff sum over tokens of ±1 (the token
+    hash's bit i) is positive. Near-identical token multisets → small
+    Hamming distance. 32 expressions over one exploded-free array: stays
+    in codegen, zero shuffle.
+    """
+    toks = tokens(text_col)
+    # NB: must wrap in a 1-arg lambda — token_hash64 has a second default
+    # param, which pyspark's HOF arity sniffing would bind to the element
+    # index.
+    hashes = F.transform(toks, lambda t: token_hash64(t))
+
+    def bit_adder(i: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_sums = [
+        F.aggregate(hashes, F.lit(0), bit_adder(i)) for i in range(32)
+    ]
+    fp = F.lit(0).cast("bigint")
+    for i, s in enumerate(bit_sums):
+        fp = fp + F.when(s > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) via explode → hash once → 32 sign-sum aggregates.
+
+    Same plan shape as minhash_signatures: one md5 per token, map-side
+    partial aggregation collapses to one row per doc pre-shuffle. Docs with
+    zero tokens get fingerprint 0 (empty sums are non-positive), preserved
+    via left join. Prefer this over the simhash32 Column form in pipelines —
+    the Column form re-hashes the token array once per bit position.
+    """
+    rows = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    )
+    hashed = rows.select("__id", token_hash64(F.col("__t")).alias("h"))
+    sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"__s{i}")
+        for i in range(32)
+    ]
+    fp = F.lit(0).cast("bigint")
+    for i in range(32):
+        fp = fp + F.when(F.col(f"__s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    fps = hashed.groupBy("__id").agg(*sums).select("__id", fp.alias("__fp"))
+    return df.select(F.col(id_col).alias("__id")).join(fps, "__id", "left").select(
+        "__id", F.coalesce("__fp", F.lit(0).cast("bigint")).alias("__fp")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs whose SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: 4 bytes of the 32-bit fingerprint — any pair with
+    ≤3 differing bits agrees on ≥1 whole byte, so bucketing by (band, byte)
+    finds all such pairs with one explode×4 + groupBy, never all-pairs.
+    """
+    banded = simhash_fingerprints(df, id_col, text_col).select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__fp"), 8 * b).bitwiseAND(F.lit(0xFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(F.struct("__id", "__fp"))).alias("members")
+    )
+    bounded = grouped.filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda b: F.struct(
+                            a.getField("__id").alias("id_a"),
+                            b.getField("__id").alias("id_b"),
+                            a.getField("__fp").alias("fp_a"),
+                            b.getField("__fp").alias("fp_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.withColumn("hamming", hamming.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    The exact counterpart (and ground truth) of the MinHash-LSH path:
+    explode (id, shingle) postings → self-equi-join on shingle →
+    co-occurrence count per pair → J = co / (|A| + |B| - co). Any pair with
+    J ≥ threshold > 0 shares a shingle, so this finds ALL qualifying pairs
+    with equi-joins only — no all-pairs stage, no length blocking. Pair
+    volume is Σ_shingle C(df, 2): bounded in practice because shingle
+    document-frequency is bounded; truly hot shingles (boilerplate) belong
+    to exact_dedup's domain first.
+    """
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(tokens(text_col), n)).alias("n_sh"),
+    )
+    postings = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(text_col), n)).alias("s"),
+    )
+    a = postings.select(F.col("id").alias("id_a"), "s")
+    b = postings.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    co = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("co"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("co").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("co"))
+    return (
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+Not present in the reference (whose text surface is the scalar string
+functions, stringExpressions.scala); these compose those primitives into the
+operators a training-data pipeline needs: tokenization, language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure Column expressions → whole-stage codegen, no Python boundary, no
+shuffle (row-local). At 100 TB these are scan-bound map operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language heuristic.
+# Deliberately tiny: language ID at pipeline scale is a cheap prefilter, not
+# a classifier — swap in a real model via mapInPandas where fidelity matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single symbols —
+# the shape GPT-2-style byte-pair encoders split on before merges.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    col = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        col = F.lower(col)
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def token_hash64(token: Column, hex_chars: int = 15) -> Column:
+    """Deterministic (4×hex_chars)-bit hash of a token via md5 prefix.
+
+    Chosen over F.xxhash64 so oracles in other engines can reproduce it:
+    any engine with md5 + hex→int can compute the identical value. MinHash
+    uses hex_chars=8 (32-bit) so affine re-hashing (a < 2^30) stays inside
+    int64 on engines with checked overflow.
+    """
+    return F.conv(F.substring(F.md5(token), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Token count under BPE-ish pre-tokenization (upper bound on real BPE)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("bigint")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Key-collision fingerprint: md5 of sorted distinct lowercase tokens.
+
+    Canonicalizes token order + duplication + case, so reordered/repeated
+    variants of the same content collide — the classic clustering key for
+    fuzzy exact-dedup.
+    """
+    toks = F.array_distinct(tokens(text, lowercase=True))
+    return F.md5(F.array_join(F.sort_array(toks), " "))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns used by pretraining-data filters.
+
+    Mirrors the C4/Gopher-style heuristics: length, token stats, symbol
+    ratios, stopword ratio, and a composite quality score in [0,1].
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    stop_arr = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(0.0)
+    # Composite score: in-range token count + sane word length + some
+    # stopwords + low symbol noise. Clamped product keeps it in [0,1].
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)).otherwise(0.2)
+        * F.when((avg_tok >= 2.0) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(0.5)
+        * F.when(stop_ratio >= 0.01, F.lit(1.0)).otherwise(0.7)
+        * (1.0 - F.least(punct_ratio * 2.0, F.lit(0.5)))
+    )
+    return (
+        df.withColumn("n_tokens_ws", n_tokens.cast("bigint"))
+        .withColumn("n_tokens_bpe", token_count_bpe(t))
+        .withColumn("avg_token_len", F.round(avg_tok, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("digit_ratio", F.round(digit_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def language_id(text_col: str = "text") -> Column:
+    """Stopword-vote language guess over LANG_MARKERS.
+
+    Deterministic argmax: highest marker count wins, ties broken by
+    language code order; no markers → 'und' (undetermined).
+    """
+    toks = tokens(text_col, lowercase=True)
+    langs = sorted(LANG_MARKERS)
+
+    def marker_filter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return lambda x: F.array_contains(arr, x)
+
+    counts = {
+        lang: F.size(F.filter(toks, marker_filter(LANG_MARKERS[lang])))
+        for lang in langs
+    }
+    # argmax via struct-greatest: max count wins; ties fall to the higher
+    # tiebreak value = earlier alphabetical language. All codegen, no UDF.
+    candidates = [
+        F.struct(
+            counts[lang].alias("n"),
+            F.lit(len(langs) - i).alias("tb"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*candidates)
+    return F.when(best.getField("n") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )

@@ -1,1 +1,397 @@
-"""Placeholder — filled in as coverage widens."""
+"""LLM-data-pipeline queries over documents/embeddings (SURVEY.md §7 step 9).
+
+These wire ops_spark.operators.{text,dedup,similarity,multimodal} into the
+conformance registry. Where the operator's math is engine-reproducible
+(md5-based hashing, double left-folds) the DuckDB oracle recomputes the
+ENTIRE pipeline — including MinHash signatures and SimHash fingerprints —
+bit-for-bit; only sign-LSH ANN is rows-only (hyperplane sign boundaries are
+not stable across float parsers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ops_spark.io import load_table
+from ops_spark.operators import dedup as D
+from ops_spark.operators import multimodal as M
+from ops_spark.operators import similarity as S
+from ops_spark.operators import text as T
+from ops_spark.queries.registry import register
+
+_MERSENNE61 = (1 << 61) - 1
+
+# DuckDB equivalent of ops_spark.operators.text.tokens / dedup.shingles —
+# identical tokenization (\s+ split, empties dropped) and 3-gram shingling.
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _minhash_sig_sql(k: int = 32, seed: int = 42) -> str:
+    """The k min-expressions reproducing minhash_signature() in DuckDB."""
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MERSENNE61}))"
+        for a, b in D.permutation_params(k, seed)
+    )
+    return f"[{mins}]"
+
+
+def _simhash_fp_sql() -> str:
+    """The 32-bit SimHash fingerprint expression reproducing simhash32()."""
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    description="Exact dedup on content digest (hash-groupBy, keep lowest id).",
+    tags=("llm", "dedup"),
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "llm_fingerprint_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+             )), ' ')) AS fprint
+      FROM documents
+    )
+    SELECT doc_id, lang, fprint
+    FROM fp
+    QUALIFY row_number() OVER (PARTITION BY fprint ORDER BY doc_id) = 1
+    """,
+    description="Key-collision fingerprint dedup (sorted distinct tokens → md5).",
+    tags=("llm", "dedup", "fingerprint"),
+)
+def llm_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fprint", T.fingerprint("text")
+    )
+    return D.exact_dedup(docs, ["fprint"], "doc_id").select("doc_id", "lang", "fprint")
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    description="Exact n-gram Jaccard near-dup pairs via inverted shingle index.",
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
+    "llm_minhash_lsh_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+    ), h AS (
+      SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {_minhash_sig_sql()} AS sig FROM h WHERE len(hs) > 0
+    ), bands AS (
+      SELECT doc_id,
+             unnest(range(8)) AS band,
+             unnest(list_transform(range(8),
+               b -> md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+            THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.s, sb.s)))
+            ELSE 0.0 END >= 0.8
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT id_b FROM verified) losers ON d.doc_id = losers.id_b
+    WHERE losers.id_b IS NULL
+    """,
+    description="MinHash-LSH near-dedup survivors; oracle recomputes signatures bit-exact.",
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, threshold=0.8, k=32, bands=8, n=3, seed=42
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      FROM toks
+    )
+    SELECT doc_id, {_simhash_fp_sql()} AS simhash
+    FROM h
+    """,
+    description="32-bit SimHash fingerprints; oracle recomputes bit-exact.",
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs).select(
+        F.col("__id").alias("doc_id"), F.col("__fp").alias("simhash")
+    )
+
+
+@register(
+    "llm_simhash_candidates",
+    oracle=None,  # banding layout is engine-internal; fingerprints are
+    # oracle-verified by llm_simhash, candidates checked rows-only.
+    description="SimHash near-dup candidate pairs (Hamming ≤ 3 via byte-banding).",
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+@register(
+    "llm_text_stats",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+             len(regexp_extract_all(text, '[0-9]')) AS digits
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(t) AS ntok, nc, punct, digits,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','is'],
+                                                   lower(x)))) AS nstop
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(ntok AS BIGINT) AS n_tokens_ws,
+           round(CASE WHEN ntok > 0 THEN CAST(nc AS DOUBLE) / ntok ELSE 0.0 END, 4)
+             AS avg_token_len,
+           round(CASE WHEN ntok > 0 THEN CAST(nstop AS DOUBLE) / ntok ELSE 0.0 END, 4)
+             AS stopword_ratio,
+           round(CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE) / nc ELSE 0.0 END, 4)
+             AS punct_ratio,
+           round(CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE) / nc ELSE 0.0 END, 4)
+             AS digit_ratio
+    FROM m
+    """,
+    description="Per-document quality signals: token counts, ratios.",
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens_ws",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+    )
+
+
+@register(
+    "llm_language_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+               x -> x) AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+        len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS n_de,
+        len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x)))     AS n_en,
+        len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x)))      AS n_es,
+        len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x)))    AS n_fr
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN n_de > 0 AND n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                WHEN n_en > 0 AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+                WHEN n_es > 0 AND n_es >= n_fr THEN 'es'
+                WHEN n_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_guess
+    FROM c
+    """,
+    description="Stopword-vote language ID (deterministic alphabetical tie-break).",
+    tags=("llm", "text", "lang-id"),
+)
+def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        T.language_id("text").alias("lang_guess"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe
+    FROM documents
+    """,
+    description="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
+    tags=("llm", "text", "tokens"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("bigint").alias("n_ws"),
+        T.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+@register(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    description="Exact brute-force cosine top-10 for 5 query vectors.",
+    tags=("llm", "similarity", "ann-baseline"),
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "llm_ann_lsh_topk",
+    oracle=None,  # hyperplane sign boundaries aren't reproducible across
+    # float parsers; recall vs llm_cosine_topk is asserted in tests instead.
+    description="Approximate top-k via random-hyperplane LSH bucketing.",
+    tags=("llm", "similarity", "ann"),
+)
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_topk(emb, queries, k=10, nbits=4, dim=64, seed=42)
+
+
+@register(
+    "llm_embedding_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS min_norm,
+           round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    description="Vector-column aggregation: L2 norm stats per label.",
+    tags=("llm", "similarity", "vector"),
+)
+def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    n = S.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(n), 4).alias("avg_norm"),
+        F.round(F.min(n), 4).alias("min_norm"),
+        F.round(F.max(n), 4).alias("max_norm"),
+    )
+
+
+@register(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS sha256,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+    FROM documents
+    """,
+    description="Binary-column plumbing: Arrow-batched metadata extraction (stub decode).",
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.extract_image_meta(docs)

@@ -1,0 +1,168 @@
+"""Behavioral tests for the LLM-pipeline operators (semantics, not parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup of 1
+        (4, "completely different content about spark shuffles and joins here"),
+        (5, "der hund und die katze und das haus und der baum ist gross"),
+        (6, "el perro y el gato y la casa es grande los dos"),
+        (7, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    from ops_spark.operators.dedup import exact_dedup
+
+    kept = sorted(r.doc_id for r in exact_dedup(docs, ["text"], "doc_id").collect())
+    assert kept == [1, 3, 4, 5, 6, 7]  # doc 2 (exact dup of 1) dropped
+
+
+def test_minhash_lsh_dedup_drops_exact_and_near(docs):
+    from ops_spark.operators.dedup import minhash_lsh_dedup
+
+    kept = sorted(
+        r.doc_id
+        for r in minhash_lsh_dedup(docs, threshold=0.6, k=32, bands=8).collect()
+    )
+    assert 1 in kept and 2 not in kept  # exact dup caught
+    assert 4 in kept and 5 in kept and 6 in kept  # distinct docs survive
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    from ops_spark.operators.dedup import jaccard_shingles, minhash_signature
+
+    sig = docs.select(
+        "doc_id", minhash_signature("text", k=128).alias("sig")
+    ).collect()
+    sigs = {r.doc_id: r.sig for r in sig}
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 128
+    agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 128
+    true_j = docs.filter(F.col("doc_id") == 1).crossJoin(
+        docs.filter(F.col("doc_id") == 3).select(F.col("text").alias("t2"))
+    ).select(jaccard_shingles(F.col("text"), F.col("t2")).alias("j")).head().j
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert abs(agree_13 - true_j) < 0.25  # estimator tracks true jaccard
+    assert agree_14 < 0.2  # unrelated docs don't collide
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    from ops_spark.operators.dedup import simhash32
+
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", simhash32("text").alias("fp")).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert fps[1] == fps[2]  # identical text
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])  # near-dup closer than unrelated
+
+
+def test_simhash_candidates_find_near_dups(docs):
+    from ops_spark.operators.dedup import simhash_candidates
+
+    pairs = {
+        (r.id_a, r.id_b) for r in simhash_candidates(docs, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_pairs_exact(docs):
+    from ops_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    ids = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert ids[(1, 2)] == 1.0
+    assert 0.5 <= ids[(1, 3)] < 1.0
+
+
+def test_cosine_topk_self_is_rank1(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb, q, k=5).filter(F.col("rank") == 1).collect()
+    for r in top:
+        assert r.vec_id == r.query_id and r.sim == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.operators.similarity import ann_topk, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ann_topk(emb, q, k=5, nbits=4, dim=64).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # 16 buckets over 500 vecs
+    for qid, found in approx_sets.items():
+        assert qid in found  # self always lands in its own bucket
+
+
+def test_multimodal_meta_schema_and_stub(spark, docs):
+    from ops_spark.operators.multimodal import (
+        decode_image_real,
+        extract_image_meta,
+        with_binary_payload,
+    )
+
+    meta = extract_image_meta(with_binary_payload(docs)).collect()
+    assert len(meta) == docs.count()
+    row = {r.doc_id: r for r in meta}[1]
+    n = len("the quick brown fox jumps over the lazy dog today".encode())
+    assert row.n_bytes == n
+    assert row.width == n % 640 + 1 and row.height == n % 480 + 1
+    assert len(row.sha256) == 64
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_text_stats_formulas(spark):
+    from ops_spark.operators.text import with_text_stats
+
+    df = spark.createDataFrame([(1, "the cat, and a dog! 42")], "id long, text string")
+    r = with_text_stats(df).head()
+    assert r.n_tokens_ws == 6
+    # BPE-ish: the|cat|,|and|a|dog|!|42
+    assert r.n_tokens_bpe == 8
+    assert r.stopword_ratio == pytest.approx(3 / 6, abs=1e-4)  # the, and, a
+    assert r.digit_ratio == pytest.approx(2 / 22, abs=1e-4)
+
+
+def test_language_id_markers(spark):
+    from ops_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the dog is a friend of the house"),
+            (2, "der hund ist und das haus"),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", language_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
