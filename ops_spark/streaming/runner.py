@@ -1,0 +1,74 @@
+"""Bounded streaming harness: run a Structured Streaming query over fixture
+parquet to completion and hand back the result as a batch DataFrame.
+
+Capability parity with the reference's streaming stack (SURVEY.md §2.9):
+micro-batch execution (reference MicroBatchExecution.scala:37,
+IncrementalExecution.scala:39), file stream source (FileStreamSource.scala),
+memory sink (sources/memory.scala), availableNow trigger (the modern form of
+Trigger.Once, reference Triggers.scala), checkpointing (HDFSMetadataLog.scala,
+CommitLog.scala).
+
+Test methodology: batch-equivalence (SURVEY.md §7 risk notes) — streaming a
+bounded fixture must equal the batch query over the same data, which is what
+lets streaming queries participate in the DuckDB-oracle gate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _staged_dir(sf_dir: str, table: str) -> str:
+    """FileStreamSource wants a directory; the fixtures are single files.
+    Stage a directory containing a symlink to the table's parquet."""
+    staged = os.path.join(
+        tempfile.gettempdir(), f"ops_spark_stream_{abs(hash(sf_dir))}", table
+    )
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return staged
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a streaming DataFrame (file source).
+
+    ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong — see
+    ops_spark.io.tables) and is normalized to TimestampType here, same as
+    the batch loader.
+    """
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _staged_dir(sf_dir, "events")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_bounded(
+    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to exhaustion; return the memory-sink
+    table. availableNow processes everything currently in the source then
+    stops — exactly-once via a throwaway checkpoint."""
+    spark = stream_df.sparkSession
+    qname = name or f"bounded_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ops_spark_ckpt_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)

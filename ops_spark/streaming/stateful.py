@@ -1,0 +1,70 @@
+"""Arbitrary stateful streaming operators (applyInPandasWithState).
+
+Capability parity: the reference's FlatMapGroupsWithStateExec
+(streaming/FlatMapGroupsWithStateExec.scala:44, GroupStateImpl.scala,
+strategy SparkStrategies.scala:506) — re-expressed through modern PySpark's
+applyInPandasWithState (Arrow-batched per-group state, the Python-native
+descendant of flatMapGroupsWithState).
+
+Scale notes: state lives in the state store keyed by group — at 100 TB the
+group key must be high-cardinality-bounded (users, sessions), never content;
+use RocksDB state store (spark.sql.streaming.stateStore.providerClass) for
+state larger than executor heap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_TOTALS_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_value double"
+)
+_STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals: count, sum(value), max(value).
+
+    Emits the updated aggregate once per batch the user appears in —
+    deterministic for a bounded single-batch source (the batch-equivalence
+    contract run_bounded relies on).
+    """
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+            "max_value": [mx],
+        }
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
