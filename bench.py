@@ -44,6 +44,11 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Session-wide shuffle/IO totals — the modern mirror of the reference's
+    # [OPS]- phase metrics (ShuffleMapTask.scala:141-156).
+    from ops_spark.plans.shuffle_policy import shuffle_report
+
     print(
         json.dumps(
             {
@@ -52,6 +57,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "shuffle": shuffle_report(spark),
             }
         )
     )

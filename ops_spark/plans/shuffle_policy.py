@@ -1,0 +1,169 @@
+"""Shuffle-policy layer: the PySpark-native expression of OPS shuffle
+management (SURVEY.md §4.3).
+
+The reference fork rebuilds Spark's shuffle as a pipelined, push-based,
+per-node pre-merged transfer (reference: OpsPreShuffleWriter.java:66-327,
+OpsTransferer.java:149-203, OpsSharedManager.java:201-217,
+OpsFetcherIterator.scala:202-236) so reducers read one sequential local
+file instead of M×R random fetches, at the cost of map-side combine and
+real MapStatus sizes (ShuffleMapTask.scala:80-157,
+OpsPreShuffleWriter.java:290-295).
+
+Modern Spark ships those capabilities as first-class features; this layer
+turns them on and sizes them:
+
+| OPS mechanism                        | here                               |
+|--------------------------------------|------------------------------------|
+| push-based pre-merged shuffle        | spark.shuffle.push.* (YARN+ESS)    |
+| one sequential read per reducer      | merged-chunk fetch (same confs)    |
+| pipelined transfer during map        | push-based shuffle does this       |
+| skew problems sidestepped by design  | AQE skew-join splitting            |
+| partition-count tuning               | advise_partitions() + AQE coalesce |
+| `[OPS]-` phase metric log lines      | stage_shuffle_metrics()            |
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+MiB = 1 << 20
+GiB = 1 << 30
+
+
+def advise_partitions(
+    input_bytes: int,
+    cluster_cores: int,
+    target_partition_bytes: int = 128 * MiB,
+    min_partitions: int | None = None,
+    shuffle_amplification: float = 1.0,
+) -> int:
+    """Shuffle partition count sized to data volume, not the 200 default.
+
+    Rule: one partition per ~target_partition_bytes of (amplified) input,
+    floored at 2× cluster cores so every core gets work even after AQE
+    coalescing. The reference's answer to mis-sized reduce partitions was
+    per-node pre-merge; ours is sizing + runtime coalesce.
+    """
+    min_parts = min_partitions if min_partitions is not None else 2 * cluster_cores
+    by_volume = int(input_bytes * shuffle_amplification / target_partition_bytes) + 1
+    return max(min_parts, by_volume)
+
+
+@dataclass
+class ShufflePolicy:
+    """A reusable bundle of shuffle-related session confs.
+
+    `for_volume` computes the written-in-stone knobs from expected input
+    size; `apply` sets them (runtime-settable confs only — AQE re-plans
+    per stage, so they take effect on the next action).
+    """
+
+    shuffle_partitions: int = 200
+    advisory_partition_bytes: int = 64 * MiB
+    skew_factor: int = 5
+    skew_threshold_bytes: int = 256 * MiB
+    broadcast_threshold_bytes: int = 64 * MiB
+    push_based: bool = False  # needs YARN + external shuffle service
+    extras: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def for_volume(
+        cls, input_bytes: int, cluster_cores: int, **overrides
+    ) -> "ShufflePolicy":
+        return cls(
+            shuffle_partitions=advise_partitions(input_bytes, cluster_cores),
+            **overrides,
+        )
+
+    def confs(self) -> dict[str, str]:
+        out = {
+            "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+                self.advisory_partition_bytes
+            ),
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(self.skew_factor),
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+                self.skew_threshold_bytes
+            ),
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": str(
+                self.broadcast_threshold_bytes
+            ),
+        }
+        if self.push_based:
+            # Magnet / SPARK-30602: mergers pre-merge map outputs per reduce
+            # partition — the direct analogue of the OPS worker daemon
+            # (reference OpsTransferer.java target-file layout :75-81).
+            out.update(
+                {
+                    "spark.shuffle.push.enabled": "true",
+                    "spark.shuffle.service.enabled": "true",
+                }
+            )
+        out.update(self.extras)
+        return out
+
+    def apply(self, spark: SparkSession) -> None:
+        for k, v in self.confs().items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static confs can't be set post-start
+                pass
+
+
+def stage_shuffle_metrics(spark: SparkSession) -> list[dict]:
+    """Per-stage shuffle/IO/time metrics from the app status store.
+
+    The modern mirror of the reference's `[OPS]-` phase instrumentation
+    (ShuffleMapTask.scala:141-156, TaskMetrics.scala:58-65): per-stage
+    shuffle read/write bytes, records, executor time. Reads Spark's
+    AppStatusStore via py4j; returns [] if the API shape changes.
+    """
+    try:
+        store = spark._jsparkSession.sparkContext().statusStore()
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway  # type: ignore[attr-defined]
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),  # statuses: all
+            False,  # details
+            False,  # withSummaries
+            gw.new_array(jvm.double, 0),  # quantiles
+            jvm.java.util.ArrayList(),  # task statuses
+        )
+        out = []
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            out.append(
+                {
+                    "stage_id": s.stageId(),
+                    "name": str(s.name()).split("\n")[0][:120],
+                    "status": str(s.status()),
+                    "num_tasks": s.numTasks(),
+                    "executor_run_time_ms": s.executorRunTime(),
+                    "input_bytes": s.inputBytes(),
+                    "output_bytes": s.outputBytes(),
+                    "shuffle_read_bytes": s.shuffleReadBytes(),
+                    "shuffle_read_records": s.shuffleReadRecords(),
+                    "shuffle_write_bytes": s.shuffleWriteBytes(),
+                    "shuffle_write_records": s.shuffleWriteRecords(),
+                }
+            )
+        return out
+    except Exception:  # noqa: BLE001
+        return []
+
+
+def shuffle_report(spark: SparkSession) -> dict:
+    """Aggregate shuffle totals for the session (bench-harness companion)."""
+    stages = stage_shuffle_metrics(spark)
+    return {
+        "n_stages": len(stages),
+        "shuffle_read_bytes": sum(s["shuffle_read_bytes"] for s in stages),
+        "shuffle_write_bytes": sum(s["shuffle_write_bytes"] for s in stages),
+        "executor_run_time_ms": sum(s["executor_run_time_ms"] for s in stages),
+        "input_bytes": sum(s["input_bytes"] for s in stages),
+    }

@@ -15,6 +15,7 @@ single-JVM test harness.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -70,6 +71,13 @@ def _local_confs(cores: int) -> dict[str, str]:
         "spark.default.parallelism": str(max(cores, 4)),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "spark.ui.enabled": "false",
+        # saveAsTable/bucketBy targets (keep the repo clean; metastore +
+        # warehouse live in tmp — reference kin: sql/hive metastore catalog)
+        "spark.sql.warehouse.dir": os.path.join(
+            tempfile.gettempdir(), "ops_spark_warehouse"
+        ),
+        "spark.driver.extraJavaOptions": "-Dderby.system.home="
+        + os.path.join(tempfile.gettempdir(), "ops_spark_derby"),
     }
 
 

@@ -1,0 +1,118 @@
+"""Plan-shape tests: the 100-TB posture gate.
+
+Correctness says what a query returns; these assert HOW it runs — filters
+reach the scan, small sides broadcast, no accidental cartesian products,
+aggregation is partial→final, top-k avoids a global sort. A regression here
+is a query that still passes the oracle but would fall over at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import ops_spark.queries as q
+from ops_spark.plans import plan_summary
+
+q.load_all()
+
+
+def _plan(spark, sf_dir, name):
+    return plan_summary(q.get_query(name).builder(spark, sf_dir))
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    from ops_spark.plans import plan_summary
+
+    df = q.get_query("q1_pricing_summary").builder(spark, sf_dir)
+    df.collect()  # finalize THIS df's AQE plan (count() builds a new one)
+    p = plan_summary(df)
+    assert p.has_pushed_filters, "shipdate filter must reach the parquet scan"
+    assert p.has_partial_aggregate, "aggregate must be partial->final"
+    assert p.has_wholestage_codegen
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q1_pricing_summary")
+    # 7 of 11 lineitem columns needed; the scan schema must not include
+    # unused ones like l_partkey/l_suppkey.
+    assert p.read_schemas and "l_partkey" not in p.read_schemas[0]
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert p.n_broadcast_hash_joins >= 1
+    assert p.n_cartesian == 0
+    assert p.has_take_ordered, "top-k must plan TakeOrderedAndProject, not global sort"
+
+
+def test_q5_no_cartesian_many_broadcasts(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert p.n_cartesian == 0
+    assert p.n_broadcast_hash_joins >= 2, "dims must broadcast"
+
+
+def test_semi_anti_join_planned(spark, sf_dir):
+    assert _plan(spark, sf_dir, "q4_order_priority").total_joins() >= 1
+    assert _plan(spark, sf_dir, "q22_dormant_customers").total_joins() >= 2
+
+
+def test_asof_join_single_shuffle_no_quadratic(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_asof")
+    assert p.n_cartesian == 0 and p.n_nested_loop_joins == 0
+    # union + one window = at most a couple of exchanges, never per-key work
+    assert p.n_shuffle_exchanges <= 3
+
+
+def test_ann_topk_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "llm_ann_lsh_topk")
+    assert p.n_cartesian == 0 and p.n_nested_loop_joins == 0, (
+        "LSH ANN must be an equi join on bucket id"
+    )
+
+
+def test_minhash_partial_aggregation(spark, sf_dir):
+    p = _plan(spark, sf_dir, "llm_minhash_lsh_dedup")
+    assert p.has_partial_aggregate, (
+        "signature min-aggs must combine map-side (shuffle = docs x k ints)"
+    )
+
+
+def test_window_single_exchange_per_spec(spark, sf_dir):
+    p = _plan(spark, sf_dir, "window_ranking")
+    # six ranking functions over ONE window spec must share one shuffle
+    assert p.n_shuffle_exchanges == 1
+
+
+def test_shuffle_policy_advisor():
+    from ops_spark.plans import ShufflePolicy, advise_partitions
+    from ops_spark.plans.shuffle_policy import GiB, MiB
+
+    # 100 TB input, 1000-executor * 4-core cluster
+    parts = advise_partitions(100 * 1024 * GiB, 4000)
+    assert parts == pytest.approx(100 * 1024 * GiB // (128 * MiB) + 1)
+    # tiny input never under-parallelizes below 2x cores
+    assert advise_partitions(1 * GiB, 32) == 64
+    policy = ShufflePolicy.for_volume(10 * GiB, 32)
+    confs = policy.confs()
+    assert confs["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert int(confs["spark.sql.shuffle.partitions"]) >= 64
+
+
+def test_shuffle_metrics_capture(spark, sf_dir):
+    from ops_spark.plans import stage_shuffle_metrics
+
+    q.get_query("q1_pricing_summary").builder(spark, sf_dir).count()
+    stages = stage_shuffle_metrics(spark)
+    assert stages, "status store must yield stage metrics"
+    assert any(s["shuffle_write_bytes"] > 0 for s in stages), (
+        "the groupBy must have produced shuffle writes"
+    )
+
+
+def test_policy_apply_roundtrip(spark):
+    from ops_spark.plans import ShufflePolicy
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ShufflePolicy(shuffle_partitions=77).apply(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "77"
+    spark.conf.set("spark.sql.shuffle.partitions", before)
