@@ -68,7 +68,9 @@ def _values_equal(a: object, b: object, float_tol: float) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= float_tol * max(1.0, abs(fa), abs(fb))
+        if float_tol > 0:
+            return abs(fa - fb) <= float_tol * max(1.0, abs(fa), abs(fb))
+        return str(a) == str(b)
     return str(a) == str(b)
 
 
@@ -76,8 +78,11 @@ def compare(
     spark: SparkSession,
     query: Query,
     sf_dir: str,
-    float_tol: float = 1e-9,
+    float_tol: float = 0.0,
 ) -> CompareResult:
+    """float_tol=0 (default) compares stringified values EXACTLY — the same
+    standard as the driver's order-insensitive value hash. Pass a tolerance
+    only for debugging, never to declare a query done."""
     if query.oracle is None:
         sdf = query.builder(spark, sf_dir).toPandas()
         return CompareResult(query.name, True, "rows-only (no oracle)", len(sdf), -1)

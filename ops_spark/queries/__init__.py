@@ -12,8 +12,10 @@ def load_all() -> None:
         joins,
         llm,
         sets_windows,
+        sql_entry,
         streaming,
         tpch,
+        udfs,
     )
 
 

@@ -402,3 +402,94 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("salted_len"),
     )
+
+
+@register(
+    "fn_levenshtein",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_mktsegment, 'MACHINERY')::INT AS dist_seg,
+           levenshtein(c_name, 'Customer#000000042')::INT AS dist_name
+    FROM customer WHERE c_custkey <= 200
+    """,
+    description="Edit distance (levenshtein) against reference strings.",
+    tags=("function", "string"),
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).cast("int").alias("dist_seg"),
+        F.levenshtein("c_name", F.lit("Customer#000000042")).cast("int").alias("dist_name"),
+    )
+
+
+@register(
+    "fn_sequence_agg",
+    oracle="""
+    SELECT p_partkey, p_size,
+           CAST(p_size * (p_size + 1) / 2 AS BIGINT) AS tri
+    FROM part WHERE p_partkey <= 300
+    """,
+    description="sequence() generator + higher-order aggregate (triangular sums).",
+    tags=("function", "array", "generator"),
+)
+def fn_sequence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence(1, n) then fold — the oracle verifies via the closed form.
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        "p_size",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("p_size")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("tri"),
+    )
+
+
+@register(
+    "fn_stack_unpivot",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nation' AS metric, CAST(s_nationkey AS DOUBLE) AS val
+    FROM supplier
+    """,
+    description="stack() unpivot: wide columns to (metric, value) rows.",
+    tags=("function", "generator", "unpivot"),
+)
+def fn_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'nation', CAST(s_nationkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price_val,
+           CAST(year(o_orderdate) AS BIGINT) AS year_val,
+           'price,year' AS keys_csv
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    description="Map type: construction, element_at lookups, sorted key list.",
+    tags=("function", "map"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("year")),
+        F.array(F.col("o_totalprice"), F.year("o_orderdate").cast("double")),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "price").alias("price_val"),
+        F.element_at(m, "year").cast("bigint").alias("year_val"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+    )

@@ -1,0 +1,82 @@
+"""SQL entry-point coverage (SURVEY.md §3.1): the same ANSI SQL text runs
+through spark.sql AND as the DuckDB oracle — exercising the full
+parse→analyze→optimize pipeline (reference SparkSession.scala:641,
+AstBuilder, Analyzer.scala:95, Optimizer.scala) including correlated and
+scalar subqueries, which Catalyst decorrelates into joins
+(RewriteCorrelatedScalarSubquery:91, RewritePredicateSubquery:175).
+
+Keeping one SQL string for both engines pins us to the dialect-neutral core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ops_spark.io import register_views
+from ops_spark.queries.registry import register
+
+SQL_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+  AND c_custkey <= 500
+"""
+
+SQL_NOT_IN = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey NOT IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_quantity > 49.5 AND l_discount > 0.09
+)
+"""
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderstatus, count(*) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+SQL_CORRELATED_SCALAR = """
+SELECT c_custkey, c_acctbal,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+WHERE c_custkey <= 200
+"""
+
+SQL_CTE = """
+WITH nation_rev AS (
+  SELECT n_name, sum(c_acctbal) AS bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(bal, 2) AS bal
+FROM nation_rev
+WHERE bal > (SELECT avg(bal) FROM nation_rev)
+"""
+
+
+def _sql_query(sql: str):
+    def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return builder
+
+
+for name, sql, desc in [
+    ("sql_exists_subquery", SQL_EXISTS, "Correlated EXISTS → left-semi join rewrite."),
+    ("sql_not_in_subquery", SQL_NOT_IN, "NOT IN → null-aware anti join."),
+    ("sql_scalar_subquery", SQL_SCALAR_SUBQUERY, "Uncorrelated scalar subquery."),
+    (
+        "sql_correlated_scalar",
+        SQL_CORRELATED_SCALAR,
+        "Correlated scalar subquery → decorrelated outer join + count.",
+    ),
+    ("sql_cte", SQL_CTE, "CTE reuse + scalar subquery over the CTE."),
+]:
+    register(name, oracle=sql, description=desc, tags=("sql", "subquery"))(
+        _sql_query(sql)
+    )

@@ -1,0 +1,251 @@
+"""UDF-tier coverage (SURVEY.md §2.10) + RDD escape hatch + misc sources.
+
+Reference surface: row-Python UDFs (BatchEvalPythonExec.scala:41,
+pyspark udf.py:70), Arrow scalar pandas UDFs (ArrowEvalPythonExec.scala:69),
+grouped-map applyInPandas (FlatMapGroupsInPandasExec.scala:50, group.py:224),
+grouped-agg pandas UDFs (AggregateInPandasExec.scala:43), window pandas UDFs
+(WindowInPandasExec.scala:36), RDD escape hatch (MapPartitionsExec kin,
+rdd.py), Range source (basicPhysicalOperators.scala:337), in-memory cache
+scan (InMemoryTableScanExec.scala:33).
+
+Every UDF here computes something an oracle can replay in SQL, so the
+Python boundary itself is what's under test. Scale reminder: these are the
+SLOW path — each crosses JVM↔Python per batch; the row-UDF variant exists
+for parity, not for use at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from ops_spark.io import load_table
+from ops_spark.queries.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "udf_python_row",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'A'
+                WHEN o_totalprice > 100000 THEN 'B'
+                ELSE 'C' END AS bracket
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    description="Row-at-a-time Python UDF (pickled batches; the legacy slow path).",
+    tags=("udf", "python"),
+)
+def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(T.StringType())
+    def bracket(price: float) -> str:
+        return "A" if price > 300000 else ("B" if price > 100000 else "C")
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select("o_orderkey", bracket("o_totalprice").alias("bracket"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    description="Arrow-vectorized scalar pandas UDF (the fast Python path).",
+    tags=("udf", "pandas", "arrow"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def charge(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - discount) * (1 + tax)
+
+    # round JVM-side: pandas .round is half-even, SQL round is half-up
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 6 > the product's exact decimal width (2+2+2): rounding AT
+        # the data's precision puts every value on a half-boundary where
+        # Spark (exact-binary BigDecimal) and DuckDB (x*10^k) disagree
+        F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Grouped-aggregate pandas UDF (UDAF surface, Arrow-batched).",
+    tags=("udf", "pandas", "udaf"),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The modern UDAF (reference udaf.scala:32 / AggregateInPandasExec:43):
+    # whole-group pandas Series in, scalar out. No partial aggregation —
+    # the group's rows all shuffle to one task, so keep group cardinality
+    # high and group size bounded at scale (or refactor to built-ins, as
+    # the oracle shows is possible here).
+    @F.pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 4) AS zscore
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey)
+    QUALIFY count(*) OVER w >= 2
+    """,
+    description="Grouped-map applyInPandas: per-customer z-scores (split-apply-combine).",
+    tags=("udf", "pandas", "grouped-map"),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscores(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["o_custkey", "o_orderkey"]].assign(zscore=0.0)
+        z = (pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / pdf[
+            "o_totalprice"
+        ].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "zscore": z,
+            }
+        )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    out = orders.groupBy("o_custkey").applyInPandas(
+        zscores, "o_custkey bigint, o_orderkey bigint, zscore double"
+    )
+    # round JVM-side (pandas .round is half-even, SQL round is half-up)
+    return out.withColumn("zscore", F.round("zscore", 4))
+
+
+@register(
+    "udf_window_pandas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS pandas_mavg
+    FROM orders WHERE o_custkey <= 50
+    """,
+    description="Pandas UDF evaluated over a bounded window frame.",
+    tags=("udf", "pandas", "window"),
+)
+def udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def mavg(price: pd.Series) -> float:
+        return float(price.mean())
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(mavg("o_totalprice").over(w), 4).alias("pandas_mavg"),
+    )
+
+
+@register(
+    "rdd_escape_hatch",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag
+    """,
+    description="RDD escape hatch: per-partition imperative aggregation.",
+    tags=("rdd",),
+)
+def rdd_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference rdd.py:1609 reduceByKey / MapPartitionsExec kin. Exists for
+    # parity with the RDD surface — identical result to the one-line
+    # DataFrame groupBy (which is what you'd actually run at scale).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+
+    def partial(rows):
+        acc: dict[str, tuple[int, float]] = {}
+        for r in rows:
+            n, s = acc.get(r.l_returnflag, (0, 0.0))
+            acc[r.l_returnflag] = (n + 1, s + r.l_quantity)
+        yield from ((k, v) for k, v in acc.items())
+
+    merged = (
+        li.select("l_returnflag", "l_quantity")
+        .rdd.mapPartitions(partial)
+        .reduceByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]))
+    )
+    rows = merged.map(lambda kv: (kv[0], kv[1][0], round(kv[1][1], 2)))
+    return spark.createDataFrame(rows, "l_returnflag string, n bigint, qty double")
+
+
+@register(
+    "range_source",
+    oracle="""
+    SELECT range % 7 AS bucket, count(*) AS n, CAST(sum(range * range) AS BIGINT) AS sum_sq
+    FROM range(0, 100000)
+    GROUP BY range % 7
+    """,
+    description="Range source (monotonic generator) + aggregation.",
+    tags=("source", "range"),
+)
+def range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.range(0, 100000)
+        .select((F.col("id") % 7).alias("bucket"), F.col("id"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("id") * F.col("id")).alias("sum_sq"),
+        )
+    )
+
+
+@register(
+    "cache_scan",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    description="In-memory columnar cache scan (cache + reuse).",
+    tags=("source", "cache"),
+)
+def cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # InMemoryTableScanExec kin (reference :33): first action builds the
+    # columnar cache, the returned plan scans it. unpersist is the caller's
+    # job in a real pipeline; harmless to re-cache here per invocation.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    ).cache()
+    li.count()  # materialize
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total")
+    )
