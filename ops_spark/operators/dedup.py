@@ -32,8 +32,14 @@ from pyspark.sql.window import Window as W
 
 from ops_spark.operators.text import token_hash64, tokens
 
-# Mersenne prime 2^61 - 1: modulus for the affine permutation family.
-_MERSENNE61 = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: modulus for the affine permutation family
+# h_i(x) = (a*x + b) mod p over 32-bit shingle hashes. The modulus must sit
+# BELOW the hash range: with a larger modulus (e.g. 2^61-1) a*x never wraps
+# for small x, the map stays monotonic there, and every "permutation"
+# returns the same argmin — the signature degenerates (caught by
+# tests/test_property.py::test_minhash_estimator_error_bound). Products
+# stay under 2^63 in both Spark and DuckDB: a,b < 2^31-1, x < 2^32.
+_MERSENNE31 = (1 << 31) - 1
 
 
 def exact_dedup(
@@ -73,9 +79,12 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 def permutation_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the affine hash family
-    h_i(x) = (a_i * x + b_i) mod (2^61 - 1)."""
+    h_i(x) = (a_i * x + b_i) mod (2^31 - 1)."""
     rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(k)]
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(k)
+    ]
 
 
 def minhash_signature(text_col: Column | str, k: int = 32, n: int = 3, seed: int = 42) -> Column:
@@ -96,7 +105,7 @@ def minhash_signature(text_col: Column | str, k: int = 32, n: int = 3, seed: int
     params = permutation_params(k, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     b_arr = F.array(*[F.lit(b) for _, b in params])
-    init = F.array_repeat(F.lit(_MERSENNE61).cast("bigint"), k)
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("bigint"), k)
     merged = F.aggregate(
         hashes,
         init,
@@ -104,7 +113,7 @@ def minhash_signature(text_col: Column | str, k: int = 32, n: int = 3, seed: int
             F.zip_with(acc, a_arr, lambda m, a: F.struct(m.alias("m"), a.alias("a"))),
             b_arr,
             lambda ma, b: F.least(
-                ma.getField("m"), (ma.getField("a") * x + b) % _MERSENNE61
+                ma.getField("m"), (ma.getField("a") * x + b) % _MERSENNE31
             ),
         ),
     )
@@ -132,7 +141,7 @@ def minhash_signatures(
     )
     hashed = rows.select("__id", token_hash64(F.col("__s"), hex_chars=8).alias("h"))
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE61).alias(f"__m{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE31).alias(f"__m{i}")
         for i, (a, b) in enumerate(permutation_params(k, seed))
     ]
     return (

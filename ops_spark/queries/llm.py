@@ -20,7 +20,7 @@ from ops_spark.operators import similarity as S
 from ops_spark.operators import text as T
 from ops_spark.queries.registry import register
 
-_MERSENNE61 = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 # DuckDB equivalent of ops_spark.operators.text.tokens / dedup.shingles —
 # identical tokenization (\s+ split, empties dropped) and 3-gram shingling.
@@ -38,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _minhash_sig_sql(k: int = 32, seed: int = 42) -> str:
     """The k min-expressions reproducing minhash_signature() in DuckDB."""
     mins = ", ".join(
-        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MERSENNE61}))"
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MERSENNE31}))"
         for a, b in D.permutation_params(k, seed)
     )
     return f"[{mins}]"

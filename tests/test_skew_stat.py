@@ -1,0 +1,151 @@
+"""Salting operators + df.stat surface + sampling + misc sinks/sources."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ops_spark.io import load_table
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from ops_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag,): (r.n, round(r.s, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("l_quantity").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.count_l_quantity, round(r.sum_l_quantity, 2))
+        for r in salted_agg(
+            li, ["l_returnflag"], {"l_quantity": "count"}, salt_buckets=8
+        )
+        .join(
+            salted_agg(li, ["l_returnflag"], {"l_quantity": "sum"}, salt_buckets=8),
+            "l_returnflag",
+        )
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_mergeable(spark, sf_dir):
+    from ops_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="salted_agg supports"):
+        salted_agg(li, ["l_returnflag"], {"l_quantity": "avg"})
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from ops_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").count()
+    assert salted_join(li, orders, "l_orderkey", salt_buckets=4).count() == plain
+
+
+def test_stat_helpers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # approxQuantile (reference DataFrameStatFunctions.scala:71)
+    q = li.stat.approxQuantile("l_extendedprice", [0.25, 0.5, 0.75], 0.01)
+    assert q[0] <= q[1] <= q[2]
+    # cov/corr scalars
+    assert li.stat.corr("l_quantity", "l_extendedprice") == pytest.approx(
+        li.select(F.corr("l_quantity", "l_extendedprice")).head()[0], abs=1e-9
+    )
+    # freqItems
+    fi = li.stat.freqItems(["l_returnflag"], 0.2).head()[0]
+    assert set(fi) >= {"A", "N", "R"} or len(fi) >= 1
+    # sampleBy: stratified sample sizes bounded above by fraction*2
+    frac = {"A": 0.1, "N": 0.1, "R": 0.1}
+    n = li.stat.sampleBy("l_returnflag", frac, seed=42).count()
+    assert 0 < n < li.count() * 0.25
+
+
+def test_sketches(spark, sf_dir):
+    # count-min sketch (reference common/sketch CountMinSketch.java:54,
+    # CountMinSketchAgg.scala): the SQL aggregate returns the serialized
+    # sketch. (The Scala-only df.stat.bloomFilter/countMinSketch wrappers
+    # were dropped from the Python API in Spark 4 — the SQL aggregate is
+    # the surviving public surface.)
+    orders = load_table(spark, sf_dir, "orders")
+    sk = orders.agg(
+        F.count_min_sketch(
+            "o_orderstatus", F.lit(0.01), F.lit(0.95), F.lit(42)
+        ).alias("sk")
+    ).head()["sk"]
+    assert isinstance(sk, (bytes, bytearray)) and len(sk) > 0
+
+
+def test_sample_and_split(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    s = li.sample(0.1, seed=42).count()
+    assert 0.05 * n < s < 0.15 * n
+    a, b = li.randomSplit([0.8, 0.2], seed=42)
+    assert a.count() + b.count() == n
+
+
+def test_monotonic_id_and_hash(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    withid = cust.withColumn("mid", F.monotonically_increasing_id())
+    assert withid.select("mid").distinct().count() == cust.count()
+    h = cust.select(F.hash("c_name").alias("h"), F.xxhash64("c_name").alias("x"))
+    assert h.filter(F.col("h").isNull() | F.col("x").isNull()).count() == 0
+
+
+def test_rate_source_smoke(spark):
+    # rate source (reference RateStreamProvider.scala:44): emits
+    # (timestamp, value) rows; run one micro-batch and stop.
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table("rate_smoke").columns == ["timestamp", "value"]
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    # foreachBatch (reference streaming.py:1022 kin): arbitrary batch sink
+    # with epoch id — the exactly-once escape hatch.
+    from ops_spark.streaming import events_stream
+
+    seen: list[tuple[int, int]] = []
+    ev = events_stream(spark, sf_dir).select("event_id")
+    q = (
+        ev.writeStream.foreachBatch(
+            lambda df, epoch: seen.append((epoch, df.count()))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen and sum(n for _, n in seen) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+
+
+def test_jdbc_stub(spark):
+    # JDBC source (reference JDBCRelation.scala:230): no driver jar in this
+    # container — assert the clean failure mode so the gap is explicit.
+    with pytest.raises(Exception, match="(?i)driver|class|url"):
+        (
+            spark.read.format("jdbc")
+            .option("url", "jdbc:postgresql://localhost/none")
+            .option("dbtable", "t")
+            .load()
+        )
