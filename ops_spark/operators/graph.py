@@ -1,0 +1,91 @@
+"""Iterative graph operators expressed as DataFrame joins.
+
+The reference ships GraphX (reference: graphx/.../GraphOps.scala —
+connectedComponents:433, pregel:362); SURVEY §1 scopes graph processing out
+of the core build but notes it is "expressible via joins/iterations". This
+module makes that claim concrete with the one graph algorithm a dedup
+pipeline actually needs: connected components over the near-duplicate pair
+graph, so A~B, B~C dedups {A,B,C} to one survivor even when A!~C.
+
+Algorithm: iterative label propagation to the minimum member id
+(large-/small-star simplification). Each round is two equi-joins + a
+min-aggregate — all shuffle-friendly; convergence in O(log n) rounds for
+typical near-dup graphs (components are tiny cliques). Lineage is cut with
+localCheckpoint each round so the plan does not grow with iterations —
+required for any iterative DataFrame algorithm at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex; component = min id in the component.
+
+    edges: undirected pair list. Terminates early when labels stop changing.
+    """
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    labels = verts.withColumn("comp", F.col("id")).localCheckpoint()
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # each vertex adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # cut lineage: plan must not grow per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Transitive-closure dedup: keep the minimum id of each duplicate
+    component (the correct semantics when near-duplication chains —
+    the single-pass alternative in minhash_lsh_dedup drops pair losers
+    without closing the transitive chain)."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -15,6 +15,7 @@ def load_all() -> None:
         sql_entry,
         streaming,
         tpch,
+        tpch2,
         udfs,
     )
 

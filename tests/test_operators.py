@@ -166,3 +166,26 @@ def test_language_id_markers(spark):
     )
     got = {r.id: r.lang for r in df.select("id", language_id("text").alias("lang")).collect()}
     assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_connected_components(spark):
+    from ops_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 1)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    # chain 1-2-3-9-8-7 is one component; 4-5 another
+    assert comp[1] == comp[2] == comp[3] == comp[7] == comp[8] == comp[9] == 1
+    assert comp[4] == comp[5] == 4
+
+
+def test_dedup_by_components_transitive(spark, docs):
+    from ops_spark.operators.dedup import minhash_lsh_candidates
+    from ops_spark.operators.graph import dedup_by_components
+
+    pairs = minhash_lsh_candidates(docs).select("id_a", "id_b")
+    kept = dedup_by_components(docs, pairs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 in ids and 2 not in ids  # exact dup collapsed transitively
