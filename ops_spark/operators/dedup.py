@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ops_spark.operators.text import token_hash64, tokens
+from ops_spark.plans.shuffle_policy import spread
 
 # Mersenne prime 2^31 - 1: modulus for the affine permutation family
 # h_i(x) = (a*x + b) mod p over 32-bit shingle hashes. The modulus must sit
@@ -135,7 +136,7 @@ def minhash_signatures(
     shuffle — shuffle volume is docs × k × 8 bytes, independent of text
     size. Docs with no shingles (< n tokens) are absent from the result.
     """
-    rows = df.select(
+    rows = spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(tokens(text_col), n)).alias("__s"),
     )
@@ -241,7 +242,7 @@ def minhash_lsh_dedup(
     # Shingle arrays are materialized once per doc on each join side (the
     # aggregate-free projection feeds the join exchange), so per-pair work
     # is only intersect/union — not re-tokenization.
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), shingles(tokens(text_col), n).alias("s")
     )
     left = sh.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
@@ -298,7 +299,7 @@ def simhash_fingerprints(
     via left join. Prefer this over the simhash32 Column form in pipelines —
     the Column form re-hashes the token array once per bit position.
     """
-    rows = df.select(
+    rows = spread(df).select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     )
     hashed = rows.select("__id", token_hash64(F.col("__t")).alias("h"))
@@ -365,10 +366,16 @@ def simhash_candidates(
                 )
             )
         ).alias("p")
-    ).select("p.*").distinct()
+    ).select("p.*")
+    # Hamming filter BEFORE distinct: the byte-band expansion can emit
+    # C(bucket,2) pairs per hot bucket; filtering first shrinks the
+    # distinct's shuffle input from all co-bucketed pairs to true
+    # candidates (order matters — distinct is the only wide op here).
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.withColumn("hamming", hamming.cast("int")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -390,11 +397,12 @@ def ngram_jaccard_pairs(
     document-frequency is bounded; truly hot shingles (boilerplate) belong
     to exact_dedup's domain first.
     """
-    sizes = df.select(
+    src = spread(df)
+    sizes = src.select(
         F.col(id_col).alias("id"),
         F.size(shingles(tokens(text_col), n)).alias("n_sh"),
     )
-    postings = df.select(
+    postings = src.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokens(text_col), n)).alias("s"),
     )

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ops_spark.plans.shuffle_policy import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns in double precision.
@@ -66,7 +68,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    scored = corpus.select(
+    scored = spread(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
     ).crossJoin(F.broadcast(q))
     sim = cosine(F.col("__cv"), F.col("__qv"))
@@ -115,7 +117,7 @@ def ann_topk(
     side, AQE-balanced corpus side — no all-pairs stage at any scale.
     """
     planes = hyperplanes(dim, nbits, seed)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

@@ -115,6 +115,27 @@ class ShufflePolicy:
                 pass
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition only when the plan has fewer partitions than the cluster
+    has task slots — i.e. the small-input case where a CPU-heavy stage
+    (per-row hashing, shingling, vector math) would otherwise run on a
+    handful of cores.
+
+    At scale this is a no-op: a 100 TB scan yields thousands of input
+    splits, so the guard never fires and no shuffle is added. When it does
+    fire, the shuffled volume is bounded by (current partitions ×
+    spark.sql.files.maxPartitionBytes) — by construction small. This is the
+    inverse of AQE's coalescing: AQE merges too-many small partitions after
+    a shuffle; nothing in stock Spark splits a too-small *scan* before
+    CPU-bound narrow work.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stage_shuffle_metrics(spark: SparkSession) -> list[dict]:
     """Per-stage shuffle/IO/time metrics from the app status store.
 
