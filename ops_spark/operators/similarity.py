@@ -22,6 +22,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -94,6 +97,35 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         arr = F.array(*[F.lit(x) for x in plane])
         bucket = bucket + F.when(dot(vec, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_buckets_batch(planes_tables: list[list[list[float]]]):
+    """Arrow-batched sign-LSH bucketing for MANY projections at once.
+
+    Returns a pandas_udf: array<float> vector → array<int> of per-table
+    bucket ids. The Column-expression lsh_bucket() is right for a handful
+    of planes; past ~32 projections/row the codegen expression (one
+    zip_with+aggregate fold per plane, all-literal plane arrays) dominates
+    both compile and run time. Here all T·B plane dots collapse into ONE
+    BLAS matmul per Arrow batch — (batch × dim) @ (dim × T·B) — which is
+    the fastest shape for this work at any scale, and the plan stays one
+    ArrowEvalPython node instead of thousands of expression nodes.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes_tables, dtype=np.float64)  # (T, B, dim)
+    n_tables, nbits, _ = P.shape
+    M = P.reshape(n_tables * nbits, -1).T  # (dim, T·B)
+    weights = 1 << np.arange(nbits)
+
+    @pandas_udf("array<int>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (V @ M) > 0  # (n, T·B)
+        b = (bits.reshape(len(V), n_tables, nbits) * weights).sum(axis=2)
+        return pd.Series(list(b.astype(np.int32)))
+
+    return _buckets
 
 
 def ann_topk(

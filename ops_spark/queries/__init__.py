@@ -16,6 +16,7 @@ def load_all() -> None:
         streaming,
         tpch,
         tpch2,
+        tpch3,
         udfs,
     )
 

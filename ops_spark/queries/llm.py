@@ -352,6 +352,62 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            >= 0.4
+    )
+    SELECT vec_id, label FROM v
+    WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+    """,
+    description="Embedding-cosine near-dup removal (exact all-pairs form).",
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_dedup(emb, threshold=0.4, exact=True).select("vec_id", "label")
+
+
+def _with_planted_dups(emb: DataFrame, n_planted: int, id_offset: int = 1_000_000):
+    """Corpus + near-duplicate copies of the first n_planted vectors
+    (+0.01 on coordinate 0 → cosine ≈ 0.9999 to the original). The fixture
+    embeddings are random Gaussians with no natural near-dup pairs, so the
+    near-dup regime the LSH path targets has to be planted deterministically.
+    """
+    base = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    planted = base.filter(F.col("vec_id") < n_planted).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(planted)
+
+
+@register(
+    "llm_embedding_dedup_lsh",
+    oracle=None,  # sign-LSH bucket boundaries aren't float-parser-stable;
+    # recall vs the exact form is asserted in tests instead
+    # (test_operators.py::test_embedding_dedup_lsh_recall).
+    description="Embedding near-dup removal, OR-amplified LSH candidate path "
+    "over a corpus with planted near-duplicates.",
+    tags=("llm", "dedup", "similarity", "ann"),
+)
+def llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted_dups(_t(spark, sf_dir, "embeddings"), n_planted=100)
+    return D.embedding_dedup(
+        emb, threshold=0.98, exact=False, nbits=8, dim=64, seed=42, n_tables=4
+    ).select("vec_id", "label")
+
+
+@register(
     "llm_embedding_norms",
     oracle="""
     SELECT label,

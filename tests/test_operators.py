@@ -189,3 +189,33 @@ def test_dedup_by_components_transitive(spark, docs):
     kept = dedup_by_components(docs, pairs)
     ids = sorted(r.doc_id for r in kept.collect())
     assert 1 in ids and 2 not in ids  # exact dup collapsed transitively
+
+
+def test_embedding_dedup_lsh_recall(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.operators.dedup import embedding_dedup
+    from ops_spark.queries.llm import _with_planted_dups
+
+    emb = _with_planted_dups(
+        load_table(spark, sf_dir, "embeddings"), n_planted=100
+    )
+    n = emb.count()
+    lsh_df = embedding_dedup(
+        emb, threshold=0.98, exact=False, nbits=8, dim=64, n_tables=4
+    )
+    # The LSH path must stay equi-join-only: no all-pairs stage at any scale.
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lsh = {r.vec_id for r in lsh_df.collect()}
+    exact = {
+        r.vec_id for r in embedding_dedup(emb, threshold=0.98, exact=True).collect()
+    }
+    # Exact removes exactly the 100 planted copies (originals have lower ids;
+    # no natural pair in the fixture reaches 0.98).
+    assert len(exact) == n - 100
+    assert lsh >= exact  # blocking can only miss dups, never invent them
+    dups_found = n - len(lsh)
+    # sim ≈ 0.9999 → per-plane agreement ~0.997; miss^4 ≈ 1e-14: every
+    # planted dup must be caught.
+    assert dups_found == 100
