@@ -74,14 +74,10 @@ def cosine_topk(
     scored = spread(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
     ).crossJoin(F.broadcast(q))
-    sim = cosine(F.col("__cv"), F.col("__qv"))
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+    scored = scored.withColumn(
+        "sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
     )
+    return _topk_window(scored, k)
 
 
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
@@ -97,6 +93,138 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         arr = F.array(*[F.lit(x) for x in plane])
         bucket = bucket + F.when(dot(vec, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail: rank candidates per query, keep k, stable tie-break."""
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic uniform centroid sample: the n_centroids corpus
+    vectors with the smallest md5(id). Driver-side payload is only
+    n_centroids·dim floats (the index metadata every IVF system keeps
+    centrally); the corpus itself is never collected.
+    """
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("c"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r.c] for r in rows]
+
+
+def ivf_assign(centroids: list[list[float]], nprobe: int = 1):
+    """Arrow-batched coarse quantizer: vector → array<int> of the nprobe
+    nearest centroid ids by cosine. One BLAS matmul per batch against the
+    unit-normalized centroid matrix (row norms cancel in argmax).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    p = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def _assign(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        sims = V @ C.T  # (n, n_centroids)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _assign
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd iterations over the corpus: assign → per-cell mean → new
+    centroids. The mean is a grouped applyInPandas (one shuffle on cell id
+    per iteration, mapper-side Arrow batches); only the k×dim centroid
+    matrix ever reaches the driver. Empty cells keep their old centroid.
+    """
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assign = ivf_assign(centroids, nprobe=1)
+        assigned = corpus.select(
+            assign(F.col(vec_col))[0].alias("cell"), F.col(vec_col).alias("v")
+        )
+
+        def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"cell": [int(pdf["cell"].iloc[0])], "c": [V.mean(axis=0)]}
+            )
+
+        rows = (
+            assigned.groupBy("cell")
+            .applyInPandas(_mean, "cell int, c array<double>")
+            .collect()
+        )
+        new = {r.cell: list(r.c) for r in rows}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+        assert all(len(c) == dim for c in centroids)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize the corpus into
+    n_centroids cells (sampled centroids, optional Lloyd refinement),
+    probe the nprobe nearest cells per query, exact cosine inside.
+
+    The complement of sign-LSH (ann_topk): data-adaptive cells follow the
+    corpus distribution, so clustered corpora get balanced cells where
+    fixed hyperplanes would hot-spot. Probe cost ≈ nprobe/n_centroids of
+    the corpus per query via one equi-join on cell id — broadcastable
+    query side, AQE-balanced corpus side, no all-pairs stage. At 100 TB:
+    n_centroids scales with corpus size (√N rule), centroid matrix stays
+    driver/broadcast-sized, and the per-cell scan is the same partition-
+    pruned pattern as a bucketed join.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, refine_iters, vec_col)
+    c = spread(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(cents, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(ivf_assign(cents, nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+    )
+    return _topk_window(scored, k)
 
 
 def lsh_buckets_batch(planes_tables: list[list[list[float]]]):
@@ -165,11 +293,10 @@ def ann_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(probe_buckets).alias("bucket"),
     )
-    scored = c.join(F.broadcast(q), "bucket")
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+    # no candidate dedup needed: the nbits+1 probe buckets per query are
+    # distinct and a corpus vector lives in exactly one bucket, so each
+    # (query, vector) pair joins at most once.
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
     )
+    return _topk_window(scored, k)

@@ -65,6 +65,48 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(F.sort_array(toks), " "))
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    rolling k-gram (character) hashes → minimum per sliding window of w →
+    sorted distinct minima.
+
+    Guarantees of the scheme: any shared substring of length ≥ k + w - 1
+    between two documents yields a shared fingerprint, and fingerprint
+    density is ~2/(w+1) of positions — a local, deterministic sample of
+    the hash sequence, robust to insertions/deletions elsewhere in the
+    document (unlike a global MinHash, which any edit can perturb).
+
+    All expression-level (transform/sequence/slice — JVM codegen, no UDF);
+    hashes are md5-prefix based (token_hash64) so any engine reproduces
+    them bit-for-bit. Docs shorter than k chars get an empty fingerprint;
+    docs with fewer than w hashes contribute their single global minimum.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.length(col)
+    empty = F.array().cast("array<bigint>")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: token_hash64(F.substring(col, i, F.lit(k))),
+        ),
+    ).otherwise(empty)
+    m = F.size(grams)
+    mins = (
+        F.when(m == 0, empty)
+        .when(m < w, F.array(F.array_min(grams)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m - w + 1),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        )
+    )
+    return F.sort_array(F.array_distinct(mins))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-signal columns used by pretraining-data filters.
 

@@ -96,6 +96,37 @@ def llm_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8
+               THEN list_transform(range(1, length(text) - 8 + 2),
+                      i -> ('0x' || substr(md5(substring(text, i, 8)), 1, 15))::BIGINT)
+               ELSE []::BIGINT[] END AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+             CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                  WHEN len(hs) < 4 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 4 + 2),
+                         j -> list_min(hs[j:j+3]))
+             END)) AS fprints
+    FROM g
+    """,
+    description="Winnowing rolling-hash fingerprints (k=8 char-grams, w=4 "
+    "windows) — shared substrings of length >= 11 guarantee a shared print.",
+    tags=("llm", "text", "fingerprint"),
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.winnow_fingerprints("text", k=8, w=4).alias("fprints")
+    )
+
+
+@register(
     "llm_ngram_jaccard_pairs",
     oracle=f"""
     WITH toks AS (
@@ -405,6 +436,25 @@ def llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dedup(
         emb, threshold=0.98, exact=False, nbits=8, dim=64, seed=42, n_tables=4
     ).select("vec_id", "label")
+
+
+@register(
+    "llm_ivf_topk",
+    oracle=None,  # centroid assignment depends on float argmax boundaries;
+    # recall vs llm_cosine_topk is asserted in tests instead
+    # (test_operators.py::test_ivf_recall_vs_bruteforce).
+    description="IVF-Flat approximate top-k: sampled+refined centroids, "
+    "nprobe-cell probing, exact cosine inside cells.",
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(
+        emb, queries, k=10, n_centroids=16, nprobe=4, refine_iters=1
+    )
 
 
 @register(

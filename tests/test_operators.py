@@ -219,3 +219,30 @@ def test_embedding_dedup_lsh_recall(spark, sf_dir):
     # sim ≈ 0.9999 → per-plane agreement ~0.997; miss^4 ≈ 1e-14: every
     # planted dup must be caught.
     assert dups_found == 100
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).collect()
+    ivf_df = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4, refine_iters=1)
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # equi-join on cell id only
+    approx = ivf_df.collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    # probing 4/16 data-adaptive cells: mean recall well above the 25%
+    # random-probe floor
+    assert sum(recalls) / len(recalls) >= 0.5

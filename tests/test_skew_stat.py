@@ -149,3 +149,35 @@ def test_jdbc_stub(spark):
             .option("dbtable", "t")
             .load()
         )
+
+
+def test_continuous_trigger_smoke(spark):
+    """Continuous-processing trigger (SURVEY §2.9): long-running epoch-based
+    tasks instead of micro-batches. Rate source → memory sink; partitions
+    bounded to 2 so the long-running tasks can't starve local[*] slots."""
+    import time
+
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("continuous_smoke")
+        .trigger(continuous="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS c FROM continuous_smoke").head().c
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    assert not q.isActive
