@@ -79,3 +79,114 @@ def extract_image_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, pts_ms bigint"
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = f"doc_id bigint, feature array<float>"
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (64, 64),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_stub: bool = True,
+) -> DataFrame:
+    """1→1 payload transform (the resize shape): binary in, binary out.
+
+    Stub semantics: output payload is the input truncated/cycled to
+    target_w·target_h bytes — deterministic, size-correct, no image lib.
+    The real decoder slots into the same per-row position (PIL resize →
+    bytes). Partitioning contract: payload width dominates row size, so
+    the Arrow batch memory bound is maxRecordsPerBatch × payload; callers
+    repartition by a key column first if payloads are skewed.
+    """
+    w, h = target
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = w * h
+        for pdf in it:
+            if use_stub:
+                out = pdf[payload_col].map(
+                    lambda b: bytes(b[i % len(b)] for i in range(n)) if b else b"\x00" * n
+                )
+            else:
+                raise NotImplementedError("wire PIL: decode → resize → encode")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """1→N explode shape (video frame sampling): each payload row yields up
+    to max_frames (frame_idx, frame, pts_ms) rows.
+
+    Stub semantics: 'frames' are fixed-stride byte slices with synthetic
+    33 ms timestamps; a real demuxer (pyav) yields decoded frames at the
+    same contract. Output cardinality is data-dependent — exactly the
+    shape Spark's mapInPandas handles that a scalar pandas_udf cannot.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, pts = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = min(max_frames, max(len(b) // every_n_bytes, 1))
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    pts.append(i * 33)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames, "pts_ms": pts}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Payload → fixed-dim float feature vector (the embedding shape).
+
+    Stub semantics: FEATURE_DIM byte-histogram buckets, L1-normalized —
+    deterministic and engine-reproducible, so downstream similarity
+    operators (cosine_topk, embedding_dedup) compose with it in tests.
+    A real model inference (ONNX/torch) replaces the histogram with a
+    forward pass over the same Arrow batches.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf[payload_col]:
+                hist = np.zeros(FEATURE_DIM, dtype=np.float64)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if len(arr):
+                    np.add.at(hist, arr % FEATURE_DIM, 1.0)
+                    hist /= hist.sum()
+                feats.append(hist.astype(np.float32))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)

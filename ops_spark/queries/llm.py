@@ -338,6 +338,65 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pipeline_filter_dedup",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\w\s]')) AS punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, text, len(t) AS ntok, nc, punct,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','is'],
+                                                   lower(x)))) AS nstop,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS nbpe
+      FROM s
+    ), sc AS (
+      SELECT *,
+        round(
+          (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+          * (CASE WHEN ntok > 0 AND CAST(nc AS DOUBLE)/ntok BETWEEN 2.0 AND 12.0
+             THEN 1.0 ELSE 0.5 END)
+          * (CASE WHEN ntok > 0 AND CAST(nstop AS DOUBLE)/ntok >= 0.01
+             THEN 1.0 ELSE 0.7 END)
+          * (1 - LEAST((CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE)/nc
+                        ELSE 0.0 END) * 2.0, 0.5)), 4) AS q
+      FROM m
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nbpe) AS BIGINT) AS total_bpe_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM (
+      SELECT * FROM sc WHERE q >= 0.5 AND ntok >= 10
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    GROUP BY source
+    """,
+    description="End-to-end pretraining-data pipeline: quality filter → "
+    "exact dedup → per-source token accounting, one composed plan.",
+    tags=("llm", "pipeline", "dedup", "text"),
+)
+def llm_pipeline_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition flagship: every stage is a reusable operator
+    (with_text_stats → exact_dedup → aggregate) and the whole pipeline
+    stays one Catalyst plan — filters reach the scan, the dedup window
+    and final aggregate are the only wide stages."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = T.with_text_stats(docs)
+    kept = stats.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens_ws") >= 10)
+    )
+    deduped = D.exact_dedup(kept, ["text"], "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+@register(
     "llm_cosine_topk",
     oracle="""
     WITH q AS (
@@ -501,3 +560,40 @@ def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.extract_image_meta(docs)
+
+
+@register(
+    "llm_multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST(8, GREATEST(octet_length(encode(text)) // 256, 1)) AS BIGINT)
+             AS n_frames,
+           CAST(LEAST(LEAST(8, GREATEST(octet_length(encode(text)) // 256, 1)) * 256,
+                      octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+    description="Video-style frame sampling (1→N mapInPandas explode), "
+    "verified via per-doc frame count + byte totals.",
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    frames = M.sample_frames(docs, every_n_bytes=256, max_frames=8)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum(F.octet_length("frame")).cast("bigint").alias("total_bytes"),
+    )
+
+
+@register(
+    "llm_multimodal_features",
+    oracle=None,  # byte-level histograms aren't expressible over DuckDB's
+    # string functions (ord() is codepoint, not byte); determinism +
+    # composition with cosine_topk asserted in tests instead.
+    description="Payload → fixed-dim feature vector (embedding shape), "
+    "composed into the similarity operators.",
+    tags=("llm", "multimodal", "pandas-udf", "similarity"),
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.extract_features(docs)

@@ -246,3 +246,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # probing 4/16 data-adaptive cells: mean recall well above the 25%
     # random-probe floor
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.operators import multimodal as M
+
+    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents")).limit(50)
+    resized = M.resize_images(docs, target=(8, 4)).collect()
+    assert all(len(r.payload) == 32 for r in resized)  # exact target size
+    assert all(r.width == 8 and r.height == 4 for r in resized)
+
+    frames = M.sample_frames(docs, every_n_bytes=100, max_frames=3)
+    agg = frames.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 3 for r in agg)
+    one = frames.filter(F.col("frame_idx") == 0).head()
+    assert one.pts_ms == 0 and len(one.frame) > 0
+
+
+def test_multimodal_features_compose_with_similarity(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.operators import multimodal as M
+    from ops_spark.operators.similarity import cosine_topk
+
+    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents")).limit(100)
+    feats = M.extract_features(docs)
+    row = feats.head()
+    assert len(row.feature) == M.FEATURE_DIM
+    assert abs(sum(row.feature) - 1.0) < 1e-5  # L1-normalized histogram
+    # The feature column plugs straight into the vector operators: the
+    # nearest neighbor of any vector must be itself at sim 1.
+    corpus = feats.select(F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    q = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    top1 = {r.query_id: r.vec_id for r in cosine_topk(corpus, q, k=1).collect()}
+    assert all(qid == vid for qid, vid in top1.items())

@@ -116,3 +116,40 @@ def test_policy_apply_roundtrip(spark):
     ShufflePolicy(shuffle_partitions=77).apply(spark)
     assert spark.conf.get("spark.sql.shuffle.partitions") == "77"
     spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+# Queries where an all-pairs operator is the INTENDED plan, with why:
+#   join_cross          — the cross-join operator itself
+#   llm_cosine_topk     — documented brute-force ANN baseline (broadcast cross)
+#   llm_embedding_dedup — exact-dedup oracle path (broadcast cross)
+#   q11_important_parts — 1-row global-threshold broadcast (scalar-subquery shape)
+#   q22_dormant_customers — 1-row avg-acctbal broadcast (scalar-subquery shape)
+_ALL_PAIRS_OK = {
+    "join_cross",
+    "llm_cosine_topk",
+    "llm_embedding_dedup",
+    "q11_important_parts",
+    "q22_dormant_customers",
+}
+
+
+def test_no_accidental_all_pairs_plans(spark):
+    """Scale gate: no registered batch query may plan a CartesianProduct or
+    BroadcastNestedLoopJoin unless it is on the explicit allowlist above.
+    At 100 TB an accidental all-pairs stage is the difference between a job
+    and an outage; this sweeps every query, so a new operator that silently
+    loses its equi-join condition fails here, not on the cluster."""
+    from ops_spark.queries import load_all
+    from ops_spark.queries.registry import all_queries
+
+    load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in sorted(all_queries().items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans are bounded-state by watermark, not here
+        plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin") if m in plan]
+        if bad and name not in _ALL_PAIRS_OK:
+            offenders[name] = bad
+    assert not offenders, f"unexpected all-pairs plans: {offenders}"

@@ -181,3 +181,38 @@ def test_continuous_trigger_smoke(spark):
         q.stop()
     assert n > 0
     assert not q.isActive
+
+
+def test_foreach_row_sink(spark, tmp_path):
+    """Row-level foreach sink (SURVEY §2.1 streaming sinks): the writer
+    function is pickled to Python workers and called once per row — the
+    escape hatch for sinks with no DataSource implementation."""
+    import glob
+    import os
+    import time
+
+    out_dir = str(tmp_path / "foreach_rows")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_row(row):
+        # one file per row: append races across partitions are not the
+        # point of this test
+        with open(f"{out_dir}/{row.value}.txt", "w") as f:
+            f.write(str(row.timestamp))
+
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = df.writeStream.foreach(write_row).trigger(processingTime="500 milliseconds").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not glob.glob(f"{out_dir}/*.txt"):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    files = glob.glob(f"{out_dir}/*.txt")
+    assert files, "foreach writer produced no rows"
+    assert open(files[0]).read()  # timestamps written per row
