@@ -55,20 +55,41 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_bounded(
-    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to exhaustion; return the memory-sink
     table. availableNow processes everything currently in the source then
-    stops — exactly-once via a throwaway checkpoint."""
+    stops — exactly-once via a throwaway checkpoint.
+
+    state_partitions sizes the stateful-operator shuffle (= the number of
+    state-store instances; AQE never touches streaming plans, and the
+    count is frozen into the checkpoint at first start). It is THE
+    streaming scale knob: each state store has fixed per-batch open/commit
+    cost, so oversizing dominates wall time on bounded fixtures (32 → 8
+    partitions is ~4× on the fixture joins), while undersizing caps
+    parallelism and state volume per store on a real cluster — size it to
+    expected state rows / target rows-per-store, not to the batch-side
+    shuffle default. None = leave the session setting untouched.
+    """
     spark = stream_df.sparkSession
     qname = name or f"bounded_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ops_spark_ckpt_"))
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ops_spark_ckpt_"))
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)

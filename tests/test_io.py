@@ -76,3 +76,66 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         "bucketed-on-key join must not shuffle:\n" + p.text
     )
     assert joined.count() > 0
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Dynamic partitionOverwriteMode: an overwrite write replaces ONLY the
+    partitions present in the incoming data — the contract that makes
+    idempotent backfills safe at scale (static mode would truncate the
+    whole table)."""
+    out = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id int, part string"
+    )
+    base.write.partitionBy("part").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame([(30, "b")], "id int, part string")
+        patch.write.mode("overwrite").partitionBy("part").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r.id, r.part) for r in spark.read.parquet(out).collect()}
+    # partition b replaced, a and c untouched
+    assert got == {(1, "a"), (2, "a"), (30, "b"), (4, "c")}
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: stop a file-source → file-sink stream,
+    add more input, restart from the SAME checkpoint. The offset log +
+    sink commit log guarantee every input row lands exactly once in the
+    output directory (memory sinks can't recover; the file sink is the
+    exactly-once vehicle)."""
+    import os
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+
+    spark.createDataFrame([(i,) for i in range(10)], "v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        df = spark.readStream.schema("v int").parquet(src)
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert {r.v for r in spark.read.parquet(out).collect()} == set(range(10))
+
+    spark.createDataFrame([(i,) for i in range(10, 20)], "v int").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = [r.v for r in spark.read.parquet(out).collect()]
+    # exactly once: all twenty values, zero duplicates from replay
+    assert sorted(rows) == list(range(20))
