@@ -137,3 +137,21 @@ def test_minhash_estimator_error_bound(spark):
         true_j = len(sa & sb) / len(sa | sb)
         est = sum(x == y for x, y in zip(a, b)) / 128
         assert abs(est - true_j) < 0.2
+
+
+@given(
+    st.text(alphabet="ab ", min_size=0, max_size=60),
+    st.text(alphabet="ab ", min_size=0, max_size=60),
+    st.text(alphabet="cd ", min_size=12, max_size=40),
+)
+@settings(max_examples=12, deadline=None)
+def test_winnowing_shared_substring_guarantee(spark, prefix_a, prefix_b, shared):
+    """Winnowing's selection guarantee: documents sharing a substring of
+    length >= k + w - 1 share at least one fingerprint (k=8, w=4 → 11)."""
+    from ops_spark.operators.text import winnow_fingerprints
+
+    doc_a, doc_b = prefix_a + shared, prefix_b + shared
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], "id int, text string")
+    rows = df.select("id", winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()
+    fps = {r.id: set(r.fp) for r in rows}
+    assert fps[0] & fps[1], "shared >=11-char substring must share a fingerprint"

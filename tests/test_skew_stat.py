@@ -216,3 +216,37 @@ def test_foreach_row_sink(spark, tmp_path):
     files = glob.glob(f"{out_dir}/*.txt")
     assert files, "foreach writer produced no rows"
     assert open(files[0]).read()  # timestamps written per row
+
+
+def test_window_spill_threshold_correctness(spark, sf_dir):
+    """Spill-awareness (SURVEY §7 risk list): force WindowExec to spill by
+    dropping its in-memory buffer threshold to 64 rows and assert results
+    are identical to the in-memory run — the guarantee that lets the same
+    plan survive executor-memory pressure at 100 TB."""
+    from ops_spark.io import load_table
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+
+    def run():
+        return (
+            li.withColumn("rn", F.row_number().over(w))
+            .withColumn("cum", F.sum("l_quantity").over(w))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("cum"), 4).alias("cum_sum"),
+                F.max("rn").alias("max_rn"),
+            )
+            .collect()
+        )
+
+    baseline = {r.l_returnflag: (r.n, r.cum_sum, r.max_rn) for r in run()}
+    prev = spark.conf.get("spark.sql.windowExec.buffer.spill.threshold")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "64")
+    try:
+        spilled = {r.l_returnflag: (r.n, r.cum_sum, r.max_rn) for r in run()}
+    finally:
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", prev)
+    assert spilled == baseline
