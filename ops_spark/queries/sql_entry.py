@@ -80,3 +80,25 @@ for name, sql, desc in [
     register(name, oracle=sql, description=desc, tags=("sql", "subquery"))(
         _sql_query(sql)
     )
+
+
+@register(
+    "sql_lateral_view",
+    oracle="""
+    SELECT o_orderkey, unnest([o_orderstatus, o_orderpriority]) AS attr
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    description="LATERAL VIEW explode (HiveQL generator syntax → GenerateExec; "
+    "reference generators.scala:137, SparkSqlParser).",
+    tags=("sql", "generator"),
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, attr
+        FROM orders
+        LATERAL VIEW explode(array(o_orderstatus, o_orderpriority)) t AS attr
+        WHERE o_orderkey <= 200
+        """
+    )

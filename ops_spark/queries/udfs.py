@@ -249,3 +249,47 @@ def cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total")
     )
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INT) AS pos, tok
+    FROM (
+      SELECT doc_id, unnest(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             ) AS tok,
+             generate_subscripts(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1
+             ) - 1 AS pos
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+    description="Python UDTF (table function, Spark 3.5+): one input row → "
+    "N output rows with its own schema — the UDTF surface SURVEY §2.10 "
+    "notes is absent in 2.4 (Hive GenericUDTF was the only route).",
+    tags=("udf", "udtf"),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split():
+                if tok:
+                    yield pos, tok
+                    pos += 1
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("ops_tokenize", Tokenize)
+    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM __udtf_docs d, LATERAL ops_tokenize(d.text) t
+        """
+    )

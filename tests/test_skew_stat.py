@@ -250,3 +250,47 @@ def test_window_spill_threshold_correctness(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", prev)
     assert spilled == baseline
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe: named accumulator-style metrics evaluated inline with
+    the query (the modern analogue of the reference's [OPS]- TaskMetrics
+    log lines) — zero extra passes over the data."""
+    from pyspark.sql import Observation
+    from ops_spark.io import load_table
+
+    obs = Observation("li_metrics")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum("l_quantity").alias("qty_sum"),
+        )
+        .filter(F.col("l_returnflag") == "R")
+        .count()
+    )
+    got = obs.get
+    assert got["rows_seen"] == li.count()  # observed BEFORE the filter
+    assert got["qty_sum"] > 0
+    assert out > 0
+
+
+def test_catalog_api(spark, sf_dir):
+    """Catalog surface: temp views, global temp views, listings, drops
+    (reference sql/catalog.py kin)."""
+    from ops_spark.io import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("cat_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceGlobalTempView("cat_region")
+    names = {t.name for t in spark.catalog.listTables()}
+    assert "cat_nation" in names
+    assert spark.catalog.tableExists("cat_nation")
+    g = {t.name for t in spark.catalog.listTables("global_temp")}
+    assert "cat_region" in g
+    assert spark.sql("SELECT count(*) c FROM global_temp.cat_region").head().c == 5
+    cols = {c.name for c in spark.catalog.listColumns("cat_nation")}
+    assert {"n_nationkey", "n_name"} <= cols
+    spark.catalog.dropTempView("cat_nation")
+    spark.catalog.dropGlobalTempView("cat_region")
+    assert not spark.catalog.tableExists("cat_nation")
