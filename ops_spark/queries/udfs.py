@@ -293,3 +293,58 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL ops_tokenize(d.text) t
         """
     )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_custkey <= 300
+    )
+    SELECT c.custkey,
+           round(c.c_acctbal, 2) AS acctbal,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.total_spend, 0.0), 2) AS total_spend
+    FROM c LEFT JOIN o USING (custkey)
+    """,
+    description="Cogrouped applyInPandas (reference CoGroupExec, "
+    "objects.scala:445): both sides shuffled on the key, one pandas frame "
+    "per side per key — the two-input split-apply-combine shape.",
+    tags=("udf", "pandas", "cogroup"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(F.col("c_custkey").alias("custkey"), "c_acctbal")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+
+    def merge(c: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        if c.empty:
+            # orders for customers outside the filtered side: no output row
+            return pd.DataFrame(
+                columns=["custkey", "acctbal", "n_orders", "total_spend"]
+            )
+        return pd.DataFrame(
+            {
+                "custkey": [int(c["custkey"].iloc[0])],
+                "acctbal": [round(float(c["c_acctbal"].iloc[0]), 2)],
+                "n_orders": [len(o)],
+                "total_spend": [round(float(o["o_totalprice"].sum()), 2)],
+            }
+        )
+
+    return (
+        cust.groupBy("custkey")
+        .cogroup(orders.groupBy("custkey"))
+        .applyInPandas(
+            merge, "custkey bigint, acctbal double, n_orders bigint, total_spend double"
+        )
+    )

@@ -139,3 +139,42 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     rows = [r.v for r in spark.read.parquet(out).collect()]
     # exactly once: all twenty values, zero duplicates from replay
     assert sorted(rows) == list(range(20))
+
+
+def test_csv_malformed_record_modes(spark, tmp_path):
+    """CSV malformed-record handling (SURVEY §2.1): PERMISSIVE nulls +
+    captures bad rows, DROPMALFORMED removes them, FAILFAST raises."""
+    import pytest
+
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("1,alpha,10.5\n2,beta,not_a_number\n3,gamma,30.25\n")
+    schema = "id int, name string, amount double"
+
+    permissive = spark.read.schema(schema + ", _corrupt_record string").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").csv(p)
+    rows = {r.id: (r.amount, r._corrupt_record) for r in permissive.collect()}
+    assert rows[1] == (10.5, None)
+    assert rows[2][0] is None and "not_a_number" in rows[2][1]
+
+    dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(p)
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    failfast = spark.read.schema(schema).option("mode", "FAILFAST").csv(p)
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        failfast.collect()
+
+
+def test_sql_insert_into(spark, tmp_path):
+    """SQL INSERT INTO ... SELECT over a saved table (DataFrameWriter +
+    InsertIntoStatement path)."""
+    spark.sql("DROP TABLE IF EXISTS ins_demo")
+    spark.createDataFrame([(1, "a")], "id int, tag string").write.saveAsTable(
+        "ins_demo"
+    )
+    spark.sql("INSERT INTO ins_demo SELECT 2, 'b'")
+    spark.sql("INSERT INTO ins_demo SELECT id + 10, upper(tag) FROM ins_demo WHERE id = 1")
+    got = {(r.id, r.tag) for r in spark.table("ins_demo").collect()}
+    assert got == {(1, "a"), (2, "b"), (11, "A")}
+    spark.sql("DROP TABLE ins_demo")

@@ -294,3 +294,44 @@ def test_catalog_api(spark, sf_dir):
     spark.catalog.dropTempView("cat_nation")
     spark.catalog.dropGlobalTempView("cat_region")
     assert not spark.catalog.tableExists("cat_nation")
+
+
+def test_accumulators_and_broadcast_vars(spark):
+    """Core RDD-tier shared variables (reference core/ Accumulator,
+    Broadcast): accumulators aggregate side-channel counts driver-side;
+    broadcast vars ship read-only lookup state once per executor."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+    lookup = sc.broadcast({0: "even", 1: "odd"})
+
+    def tag(x):
+        acc.add(1)
+        return (lookup.value[x % 2], x)
+
+    pairs = sc.parallelize(range(100), 8).map(tag).reduceByKey(lambda a, b: a + b)
+    got = dict(pairs.collect())
+    assert got == {"even": sum(range(0, 100, 2)), "odd": sum(range(1, 100, 2))}
+    assert acc.value == 100
+    lookup.unpersist()
+
+
+def test_map_in_arrow(spark, sf_dir):
+    """mapInArrow: the zero-copy Arrow RecordBatch tier below mapInPandas —
+    batch-level access without pandas conversion overhead."""
+    import pyarrow as pa
+    from ops_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def scale(batches):
+        for batch in batches:
+            qty = batch.column("l_quantity")
+            doubled = pa.compute.multiply(qty, pa.scalar(2.0))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), doubled], ["l_orderkey", "qty2"]
+            )
+
+    out = li.mapInArrow(scale, "l_orderkey long, qty2 double")
+    row = out.agg(F.sum("qty2").alias("s")).head()
+    expect = li.agg((F.sum("l_quantity") * 2).alias("s")).head()
+    assert abs(row.s - expect.s) < 1e-6
