@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -439,11 +441,24 @@ def embedding_cosine_pairs(
     embedding_dedup(exact=False), which blocks candidates by sign-LSH bucket
     (same cosine predicate inside each bucket).
     """
-    from ops_spark.operators.similarity import cosine
+    from ops_spark.operators.similarity import cosine_prenorm, norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # norms once per vector (N folds), not per pair (2·N² folds); the
+    # division sees identical operand values so the result stays
+    # bit-identical to cosine() and the DuckDB oracle.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    sim = cosine_prenorm(
+        F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+    )
     return (
         spread(a)
         .crossJoin(F.broadcast(b))
@@ -495,9 +510,9 @@ def embedding_dedup(
         )
     else:
         from ops_spark.operators.similarity import (
-            cosine,
             hyperplanes,
             lsh_buckets_batch,
+            norm,
         )
 
         # All tables ride ONE join keyed on (table_id << nbits) | bucket:
@@ -510,7 +525,14 @@ def embedding_dedup(
         buckets = lsh_buckets_batch(
             [hyperplanes(dim, nbits, seed + t) for t in range(n_tables)]
         )
-        src = spread(df).withColumn("__bk", buckets(F.col(vec_col)))
+        # norm once per vector, before the per-key explode and join — the
+        # candidate join scores ~|df|²·n_tables·(nbits+1)/2^nbits pairs,
+        # each of which would otherwise re-fold both norms.
+        src = (
+            spread(df)
+            .withColumn("__bk", buckets(F.col(vec_col)))
+            .withColumn("__n", norm(F.col(vec_col)))
+        )
         build_keys, probe_keys = [], []
         for t in range(n_tables):
             base = F.col("__bk")[t]
@@ -523,17 +545,39 @@ def embedding_dedup(
         a = src.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("__va"),
+            F.col("__n").alias("__na"),
             F.explode(F.array(*probe_keys)).alias("__key"),
         )
         b = src.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("__vb"),
+            F.col("__n").alias("__nb"),
             F.explode(F.array(*build_keys)).alias("__key"),
         )
+        # Candidate scoring is the hot loop (~|df|²·n_tables·(nbits+1)/2^nbits
+        # pairs): one Arrow-batched numpy row-wise dot per batch instead of an
+        # interpreted 64-element fold per pair. numpy's summation order is not
+        # the oracle's left fold, which is fine HERE because this path is
+        # recall-tested (threshold 0.98 vs planted sims ≈ 0.9999 — no pair
+        # sits near the float boundary); the exact=True oracle path above
+        # keeps the bit-exact fold.
+        @F.pandas_udf("boolean")
+        def _pair_hit(va: pd.Series, vb: pd.Series, nanb: pd.Series) -> pd.Series:
+            if len(va) == 0:
+                return pd.Series([], dtype=bool)
+            A = np.vstack(va.to_numpy()).astype(np.float64)
+            B = np.vstack(vb.to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            return pd.Series(dots >= threshold * nanb.to_numpy())
+
         dups = (
             a.join(b, "__key")
             .filter(F.col("id_a") < F.col("id_b"))
-            .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+            .filter(
+                _pair_hit(
+                    F.col("__va"), F.col("__vb"), F.col("__na") * F.col("__nb")
+                )
+            )
             .select(F.col("id_b").alias(id_col))
         )
     return df.join(dups.distinct(), id_col, "left_anti")

@@ -322,8 +322,14 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 300)
         .select(F.col("c_custkey").alias("custkey"), "c_acctbal")
     )
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    # Push the key predicate to BOTH cogroup inputs: orders outside the
+    # filtered customer set can only ever produce empty output frames, so
+    # shuffling them into Python is pure waste (at 100 TB this is the
+    # difference between shuffling 0.2% of orders and all of them).
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select(F.col("o_custkey").alias("custkey"), "o_totalprice")
     )
 
     def merge(c: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
