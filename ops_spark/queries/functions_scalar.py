@@ -493,3 +493,92 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "year").cast("bigint").alias("year_val"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
     )
+
+
+@register(
+    "fn_unpivot_native",
+    oracle="""
+    SELECT p_partkey, 'retail' AS metric, p_retailprice AS val
+    FROM part WHERE p_partkey <= 400
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey <= 400
+    """,
+    description="Native df.unpivot / melt (Spark 3.4+ Unpivot node — the "
+    "relational dual of pivot; reference expresses this only via stack()).",
+    tags=("function", "unpivot"),
+)
+def fn_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retail", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_discount, 0.0), 4) AS safe_ratio,
+           CAST(l_orderkey + l_linenumber AS BIGINT)           AS safe_add,
+           CASE WHEN l_linenumber <= 2 THEN l_linenumber END   AS maybe_elem,
+           TRY_CAST(l_returnflag AS DOUBLE)                    AS bad_cast
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    description="ANSI-safe try_* family: NULL-on-error division, addition, "
+    "element_at past array bounds, and try_cast of non-numeric strings "
+    "(error-tolerant ingestion over dirty data — no task-killing exceptions).",
+    tags=("function", "ansi", "try"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias("safe_ratio"),
+        F.try_add("l_orderkey", "l_linenumber").cast("bigint").alias("safe_add"),
+        F.try_element_at(
+            F.array(F.lit(1), F.lit(2)), F.col("l_linenumber")
+        ).alias("maybe_elem"),
+        F.expr("try_cast(l_returnflag AS DOUBLE)").alias("bad_cast"),
+    )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice                    AS v_price,
+           o_orderpriority                 AS v_prio,
+           CAST(year(o_orderdate) AS INT)  AS v_year
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    description="VARIANT semi-structured type (Spark 4): parse_json round-trip "
+    "with typed variant_get extraction — the open-schema column pattern for "
+    "ingesting heterogeneous JSON at scale without a fixed schema.",
+    tags=("function", "variant", "json"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("prio"),
+                F.year("o_orderdate").alias("year"),
+            )
+        )
+    )
+    return orders.select(
+        "o_orderkey",
+        F.variant_get(v, "$.price", "double").alias("v_price"),
+        F.variant_get(v, "$.prio", "string").alias("v_prio"),
+        F.variant_get(v, "$.year", "int").alias("v_year"),
+    )

@@ -240,3 +240,44 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_value").alias("total_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           max(value) AS max_value
+    FROM events WHERE user_id <= 200
+    GROUP BY user_id
+    """,
+    description="Custom stateful operator on the RocksDB state store "
+    "provider (the 100 TB posture: per-key state spills to local RocksDB "
+    "+ changelog checkpoint instead of being bounded by executor heap; "
+    "reference HDFSBackedStateStoreProvider.scala:73 is the heap-bound "
+    "ancestor).",
+    tags=("streaming", "stateful", "pandas-udf", "rocksdb"),
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.streaming.stateful import user_totals_stateful
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf_dir).filter(F.col("user_id") <= 200)
+        out = run_bounded(user_totals_stateful(ev), output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -68,3 +68,63 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (Spark 4).
+
+    The modern successor to applyInPandasWithState (reference
+    FlatMapGroupsWithStateExec.scala:44 kin): typed state primitives
+    (ValueState/ListState/MapState), timers, and TTL on a per-key handle.
+    Requires the RocksDB state store provider — which is also the 100 TB
+    posture: per-key state is spilled to local RocksDB + changelog
+    checkpointing instead of being bounded by executor heap.
+
+    ENV GAP: executing this operator needs protobuf (the TWS state-server
+    protocol) which is absent from this image, so tests pin the logical
+    plan only; stream_stateful_rocksdb runs the same semantics through
+    applyInPandasWithState on RocksDB for the executable gate.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TotalsProcessor(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

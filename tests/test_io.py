@@ -178,3 +178,20 @@ def test_sql_insert_into(spark, tmp_path):
     got = {(r.id, r.tag) for r in spark.table("ins_demo").collect()}
     assert got == {(1, "a"), (2, "b"), (11, "A")}
     spark.sql("DROP TABLE ins_demo")
+
+
+def test_transform_with_state_plan_builds(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state surface): the
+    operator's logical plan must build and carry the declared schema.
+    Execution needs protobuf (absent from this image — see
+    ops_spark.streaming.stateful docstring); the runnable stateful gate is
+    stream_stateful_rocksdb / stream_stateful_totals."""
+    from ops_spark.streaming.runner import events_stream
+    from ops_spark.streaming.stateful import user_totals_tws
+
+    ev = events_stream(spark, sf_dir).filter("user_id <= 10")
+    out = user_totals_tws(ev)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "total_value", "max_value",
+    ]
