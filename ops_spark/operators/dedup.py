@@ -64,20 +64,29 @@ def exact_dedup(
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token array (codegen, no UDF).
+    """Distinct word n-gram shingles from a token array (no UDF).
 
     Guarded for short docs: fewer than n tokens → empty array (Spark's
-    sequence() would otherwise count downward)."""
-    count = F.size(toks) - n + 1
-    made = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    sequence() would otherwise count downward).
+
+    The token expression is BOUND to a lambda variable via a 1-element
+    transform before the per-position loop: higher-order-function lambdas
+    defeat Spark's subexpression elimination, so referencing `toks` (often
+    a split+filter over the raw text) directly inside the position lambda
+    would re-tokenize the document once per shingle position — O(T²·len)
+    per doc. Binding first makes it O(T·n)."""
+
+    def _per_doc(tk: Column) -> Column:
+        count = F.size(tk) - n + 1
+        made = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            )
         )
-    )
-    return F.when(count >= 1, made).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(count >= 1, made).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), _per_doc)[0]
 
 
 def permutation_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -281,13 +290,19 @@ def simhash32(text_col: Column | str) -> Column:
             F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
         ).cast("int")
 
-    bit_sums = [
-        F.aggregate(hashes, F.lit(0), bit_adder(i)) for i in range(32)
-    ]
-    fp = F.lit(0).cast("bigint")
-    for i, s in enumerate(bit_sums):
-        fp = fp + F.when(s > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return fp
+    # Bind the hash array once: each of the 32 per-bit folds references
+    # it, and HOF lambdas defeat subexpression elimination — unbound, the
+    # md5 of every token would be recomputed 32×.
+    def _fp(hs: Column) -> Column:
+        bit_sums = [F.aggregate(hs, F.lit(0), bit_adder(i)) for i in range(32)]
+        fp = F.lit(0).cast("bigint")
+        for i, s in enumerate(bit_sums):
+            fp = fp + F.when(s > 0, F.lit(1 << i).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        return fp
+
+    return F.transform(F.array(hashes), _fp)[0]
 
 
 def simhash_fingerprints(

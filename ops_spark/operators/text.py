@@ -93,17 +93,25 @@ def winnow_fingerprints(
             lambda i: token_hash64(F.substring(col, i, F.lit(k))),
         ),
     ).otherwise(empty)
-    m = F.size(grams)
-    mins = (
-        F.when(m == 0, empty)
-        .when(m < w, F.array(F.array_min(grams)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), m - w + 1),
-                lambda j: F.array_min(F.slice(grams, j, w)),
+
+    # Bind the gram-hash array to a lambda variable before the sliding-min
+    # loop: HOF lambdas defeat subexpression elimination, so referencing
+    # `grams` inside the window lambda would recompute EVERY k-gram md5
+    # once per window position — O(n²) hashes per doc instead of O(n).
+    def _mins(gs: Column) -> Column:
+        m = F.size(gs)
+        return (
+            F.when(m == 0, empty)
+            .when(m < w, F.array(F.array_min(gs)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), m - w + 1),
+                    lambda j: F.array_min(F.slice(gs, j, w)),
+                )
             )
         )
-    )
+
+    mins = F.transform(F.array(grams), _mins)[0]
     return F.sort_array(F.array_distinct(mins))
 
 
