@@ -354,3 +354,54 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "custkey bigint, acctbal double, n_orders bigint, total_spend double"
         )
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH gen AS (
+      SELECT range AS event_id,
+             CASE range % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                  ELSE 'purchase' END AS etype,
+             range * 7919 % 10000 AS cents
+      FROM range(0, 5000)
+    )
+    SELECT etype,
+           count(*)                                  AS n,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS total_amount
+    FROM gen
+    WHERE event_id BETWEEN 1000 AND 3999
+    GROUP BY etype
+    """,
+    description="User-defined Python Data Source (Spark 4 pyspark.sql."
+    "datasource — DataSource V2 parity: InputPartition planning via "
+    "partitions(), SupportsPushDownFilters via pushFilters). The event_id "
+    "range predicate is pushed INTO the source, so pruned ids are never "
+    "generated (source-side partition pruning).",
+    tags=("source", "python-datasource", "pushdown"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.io.pysource import register_python_source
+
+    # the driver may run this in its own session — make sure the source is
+    # registered and source-side pushdown is on there too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        register_python_source(spark)
+    except Exception:
+        pass  # already registered in this session
+    ev = (
+        spark.read.format("ops_events")
+        .option("rows", 5000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    cents = F.round(F.col("amount") * 100).cast("bigint")
+    return (
+        ev.filter((F.col("event_id") >= 1000) & (F.col("event_id") <= 3999))
+        .groupBy("etype")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_amount"),
+        )
+    )

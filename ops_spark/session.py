@@ -37,6 +37,9 @@ ADAPTIVE_CONFS: dict[str, str] = {
     # Convert sort-merge join to broadcast at runtime when a side turns out
     # small after filtering.
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    # Let user-defined Python data sources accept pushed filters
+    # (io/pysource.py implements pushFilters — source-side pruning).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 BASE_CONFS: dict[str, str] = {

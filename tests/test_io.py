@@ -195,3 +195,73 @@ def test_transform_with_state_plan_builds(spark, sf_dir):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "total_value", "max_value",
     ]
+
+
+def test_python_datasource_pushdown(spark):
+    """Python Data Source (Spark 4): pushFilters must narrow the planned
+    id range (pruned rows never generated) and yield unhandled filters
+    back to Spark, which still applies them post-scan."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from ops_spark.io.pysource import SyntheticEventsReader, register_python_source
+
+    r = SyntheticEventsReader({"rows": "1000", "numpartitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 100),
+                LessThan(("event_id",), 300),
+                EqualTo(("etype",), "click"),  # not ours -> back to Spark
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 300
+    assert sum(p.end - p.start for p in parts) == 200
+
+    # end-to-end: unhandled etype filter still enforced by Spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        register_python_source(spark)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("ops_events")
+        .option("rows", 300)
+        .load()
+        .filter("event_id >= 100 and etype = 'click'")
+    )
+    rows = df.collect()
+    assert all(row.etype == "click" and row.event_id >= 100 for row in rows)
+    assert len(rows) == 67  # ids 100..299 with id % 3 == 1
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    """Python streaming source (SimpleDataSourceStreamReader): bounded
+    micro-batches drain exactly rows ids once, offsets checkpointable."""
+    from ops_spark.io.pysource import register_python_source
+
+    try:
+        register_python_source(spark)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("ops_events")
+        .option("rows", 250)
+        .option("chunk", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # availableNow would stop at the single prefetched chunk; drain until
+    # the reader reports no new data (offset stops advancing) instead.
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM pyds_stream").first()
+    assert (got.n, got.d) == (250, 250)
