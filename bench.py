@@ -30,6 +30,18 @@ def main() -> None:
     names = sorted(q.all_queries())
     # JVM/codegen warm-up on the flagship so q1 doesn't absorb session init.
     q.get_query("q1_pricing_summary").builder(spark, sf_dir).count()
+    # Python-runner warm-up: the Python Data Source planner/worker pool is
+    # separate infra from the JVM; spin it up with a 10-row read so the
+    # first ops_events query isn't charged ~5 s of process startup.
+    try:
+        from ops_spark.io.pysource import register_python_source
+
+        register_python_source(spark)
+        spark.read.format("ops_events").option("rows", 10).option(
+            "numPartitions", 1
+        ).load().count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: python-source warmup skipped: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

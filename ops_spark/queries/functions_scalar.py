@@ -582,3 +582,70 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.prio", "string").alias("v_prio"),
         F.variant_get(v, "$.year", "int").alias("v_year"),
     )
+
+
+@register(
+    "fn_generators_stack_inline",
+    oracle="""
+    WITH p AS (SELECT * FROM part WHERE p_partkey <= 300),
+    rows AS (
+      SELECT 'brand' AS attr, p_brand AS val FROM p
+      UNION ALL SELECT 'type', p_type FROM p
+      UNION ALL SELECT 'size', CAST(p_size AS VARCHAR) FROM p
+      UNION ALL SELECT 'name_head', substr(p_name, 1, 8) FROM p
+    )
+    SELECT attr, count(*) AS n, CAST(count(DISTINCT val) AS BIGINT) AS n_vals
+    FROM rows GROUP BY attr
+    """,
+    description="stack + inline generators (generators.scala:385,400 → "
+    "GenerateExec): wide-to-long unpivot via stack, array-of-struct "
+    "flattening via inline — both stay in codegen, no shuffle until the "
+    "final aggregate.",
+    tags=("function", "generator"),
+)
+def fn_generators_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    stacked = p.selectExpr(
+        "stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)"
+    )
+    inlined = p.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("size").alias("attr"),
+                    F.col("p_size").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("name_head").alias("attr"),
+                    F.substring("p_name", 1, 8).alias("val"),
+                ),
+            )
+        )
+    )
+    return (
+        stacked.unionByName(inlined)
+        .groupBy("attr")
+        .agg(F.count("*").alias("n"), F.countDistinct("val").alias("n_vals"))
+    )
+
+
+@register(
+    "fn_json_tuple",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           'STRUCT<k: BIGINT>'               AS inferred_schema
+    FROM events WHERE event_id <= 300
+    """,
+    description="json_tuple multi-path extraction (jsonExpressions.scala "
+    "JsonTuple — one parse, N outputs) + schema_of_json inference (the "
+    "DDL string you feed from_json when onboarding a new feed).",
+    tags=("function", "json", "generator"),
+)
+def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    return ev.select(
+        "event_id",
+        F.json_tuple("props", "k").alias("k_str"),
+        F.schema_of_json(F.lit('{"k": 69}')).alias("inferred_schema"),
+    )

@@ -281,3 +281,21 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_value").alias("total_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "stream_global_limit",
+    oracle="""
+    SELECT CAST(least(count(*), 500) AS BIGINT) AS n FROM events
+    """,
+    description="Streaming global limit (StreamingGlobalLimitExec kin): "
+    "limit N on an append-mode stream admits rows across micro-batches "
+    "until the running count reaches N; state = one counter.",
+    tags=("streaming", "limit"),
+)
+def stream_global_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Which 500 event_ids are admitted depends on batch order, so the
+    # stable observable is the admitted-row count.
+    ev = events_stream(spark, sf_dir)
+    out = run_bounded(ev.limit(500).select("event_id"), "append")
+    return out.agg(F.count("*").alias("n"))

@@ -153,3 +153,47 @@ def test_no_accidental_all_pairs_plans(spark):
         if bad and name not in _ALL_PAIRS_OK:
             offenders[name] = bad
     assert not offenders, f"unexpected all-pairs plans: {offenders}"
+
+
+def test_soundex_golden(spark):
+    """soundex (stringExpressions.scala surface) against the published
+    algorithm's canonical examples (no DuckDB equivalent, so golden
+    values instead of an oracle)."""
+    from pyspark.sql import functions as F
+
+    golden = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Honeyman": "H555",
+    }
+    df = spark.createDataFrame([(k,) for k in golden], "name string")
+    got = {r.name: r.sx for r in df.select("name", F.soundex("name").alias("sx")).collect()}
+    assert got == golden
+
+
+def test_sort_within_partitions(spark, sf_dir):
+    """sortWithinPartitions (SortExec global=false): rows are ordered
+    inside each partition with NO global exchange-for-sort — the cheap
+    form that backs sorted-run writes and merge-friendly layouts."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .repartition(4, "o_custkey")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Sort [keys], false, 0 — the `false` is global=false (per-partition sort)
+    assert "Sort [" in plan and "], false, 0" in plan
+    # within every partition the (date, key) sequence must be nondecreasing
+    part = df.select(
+        F.spark_partition_id().alias("pid"), "o_orderdate", "o_orderkey"
+    ).toPandas()
+    for _, g in part.groupby("pid"):
+        keys = list(zip(g.o_orderdate, g.o_orderkey))
+        assert keys == sorted(keys)
