@@ -265,3 +265,70 @@ def test_python_datasource_stream(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM pyds_stream").first()
     assert (got.n, got.d) == (250, 250)
+
+
+def test_csv_schema_inference(spark, sf_dir):
+    """CSV inferSchema (CSVFileFormat schema-inference pass): typed columns
+    come back without an explicit schema. Inference costs an extra scan, so
+    at 100 TB you sample or pin the schema — asserted here at fixture scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).limit(200)
+    path = scratch_dir("csv_infer") + "/orders"
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert types["o_orderkey"] == "bigint" or types["o_orderkey"] == "int"
+    assert types["o_totalprice"] == "double"
+    assert types["o_orderdate"].startswith("timestamp") or types["o_orderdate"] == "date"
+
+
+def test_repartition_by_range(spark, sf_dir):
+    """repartitionByRange → RangePartitioning exchange: contiguous key
+    ranges per partition (the layout that makes per-partition sorted writes
+    and range-pruned reads possible)."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(4, "o_orderkey")
+        .select(F.spark_partition_id().alias("pid"), "o_orderkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(o_orderkey" in plan
+    bounds = (
+        df.groupBy("pid")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(bounds) == 4
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev.hi <= cur.lo, "range partitions must not overlap"
+
+
+def test_reliable_checkpoint_truncates_lineage(spark, sf_dir, tmp_path):
+    """df.checkpoint(): materializes to the checkpoint dir and truncates
+    lineage — the recovery point for long iterative jobs (vs localCheckpoint,
+    which trades reliability for speed; used by the graph operators)."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    cp = agg.checkpoint(eager=True)
+    # lineage is cut: the checkpointed plan scans the RDD, not parquet
+    plan = cp._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan
+    assert sorted(map(tuple, cp.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_describe_summary(spark, sf_dir):
+    """df.describe / df.summary (DataFrameStatFunctions kin): one-pass
+    column profiles — count/mean/stddev/min/max (+ quartiles in summary)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    d = {r["summary"]: r for r in li.describe().collect()}
+    n = li.count()
+    assert int(d["count"]["l_quantity"]) == n
+    assert abs(float(d["mean"]["l_quantity"]) - li.agg(F.avg("l_quantity")).head()[0]) < 1e-6
+    s = {r["summary"] for r in li.summary().collect()}
+    assert {"25%", "50%", "75%"} <= s
