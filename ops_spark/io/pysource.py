@@ -140,4 +140,10 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register_python_source(spark) -> None:
+    # The DataSource class ships to Spark's Python workers via cloudpickle;
+    # by-value registration removes the worker-PYTHONPATH assumption
+    # (see ops_spark._pickle).
+    from ops_spark._pickle import register_self
+
+    register_self(__name__)
     spark.dataSource.register(SyntheticEventsDataSource)

@@ -38,6 +38,11 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar parquet scan, pushdown-capable)."""
+    from ops_spark.session import ensure_runtime_confs
+
+    # The session may be driver-built (vanilla confs); without nanosAsLong
+    # the events read throws, and without UTC the oracle TZ drifts.
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -26,6 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ops_spark._pickle import register_self
+
+# module-level fns ship to Python workers -> pickle by value
+register_self(__name__)
+
 IMAGE_META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sha256 string, width int, height int"
 )

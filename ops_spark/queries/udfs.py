@@ -198,10 +198,13 @@ def rdd_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc[r.l_returnflag] = (n + 1, s + r.l_quantity)
         yield from ((k, v) for k, v in acc.items())
 
+    # reducer count sized to key cardinality (3 distinct flags), not the
+    # session default: every reduce task is a Python worker launch, so 32
+    # near-empty reducers cost more than the aggregation itself.
     merged = (
         li.select("l_returnflag", "l_quantity")
         .rdd.mapPartitions(partial)
-        .reduceByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]))
+        .reduceByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]), numPartitions=4)
     )
     rows = merged.map(lambda kv: (kv[0], kv[1][0], round(kv[1][1], 2)))
     return spark.createDataFrame(rows, "l_returnflag string, n bigint, qty double")

@@ -84,6 +84,21 @@ def _local_confs(cores: int) -> dict[str, str]:
     }
 
 
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the correctness-critical SQL confs to an externally-created
+    session. The driver harness builds its OWN SparkSession and calls our
+    query builders with it; everything in BASE_CONFS is runtime-settable
+    SQLConf, so applying it here makes query results independent of who
+    constructed the session (UTC timestamps, nanos-as-long parquet reads,
+    non-ANSI semantics, Arrow transfer)."""
+    for k, v in BASE_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf must not kill the read
+            pass
+
+
 def get_session(
     app_name: str = "ops_spark",
     master: str | None = None,

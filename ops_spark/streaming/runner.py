@@ -48,6 +48,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops_spark.io.tables) and is normalized to TimestampType here, same as
     the batch loader.
     """
+    from ops_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # driver-built sessions lack nanosAsLong/UTC
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
         _staged_dir(sf_dir, "events")
     )

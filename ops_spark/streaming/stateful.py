@@ -20,6 +20,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ops_spark._pickle import register_self
+
+# module-level fns ship to Python workers -> pickle by value
+register_self(__name__)
+
 USER_TOTALS_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, max_value double"
 )
