@@ -345,7 +345,11 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming variant: ops_spark.streaming session_window.
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # events.ts may surface as TIMESTAMP_NTZ (native parquet-nanos read) or
+    # TIMESTAMP (nanosAsLong normalization); NTZ→BIGINT is an illegal cast,
+    # so hop through TIMESTAMP — identity under the UTC session timezone.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
     marked = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),

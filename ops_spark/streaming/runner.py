@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -44,17 +44,20 @@ def _staged_dir(sf_dir: str, table: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a streaming DataFrame (file source).
 
-    ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong — see
-    ops_spark.io.tables) and is normalized to TimestampType here, same as
-    the batch loader.
+    ts is stored as parquet TIMESTAMP(NANOS); Spark 4 reads it natively as
+    TIMESTAMP_NTZ (micro-truncated), matching the batch loader's view
+    (ops_spark.io.tables). Declaring it bigint instead would surface raw
+    micros and silently mis-scale any manual conversion.
     """
     from ops_spark.session import ensure_runtime_confs
 
-    ensure_runtime_confs(spark)  # driver-built sessions lack nanosAsLong/UTC
+    ensure_runtime_confs(spark)  # driver-built sessions need UTC pinned
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
         _staged_dir(sf_dir, "events")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Watermarks only accept TIMESTAMP (LTZ); NTZ→LTZ is identity under the
+    # UTC session timezone, so event-time semantics match the batch oracle.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_bounded(
