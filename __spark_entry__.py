@@ -22,7 +22,7 @@ _q.load_all()
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    return _q.get_query("q1_pricing_summary").builder(spark, "/root/testdata/sf0.001")
+    return _q.get_query("Q01_pricing_summary").builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,25 +29,25 @@ TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
-# (spark.sql.legacy.parquet.nanosAsLong) — normalized to TimestampType here.
-# The fixtures carry no sub-microsecond precision (verified), matching the
-# DuckDB oracle's microsecond TIMESTAMP view of the same files.
-_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns stored as parquet TIMESTAMP(MICROS) without timezone:
+# Spark surfaces them as TIMESTAMP_NTZ, the streaming path needs TIMESTAMP
+# (LTZ — watermarks reject NTZ), and the DuckDB oracle sees naive micros.
+# Normalize batch to TIMESTAMP too so batch and streaming agree in type;
+# under the UTC session timezone (BASE_CONFS) the values are identical.
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar parquet scan, pushdown-capable)."""
     from ops_spark.session import ensure_runtime_confs
 
-    # The session may be driver-built (vanilla confs); without nanosAsLong
-    # the events read throws, and without UTC the oracle TZ drifts.
+    # The session may be driver-built (vanilla confs); without UTC pinned
+    # the NTZ→LTZ cast below (and the oracle comparison) would TZ-drift.
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            # Integer division — epoch nanos exceed 2^53, double `/` loses µs.
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    for col in _TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

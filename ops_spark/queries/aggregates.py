@@ -198,7 +198,7 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact percentile buffers values per group (reference Percentile.scala —
     # ObjectHashAggregateExec.scala:60 path). Scale note: exact percentiles
     # at 100 TB require the full value multiset per group; prefer
-    # approx_percentile (see agg_approx) unless group cardinality is bounded.
+    # approx_percentile (see x_agg_approx) unless group cardinality is bounded.
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
@@ -208,12 +208,12 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_approx",
+    "x_agg_approx",
     oracle=None,  # sketch internals differ between engines; driver does rows-only
     description="Approximate sketches: HLL++ distinct + approx percentile (t-digest-ish).",
     tags=("aggregate", "approx", "sketch"),
 )
-def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL++ (reference HyperLogLogPlusPlus.scala, registry
     # FunctionRegistry.scala:273) and ApproximatePercentile.scala:323. The
     # 100 TB path: fixed-size sketches shuffle O(groups × sketch) bytes

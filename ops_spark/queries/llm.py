@@ -222,13 +222,13 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "llm_simhash_candidates",
+    "x_llm_simhash_candidates",
     oracle=None,  # banding layout is engine-internal; fingerprints are
     # oracle-verified by llm_simhash, candidates checked rows-only.
     description="SimHash near-dup candidate pairs (Hamming ≤ 3 via byte-banding).",
     tags=("llm", "dedup", "simhash"),
 )
-def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_candidates(docs, max_hamming=3).select(
         "id_a", "id_b", "hamming"
@@ -427,13 +427,13 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "llm_ann_lsh_topk",
+    "x_llm_ann_lsh_topk",
     oracle=None,  # hyperplane sign boundaries aren't reproducible across
     # float parsers; recall vs llm_cosine_topk is asserted in tests instead.
     description="Approximate top-k via random-hyperplane LSH bucketing.",
     tags=("llm", "similarity", "ann"),
 )
-def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -482,7 +482,7 @@ def _with_planted_dups(emb: DataFrame, n_planted: int, id_offset: int = 1_000_00
 
 
 @register(
-    "llm_embedding_dedup_lsh",
+    "x_llm_embedding_dedup_lsh",
     oracle=None,  # sign-LSH bucket boundaries aren't float-parser-stable;
     # recall vs the exact form is asserted in tests instead
     # (test_operators.py::test_embedding_dedup_lsh_recall).
@@ -490,7 +490,7 @@ def _with_planted_dups(emb: DataFrame, n_planted: int, id_offset: int = 1_000_00
     "over a corpus with planted near-duplicates.",
     tags=("llm", "dedup", "similarity", "ann"),
 )
-def llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_planted_dups(_t(spark, sf_dir, "embeddings"), n_planted=100)
     return D.embedding_dedup(
         emb, threshold=0.98, exact=False, nbits=8, dim=64, seed=42, n_tables=4
@@ -498,7 +498,7 @@ def llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "llm_ivf_topk",
+    "x_llm_ivf_topk",
     oracle=None,  # centroid assignment depends on float argmax boundaries;
     # recall vs llm_cosine_topk is asserted in tests instead
     # (test_operators.py::test_ivf_recall_vs_bruteforce).
@@ -506,7 +506,7 @@ def llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nprobe-cell probing, exact cosine inside cells.",
     tags=("llm", "similarity", "ann", "ivf"),
 )
-def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -586,7 +586,7 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "llm_multimodal_features",
+    "x_llm_multimodal_features",
     oracle=None,  # byte-level histograms aren't expressible over DuckDB's
     # string functions (ord() is codepoint, not byte); determinism +
     # composition with cosine_topk asserted in tests instead.
@@ -594,6 +594,6 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composed into the similarity operators.",
     tags=("llm", "multimodal", "pandas-udf", "similarity"),
 )
-def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.extract_features(docs)

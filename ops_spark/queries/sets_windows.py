@@ -345,9 +345,9 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming variant: ops_spark.streaming session_window.
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts may surface as TIMESTAMP_NTZ (native parquet-nanos read) or
-    # TIMESTAMP (nanosAsLong normalization); NTZ→BIGINT is an illegal cast,
-    # so hop through TIMESTAMP — identity under the UTC session timezone.
+    # load_table normalizes events.ts to TIMESTAMP (LTZ), but keep the
+    # defensive hop: if a caller hands raw-parquet NTZ, NTZ→BIGINT is an
+    # illegal cast while NTZ→TIMESTAMP→BIGINT is identity under UTC.
     ts_s = F.col("ts").cast("timestamp").cast("long")
     gap = ts_s - F.lag(ts_s).over(w)
     marked = ev.withColumn(

@@ -28,7 +28,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @register(
-    "q1_pricing_summary",
+    "Q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -46,7 +46,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     description="TPC-H Q1 pricing summary: scan+filter+8-agg hash aggregate.",
     tags=("tpch", "aggregate", "flagship"),
 )
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter reaches the parquet scan as PushedFilters; the single groupBy
     # plans as partial→final HashAggregate with map-side combine, so the
     # shuffle moves ~(3×2 groups × 8 aggs) rows per task, not 600M rows at
@@ -70,7 +70,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q3_shipping_priority",
+    "Q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
@@ -88,7 +88,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q3: 3-way join + agg + deterministic top-k.",
     tags=("tpch", "join", "topk"),
 )
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer (filtered to 1 segment) is small relative to lineitem at any
     # scale factor → broadcast it; orders⋈lineitem stays a shuffle join on
     # the natural key. orderBy+limit plans as TakeOrderedAndProject (no
@@ -116,7 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q4_order_priority",
+    "Q04_order_priority",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
@@ -129,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q4: EXISTS → left-semi join + aggregate.",
     tags=("tpch", "join", "semi"),
 )
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXISTS subquery expressed as a left-semi join (the same rewrite the
     # reference optimizer does: RewritePredicateSubquery, Optimizer.scala:175).
     orders = _t(spark, sf_dir, "orders").filter(
@@ -146,7 +146,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q5_local_supplier_volume",
+    "Q05_local_supplier_volume",
     oracle="""
     SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
@@ -161,7 +161,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q5: 6-way join (broadcast dims) + aggregate.",
     tags=("tpch", "join"),
 )
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # region/nation/supplier are tiny at every scale factor → broadcast all
     # three; the only shuffles left are lineitem⋈orders and orders⋈customer
     # on their natural keys.
@@ -193,7 +193,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q6_forecast_revenue",
+    "Q06_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
            count(*) AS n_items
@@ -206,7 +206,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q6: pure scan+filter+global agg (pushdown showcase).",
     tags=("tpch", "scan", "aggregate"),
 )
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All four predicates push down to the parquet scan; the aggregate is a
     # single partial→final reduction with no grouping keys — the cheapest
     # possible shape at 100 TB (scan-bound, shuffle of 1 row per task).
@@ -227,7 +227,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q10_returned_items",
+    "Q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
            round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
@@ -246,7 +246,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q10: join + group + top-20 customers by returned revenue.",
     tags=("tpch", "join", "topk"),
 )
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -271,7 +271,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_customer_order_distribution",
+    "Q13_customer_order_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist
     FROM (
@@ -285,7 +285,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q13: left outer join + double aggregation.",
     tags=("tpch", "join", "outer"),
 )
-def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Left outer join preserving customers with zero orders; count(col)
     # skips nulls so they land in the c_count=0 bucket — the same null
     # semantics the reference's Count aggregate implements
@@ -301,7 +301,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "q14_promo_revenue",
+    "Q14_promo_revenue",
     oracle="""
     SELECT round(
              100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -315,7 +315,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     description="TPC-H Q14: conditional aggregation over a broadcast join.",
     tags=("tpch", "join", "conditional"),
 )
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
@@ -332,7 +332,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q18_large_volume_customer",
+    "Q18_large_volume_customer",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            round(sum(l_quantity), 2) AS total_qty
@@ -347,7 +347,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q18: IN-subquery (semi join on aggregated key) + agg.",
     tags=("tpch", "join", "semi", "subquery"),
 )
-def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -367,7 +367,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q22_dormant_customers",
+    "Q22_dormant_customers",
     oracle="""
     SELECT n_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -380,7 +380,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q22: scalar subquery + NOT EXISTS → anti join.",
     tags=("tpch", "join", "anti", "subquery"),
 )
-def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT EXISTS → left-anti join (reference rewrite: Optimizer.scala:149-150,
     # RewritePredicateSubquery). The scalar subquery is a 1-row aggregate —
     # computed as its own job and folded in as a literal via crossJoin

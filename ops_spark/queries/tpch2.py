@@ -22,7 +22,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @register(
-    "q7_volume_shipping",
+    "Q07_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year, round(sum(volume), 6) AS revenue
     FROM (
@@ -43,7 +43,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     description="TPC-H Q7: bilateral trade volume (nation dim joined twice).",
     tags=("tpch", "join"),
 )
-def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
@@ -74,7 +74,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8_market_share",
+    "Q08_market_share",
     oracle="""
     SELECT o_year,
            round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
@@ -97,7 +97,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q8: national market share within a region (conditional ratio).",
     tags=("tpch", "join", "conditional"),
 )
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
@@ -130,7 +130,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q9_product_profit",
+    "Q09_product_profit",
     oracle="""
     SELECT nation, o_year, round(sum(amount), 6) AS sum_profit
     FROM (
@@ -147,7 +147,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q9: product-type profit (cost via retailprice — no partsupp).",
     tags=("tpch", "join"),
 )
-def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ps_supplycost does not exist in the fixtures; cost is approximated as
     # 60% of retail price — same query shape (5-way join + expression agg).
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
@@ -168,7 +168,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q12_late_shipment",
+    "Q12_late_shipment",
     oracle="""
     SELECT o_orderpriority, count(*) AS late_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -179,7 +179,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q12 adapted: late shipments per priority (no shipmode col).",
     tags=("tpch", "join", "datetime"),
 )
-def q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
@@ -193,7 +193,7 @@ def q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q15_top_supplier",
+    "Q15_top_supplier",
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
@@ -210,7 +210,7 @@ def q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q15: top supplier via view + scalar-max subquery.",
     tags=("tpch", "subquery"),
 )
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -232,7 +232,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q16_supplier_part_counts",
+    "Q16_supplier_part_counts",
     oracle="""
     SELECT p_brand, p_type, p_size,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
@@ -243,7 +243,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q16 adapted: distinct suppliers per part class (via lineitem).",
     tags=("tpch", "distinct"),
 )
-def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").like("PROMO%"))
@@ -258,7 +258,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q17_small_quantity_revenue",
+    "Q17_small_quantity_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -269,7 +269,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q17: correlated per-part average (decorrelated to join).",
     tags=("tpch", "subquery", "correlated"),
 )
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The correlated subquery decorrelates to an aggregate + join — written
     # directly in that shape (exactly what Catalyst's rewrite produces).
     li = _t(spark, sf_dir, "lineitem")
@@ -286,7 +286,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q19_discounted_revenue",
+    "Q19_discounted_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
            count(*) AS n
@@ -301,7 +301,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q19: disjunctive (DNF) join predicates.",
     tags=("tpch", "join", "predicate"),
 )
-def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -331,7 +331,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q20_promo_suppliers",
+    "Q20_promo_suppliers",
     oracle="""
     SELECT s_suppkey, s_name
     FROM supplier
@@ -347,7 +347,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q20 adapted: nested IN chains + HAVING (no partsupp).",
     tags=("tpch", "subquery", "semi"),
 )
-def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_parts = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey"
     )

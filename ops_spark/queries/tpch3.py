@@ -52,7 +52,7 @@ _SUPPLY_SQL = """
 
 
 @register(
-    "q2_min_cost_supplier",
+    "Q02_min_cost_supplier",
     oracle=f"""
     WITH supply AS ({_SUPPLY_SQL}),
     regional AS (
@@ -75,7 +75,7 @@ _SUPPLY_SQL = """
     "(correlated min via window).",
     tags=("tpch", "join", "subquery", "window"),
 )
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "ECONOMY")
     )
@@ -111,7 +111,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q11_important_parts",
+    "Q11_important_parts",
     oracle="""
     WITH value AS (
       SELECT l_partkey AS partkey,
@@ -129,7 +129,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(scalar subquery in HAVING).",
     tags=("tpch", "agg", "subquery"),
 )
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     value = (
         _t(spark, sf_dir, "lineitem")
@@ -155,7 +155,7 @@ _LATE_DAYS = 60
 
 
 @register(
-    "q21_waiting_suppliers",
+    "Q21_waiting_suppliers",
     oracle=f"""
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier, lineitem l1, orders o, nation
@@ -176,7 +176,7 @@ _LATE_DAYS = 60
     "waiting (semi + anti self-joins).",
     tags=("tpch", "join", "semi", "anti"),
 )
-def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def Q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")

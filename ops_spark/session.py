@@ -57,10 +57,6 @@ BASE_CONFS: dict[str, str] = {
     # Keep ANSI off: the reference (Spark 2.4.3) pre-dates ANSI mode and the
     # DuckDB-oracle fixtures assume permissive SQL semantics.
     "spark.sql.ansi.enabled": "false",
-    # The fixture events table stores TIMESTAMP(NANOS) which Spark refuses
-    # by default; read as long and convert at the scan layer
-    # (ops_spark.io.tables normalizes nanos → timestamp).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -89,14 +85,31 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     session. The driver harness builds its OWN SparkSession and calls our
     query builders with it; everything in BASE_CONFS is runtime-settable
     SQLConf, so applying it here makes query results independent of who
-    constructed the session (UTC timestamps, nanos-as-long parquet reads,
-    non-ANSI semantics, Arrow transfer)."""
-    for k, v in BASE_CONFS.items():
-        try:
-            if spark.conf.get(k, None) != v:
-                spark.conf.set(k, v)
-        except Exception:  # noqa: BLE001 — a locked conf must not kill the read
-            pass
+    constructed the session (UTC timestamps, non-ANSI semantics, Arrow
+    transfer).
+
+    Also applies the shuffle-policy layer (ADAPTIVE_CONFS) and right-sizes
+    ``spark.sql.shuffle.partitions`` when it still holds the stock default
+    of 200: on a small host 200-task shuffles are pure scheduler overhead,
+    and on a real cluster the operator should size to volume
+    (plans/shuffle_policy.advise_partitions), not to a constant. Sessions
+    that already tuned the value (ours via get_session, or any user's) are
+    left untouched."""
+    for conf in (BASE_CONFS, ADAPTIVE_CONFS):
+        for k, v in conf.items():
+            try:
+                if spark.conf.get(k, None) != v:
+                    spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — locked conf must not kill reads
+                pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", None) == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(max(4, min(cores, 64)))
+            )
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def get_session(

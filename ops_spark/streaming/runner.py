@@ -44,10 +44,13 @@ def _staged_dir(sf_dir: str, table: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a streaming DataFrame (file source).
 
-    ts is stored as parquet TIMESTAMP(NANOS); Spark 4 reads it natively as
-    TIMESTAMP_NTZ (micro-truncated), matching the batch loader's view
-    (ops_spark.io.tables). Declaring it bigint instead would surface raw
-    micros and silently mis-scale any manual conversion.
+    ts is stored as parquet TIMESTAMP(MICROS) without timezone, which Spark
+    reads as TIMESTAMP_NTZ; the cast below normalizes to TIMESTAMP (LTZ)
+    because watermarks reject NTZ. Batch (ops_spark.io.tables.load_table)
+    applies the same cast, so batch and streaming agree in type and — with
+    the UTC session timezone pinned by ensure_runtime_confs — in value.
+    (A true TIMESTAMP(NANOS) fixture would need nanosAsLong=true plus a
+    bigint schema and manual DIV-1000 conversion; not supported here.)
     """
     from ops_spark.session import ensure_runtime_confs
 

@@ -23,7 +23,7 @@ def _plan(spark, sf_dir, name):
 def test_q1_pushdown_and_partial_agg(spark, sf_dir):
     from ops_spark.plans import plan_summary
 
-    df = q.get_query("q1_pricing_summary").builder(spark, sf_dir)
+    df = q.get_query("Q01_pricing_summary").builder(spark, sf_dir)
     df.collect()  # finalize THIS df's AQE plan (count() builds a new one)
     p = plan_summary(df)
     assert p.has_pushed_filters, "shipdate filter must reach the parquet scan"
@@ -32,28 +32,28 @@ def test_q1_pushdown_and_partial_agg(spark, sf_dir):
 
 
 def test_q1_prunes_columns(spark, sf_dir):
-    p = _plan(spark, sf_dir, "q1_pricing_summary")
+    p = _plan(spark, sf_dir, "Q01_pricing_summary")
     # 7 of 11 lineitem columns needed; the scan schema must not include
     # unused ones like l_partkey/l_suppkey.
     assert p.read_schemas and "l_partkey" not in p.read_schemas[0]
 
 
 def test_q3_broadcasts_customer(spark, sf_dir):
-    p = _plan(spark, sf_dir, "q3_shipping_priority")
+    p = _plan(spark, sf_dir, "Q03_shipping_priority")
     assert p.n_broadcast_hash_joins >= 1
     assert p.n_cartesian == 0
     assert p.has_take_ordered, "top-k must plan TakeOrderedAndProject, not global sort"
 
 
 def test_q5_no_cartesian_many_broadcasts(spark, sf_dir):
-    p = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    p = _plan(spark, sf_dir, "Q05_local_supplier_volume")
     assert p.n_cartesian == 0
     assert p.n_broadcast_hash_joins >= 2, "dims must broadcast"
 
 
 def test_semi_anti_join_planned(spark, sf_dir):
-    assert _plan(spark, sf_dir, "q4_order_priority").total_joins() >= 1
-    assert _plan(spark, sf_dir, "q22_dormant_customers").total_joins() >= 2
+    assert _plan(spark, sf_dir, "Q04_order_priority").total_joins() >= 1
+    assert _plan(spark, sf_dir, "Q22_dormant_customers").total_joins() >= 2
 
 
 def test_asof_join_single_shuffle_no_quadratic(spark, sf_dir):
@@ -64,7 +64,7 @@ def test_asof_join_single_shuffle_no_quadratic(spark, sf_dir):
 
 
 def test_ann_topk_no_cartesian(spark, sf_dir):
-    p = _plan(spark, sf_dir, "llm_ann_lsh_topk")
+    p = _plan(spark, sf_dir, "x_llm_ann_lsh_topk")
     assert p.n_cartesian == 0 and p.n_nested_loop_joins == 0, (
         "LSH ANN must be an equi join on bucket id"
     )
@@ -101,7 +101,7 @@ def test_shuffle_policy_advisor():
 def test_shuffle_metrics_capture(spark, sf_dir):
     from ops_spark.plans import stage_shuffle_metrics
 
-    q.get_query("q1_pricing_summary").builder(spark, sf_dir).count()
+    q.get_query("Q01_pricing_summary").builder(spark, sf_dir).count()
     stages = stage_shuffle_metrics(spark)
     assert stages, "status store must yield stage metrics"
     assert any(s["shuffle_write_bytes"] > 0 for s in stages), (
@@ -122,14 +122,14 @@ def test_policy_apply_roundtrip(spark):
 #   join_cross          — the cross-join operator itself
 #   llm_cosine_topk     — documented brute-force ANN baseline (broadcast cross)
 #   llm_embedding_dedup — exact-dedup oracle path (broadcast cross)
-#   q11_important_parts — 1-row global-threshold broadcast (scalar-subquery shape)
-#   q22_dormant_customers — 1-row avg-acctbal broadcast (scalar-subquery shape)
+#   Q11_important_parts — 1-row global-threshold broadcast (scalar-subquery shape)
+#   Q22_dormant_customers — 1-row avg-acctbal broadcast (scalar-subquery shape)
 _ALL_PAIRS_OK = {
     "join_cross",
     "llm_cosine_topk",
     "llm_embedding_dedup",
-    "q11_important_parts",
-    "q22_dormant_customers",
+    "Q11_important_parts",
+    "Q22_dormant_customers",
 }
 
 
