@@ -36,6 +36,10 @@ def main() -> None:
     names = sorted(q.all_queries())
     # JVM/codegen warm-up on the flagship so q1 doesn't absorb session init.
     q.get_query("Q01_pricing_summary").builder(spark, sf_dir).count()
+    # Python-worker-pool warm-up (pyspark.daemon fork pool): the first
+    # pickled-RDD / pandas-UDF stage otherwise absorbs several seconds of
+    # pool startup that belongs to the session, not the measured query.
+    spark.sparkContext.parallelize(range(32), 32).map(lambda x: x).count()
     # Python-runner warm-up: the Python Data Source planner/worker pool is
     # separate infra from the JVM; spin it up with a 10-row read so the
     # first ops_events query isn't charged ~5 s of process startup.

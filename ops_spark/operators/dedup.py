@@ -569,30 +569,43 @@ def embedding_dedup(
             F.col("__n").alias("__nb"),
             F.explode(F.array(*build_keys)).alias("__key"),
         )
-        # Candidate scoring is the hot loop (~|df|²·n_tables·(nbits+1)/2^nbits
-        # pairs): one Arrow-batched numpy row-wise dot per batch instead of an
-        # interpreted 64-element fold per pair. numpy's summation order is not
-        # the oracle's left fold, which is fine HERE because this path is
-        # recall-tested (threshold 0.98 vs planted sims ≈ 0.9999 — no pair
-        # sits near the float boundary); the exact=True oracle path above
-        # keeps the bit-exact fold.
-        @F.pandas_udf("boolean")
-        def _pair_hit(va: pd.Series, vb: pd.Series, nanb: pd.Series) -> pd.Series:
-            if len(va) == 0:
-                return pd.Series([], dtype=bool)
-            A = np.vstack(va.to_numpy()).astype(np.float64)
-            B = np.vstack(vb.to_numpy()).astype(np.float64)
-            dots = np.einsum("ij,ij->i", A, B)
-            return pd.Series(dots >= threshold * nanb.to_numpy())
+
+        # Candidate scoring is per-BUCKET block matmul via cogrouped
+        # applyInPandas, not a row-level pair join: an equi-join would
+        # materialize ~|df|²·n_tables·(nbits+1)/2^nbits candidate ROWS each
+        # carrying two dim-double vectors (at 5k vectors that is already
+        # ~3.5M × 1 KB through the shuffle); cogrouping shuffles each
+        # exploded SIDE once (|df|·keys·(dim·8+16) bytes) and the quadratic
+        # work happens inside numpy, one A·Bᵀ GEMM per bucket, chunked so a
+        # skewed bucket peaks at CHUNK×|B| doubles of scratch. numpy's
+        # summation order is not the oracle's left fold, which is fine HERE
+        # because this path is recall-tested (threshold 0.98 vs planted
+        # sims ≈ 0.9999 — no pair sits near the float boundary); the
+        # exact=True oracle path above keeps the bit-exact fold.
+        id_type = dict(df.dtypes)[id_col]
+
+        def _bucket_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty or right.empty:
+                return pd.DataFrame({"id_b": pd.Series([], dtype="int64")})
+            A = np.vstack(left["__va"].to_numpy()).astype(np.float64)
+            B = np.vstack(right["__vb"].to_numpy()).astype(np.float64)
+            ia = left["id_a"].to_numpy()
+            ib = right["id_b"].to_numpy()
+            lim = threshold * np.outer(left["__na"].to_numpy(),
+                                       right["__nb"].to_numpy())
+            out: list[np.ndarray] = []
+            CHUNK = 4096
+            for s in range(0, len(A), CHUNK):
+                e = s + CHUNK
+                hit = (A[s:e] @ B.T >= lim[s:e]) & (ia[s:e, None] < ib[None, :])
+                out.append(np.unique(ib[np.nonzero(hit)[1]]))
+            ids = np.unique(np.concatenate(out)) if out else np.array([], dtype="int64")
+            return pd.DataFrame({"id_b": ids})
 
         dups = (
-            a.join(b, "__key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(
-                _pair_hit(
-                    F.col("__va"), F.col("__vb"), F.col("__na") * F.col("__nb")
-                )
-            )
+            a.groupBy("__key")
+            .cogroup(b.groupBy("__key"))
+            .applyInPandas(_bucket_hits, f"id_b {id_type}")
             .select(F.col("id_b").alias(id_col))
         )
     return df.join(dups.distinct(), id_col, "left_anti")

@@ -67,7 +67,7 @@ def run_bounded(
     stream_df: DataFrame,
     output_mode: str = "append",
     name: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Execute a streaming DataFrame to exhaustion; return the memory-sink
     table. availableNow processes everything currently in the source then
@@ -77,8 +77,8 @@ def run_bounded(
     state-store instances; AQE never touches streaming plans, and the
     count is frozen into the checkpoint at first start). It is THE
     streaming scale knob: each state store has fixed per-batch open/commit
-    cost, so oversizing dominates wall time on bounded fixtures (32 → 8
-    partitions is ~4× on the fixture joins), while undersizing caps
+    cost, so oversizing dominates wall time on bounded fixtures (32 → 4
+    partitions is ~6× on the fixture joins), while undersizing caps
     parallelism and state volume per store on a real cluster — size it to
     expected state rows / target rows-per-store, not to the batch-side
     shuffle default. None = leave the session setting untouched.
