@@ -136,6 +136,38 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
+def rebalance(df, *cols):
+    """AQE-backed output rebalancing (`REBALANCE` hint): splits oversized
+    partitions AND coalesces undersized ones at runtime using real map
+    statistics — the closest stock-Spark analogue to what the reference
+    built per-node pre-merge for (evenly sized reduce-side reads,
+    OpsTransferer.java:149-203), but driven by true sizes instead of the
+    fork's fabricated MapStatus (OpsPreShuffleWriter.java:290-295).
+    Unlike repartition(n), there is no fixed n to mis-guess: use it before
+    writes and after skew-producing joins."""
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    return df.hint("rebalance", *[F.col(c) for c in cols])
+
+
+def observe_rows(df, name: str = "ops_metrics", **metrics):
+    """Attach named metrics (collected at zero extra passes during the
+    next action) to a DataFrame: the query-level mirror of the
+    reference's task-phase accumulators (TaskMetrics.scala:58-65 — theirs
+    count shuffle phases, ours count/aggregate rows flowing through a
+    plan point). Returns (df, Observation); read observation.get after an
+    action materializes df.
+
+    Usage:
+        df, obs = observe_rows(df, rows=F.count(F.lit(1)))
+        df.write...; obs.get["rows"]
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[expr.alias(k) for k, expr in metrics.items()]), obs
+
+
 def stage_shuffle_metrics(spark: SparkSession) -> list[dict]:
     """Per-stage shuffle/IO/time metrics from the app status store.
 

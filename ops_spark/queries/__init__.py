@@ -9,6 +9,7 @@ def load_all() -> None:
     from ops_spark.queries import (  # noqa: F401
         aggregates,
         functions_scalar,
+        graph,
         joins,
         llm,
         sets_windows,

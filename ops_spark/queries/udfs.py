@@ -408,3 +408,40 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents).cast("double") / 100, 2).alias("total_amount"),
         )
     )
+
+
+@register(
+    "source_jdbc_derby",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer WHERE c_custkey <= 500 AND c_acctbal > 0
+    GROUP BY c_nationkey
+    """,
+    description="JDBC source (embedded Derby): partitioned stride read "
+    "(JDBCRelation.scala:230 semantics) + WHERE-clause pushdown into the "
+    "database; roundtrips a customer slice through a real JDBC table.",
+    tags=("source", "jdbc"),
+)
+def source_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.io.jdbc import derby_url, read_jdbc_partitioned, write_jdbc
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    url = derby_url(f"fixtures_{abs(hash(sf_dir)) % 10**8}")
+    write_jdbc(cust, url, "customer_slice")
+    back = read_jdbc_partitioned(
+        spark, url, "customer_slice", "c_custkey", 1, 501, num_partitions=4
+    )
+    # c_acctbal > 0 compiles into each stride's WHERE clause (JDBC filter
+    # pushdown — the server prunes, not Spark).
+    return (
+        back.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -109,6 +109,32 @@ def test_shuffle_metrics_capture(spark, sf_dir):
     )
 
 
+def test_rebalance_hint_plans_aqe_rebalance(spark, sf_dir):
+    from ops_spark.io import load_table
+    from ops_spark.plans import rebalance
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = rebalance(li.select("l_orderkey", "l_quantity"), "l_orderkey")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan or "rebalance" in plan.lower()
+    assert df.count() == li.count()  # rebalancing never changes content
+
+
+def test_observe_metrics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.plans import observe_rows
+
+    li = load_table(spark, sf_dir, "lineitem").filter("l_quantity > 0")
+    df, obs = observe_rows(
+        li, rows=F.count(F.lit(1)), qty=F.round(F.sum("l_quantity"), 2)
+    )
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n and got["qty"] > 0
+
+
 def test_policy_apply_roundtrip(spark):
     from ops_spark.plans import ShufflePolicy
 

@@ -139,16 +139,26 @@ def test_foreach_batch_sink(spark, sf_dir):
     ).count()
 
 
-def test_jdbc_stub(spark):
-    # JDBC source (reference JDBCRelation.scala:230): no driver jar in this
-    # container — assert the clean failure mode so the gap is explicit.
-    with pytest.raises(Exception, match="(?i)driver|class|url"):
-        (
-            spark.read.format("jdbc")
-            .option("url", "jdbc:postgresql://localhost/none")
-            .option("dbtable", "t")
-            .load()
-        )
+def test_jdbc_derby_partitioned_pushdown(spark, sf_dir):
+    # JDBC source (reference JDBCRelation.scala:230) against the embedded
+    # Derby engine bundled with Spark: stride-partitioned read + filter
+    # pushdown compiled into the JDBC WHERE clause.
+    from ops_spark.io import load_table
+    from ops_spark.io.jdbc import derby_url, read_jdbc_partitioned, write_jdbc
+
+    nation = load_table(spark, sf_dir, "nation")
+    url = derby_url("test_roundtrip")
+    write_jdbc(nation, url, "nation_t")
+    back = read_jdbc_partitioned(spark, url, "nation_t", "n_nationkey", 0, 25, 4)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == nation.count()
+    plan = (
+        back.filter("n_regionkey = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "EqualTo(n_regionkey,1)" in plan
 
 
 def test_continuous_trigger_smoke(spark):
