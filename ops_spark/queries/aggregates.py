@@ -305,3 +305,30 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .withColumnRenamed("l_returnflag", "l_returnflag")
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(CAST(l_linenumber AS BIGINT)) AS b_and,
+           bit_or(CAST(l_linenumber AS BIGINT))  AS b_or,
+           bit_xor(CAST(l_linenumber AS BIGINT)) AS b_xor,
+           CAST(sum(l_linenumber << 2) AS BIGINT) AS shifted_sum
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY l_returnflag
+    """,
+    description="Bitwise aggregate functions (bit_and/bit_or/bit_xor, "
+    "registry kin FunctionRegistry bitwiseExpressions) + shiftleft "
+    "scalar — exercises the long-typed mutable aggregation buffer path.",
+    tags=("aggregate", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(ln).alias("b_and"),
+        F.bit_or(ln).alias("b_or"),
+        F.bit_xor(ln).alias("b_xor"),
+        F.sum(F.shiftleft(F.col("l_linenumber"), 2)).cast("bigint").alias("shifted_sum"),
+    )

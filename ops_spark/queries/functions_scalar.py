@@ -649,3 +649,64 @@ def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_tuple("props", "k").alias("k_str"),
         F.schema_of_json(F.lit('{"k": 69}')).alias("inferred_schema"),
     )
+
+
+@register(
+    "fn_math_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity), 6)              AS sin_q,
+           round(cos(l_discount), 6)              AS cos_d,
+           round(atan2(l_quantity, l_linenumber), 6) AS at2,
+           round(degrees(l_discount), 6)          AS deg_d,
+           round(radians(l_quantity), 6)          AS rad_q,
+           to_hex(l_linenumber)                   AS hex_ln,
+           CAST(factorial(l_linenumber) AS BIGINT) AS fact_ln
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    description="Trigonometric / transcendental surface (mathExpressions"
+    ".scala registry :217-271): sin/cos/atan2/degrees/radians plus "
+    "hex and factorial — all whole-stage-codegen JVM expressions.",
+    tags=("function", "math"),
+)
+def fn_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_quantity"), 6).alias("sin_q"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_linenumber")), 6).alias("at2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg_d"),
+        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
+        F.hex(F.col("l_linenumber")).alias("hex_ln"),
+        F.factorial(F.col("l_linenumber")).alias("fact_ln"),
+    )
+
+
+@register(
+    "fn_datetime_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)  AS dow,
+           CAST(weekofyear(o_orderdate) AS INT)     AS woy,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+           CAST(make_date(2024, 2, 29) AS VARCHAR)  AS leap_day
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    description="Datetime field extraction + month arithmetic "
+    "(datetimeExpressions.scala:1584 kin): dayofweek/weekofyear/"
+    "add_months (end-of-month clamping) / make_date. Spark dayofweek is "
+    "1=Sunday (oracle shifts DuckDB's 0=Sunday dow); DATE outputs are "
+    "stringified on both sides (pandas type drift, see fn_datetime).",
+    tags=("function", "datetime"),
+)
+def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
+        F.make_date(F.lit(2024), F.lit(2), F.lit(29)).cast("string").alias("leap_day"),
+    )
