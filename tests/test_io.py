@@ -366,3 +366,92 @@ print('BY_VALUE_OK')
         env={k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"},
     )
     assert "BY_VALUE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_writer_v2_and_catalog(spark, sf_dir):
+    # DataFrameWriterV2 (df.writeTo — the modern DataFrameWriter.scala:45
+    # descendant) + catalog introspection + CTAS through the session
+    # catalog. createOrReplace is the idempotent table-maintenance form.
+    from ops_spark.io import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    # the V1 session catalog supports CREATE TAS but not REPLACE TAS;
+    # drop-then-create is the portable idempotent form there.
+    spark.sql("DROP TABLE IF EXISTS v2_nation")
+    nation.writeTo("v2_nation").using("parquet").create()
+    assert spark.table("v2_nation").count() == nation.count()
+    assert any(t.name == "v2_nation" for t in spark.catalog.listTables())
+    cols = {c.name for c in spark.catalog.listColumns("v2_nation")}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+    # CTAS on top of the V2 table
+    spark.sql("DROP TABLE IF EXISTS v2_nation_small")
+    spark.sql(
+        "CREATE TABLE v2_nation_small USING parquet AS "
+        "SELECT * FROM v2_nation WHERE n_regionkey = 1"
+    )
+    got = spark.table("v2_nation_small").count()
+    want = nation.filter("n_regionkey = 1").count()
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS v2_nation_small")
+    spark.sql("DROP TABLE IF EXISTS v2_nation")
+
+
+def test_sort_spills_under_memory_pressure():
+    # SURVEY §7 spill posture: a sort whose working set exceeds execution
+    # memory must spill and COMPLETE, not OOM (reference
+    # UnsafeExternalSorter.java:48 / SortExec.scala:37). Runs in a
+    # subprocess so the tiny heap cannot poison the shared test session.
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import json
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("spill_probe")
+            .config("spark.driver.memory", "512m")
+            .config("spark.sql.shuffle.partitions", "1")
+            .config("spark.ui.enabled", "false")
+            # starve execution memory and funnel the global sort into ONE
+            # task (1 range partition) so its working set (~90 MB of unsafe
+            # rows) exceeds the ~25 MB execution pool and must spill
+            .config("spark.memory.fraction", "0.1")
+            .config("spark.sql.adaptive.enabled", "true")
+            .getOrCreate()
+        )
+        import tempfile
+        df = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        # count() would let Catalyst eliminate the sort; writing preserves it
+        out_dir = tempfile.mkdtemp(prefix="spill_sort_")
+        (df.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+           .write.mode("overwrite").parquet(out_dir))
+        n = spark.read.parquet(out_dir).count()
+        store = spark._jsparkSession.sparkContext().statusStore()
+        spilled = 0
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            spilled += s.diskBytesSpilled() + s.memoryBytesSpilled()
+        print(json.dumps({"rows": n, "spilled": spilled}))
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    )
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["rows"] == 600572 or result["rows"] > 500000
+    assert result["spilled"] > 0, "sort under 650m heap must have spilled"
