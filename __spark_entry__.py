@@ -7,6 +7,11 @@ value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in the ``ops_spark`` package; this module adapts its
 query registry to the driver contract.
+
+Naming: ``Q01``-``Q22`` is the headline TPC-H battery; an ``x_`` prefix
+marks rows-only queries (not ANSI-SQL-expressible — sketches, LSH/IVF
+approximations, stubbed multimodal decode) which intentionally have no
+``oracle_sql()`` entry and are recall/property-tested in ``tests/``.
 """
 
 from __future__ import annotations

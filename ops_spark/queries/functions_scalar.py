@@ -710,3 +710,32 @@ def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
         F.make_date(F.lit(2024), F.lit(2), F.lit(29)).cast("string").alias("leap_day"),
     )
+
+
+@register(
+    "fn_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS dec_sum,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS dec_min,
+           CAST(max(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_tax AS DECIMAL(4,2))) AS VARCHAR) AS dec_prod
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag
+    """,
+    description="Exact DECIMAL arithmetic (DecimalType.scala:43 kin): "
+    "fixed-point sum/min and precision-propagating multiply — no float "
+    "drift, so the oracle compares digit-for-digit as strings (decimal "
+    "render differs by engine; value is what is pinned).",
+    tags=("function", "decimal", "types"),
+)
+def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("dec_sum"),
+        F.min(price).cast("string").alias("dec_min"),
+        F.max(disc * tax).cast("string").alias("dec_prod"),
+    )

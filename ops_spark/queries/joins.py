@@ -187,17 +187,13 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — absent in the reference (SURVEY §2.3: non-equi falls to
-    BNLJ). Implemented scale-first as union + partitioned window instead of
-    a per-key BNLJ:
-
-    1. tag both sides, union on (key, time),
-    2. one window pass per (key) ordered by time carries the most recent
-       right-side row forward (last non-null),
-    3. keep left rows.
-
-    Cost at 100 TB: ONE shuffle of L+R on the join key (same as any equi
-    join), no quadratic blowup, AQE-skew-splittable.
+    BNLJ). operators/asof.py implements it scale-first (union + one
+    partitioned window pass — one shuffle of L+R on the by-key, no
+    quadratic stage); semantics additionally pinned against
+    pandas.merge_asof in tests/test_properties.py.
     """
+    from ops_spark.operators.asof import asof_join
+
     ev = (
         _t(spark, sf_dir, "events")
         .filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 200))
@@ -217,30 +213,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    left = ev.withColumn("is_left", F.lit(1)).withColumn(
-        "o_orderkey", F.lit(None).cast("long")
-    )
-    right = orders.select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_left"),
-        "o_orderkey",
-    )
-    unioned = left.select("event_id", "user_id", "ts", "is_left", "o_orderkey").union(
-        right
-    )
-    # Right rows sort before left rows at identical ts (is_left ASC) so an
-    # event at exactly the order timestamp sees that order (>= semantics).
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        unioned.withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .filter(F.col("is_left") == 1)
-        .select("event_id", "user_id", "ts", "last_orderkey")
+    return asof_join(ev, orders, on="ts", by="user_id").select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey")
     )
 
 

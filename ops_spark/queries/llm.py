@@ -133,14 +133,18 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_SQL_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+    ), ex AS (  -- inverted shingle index: prefilter to pairs sharing >=1
+      SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT c.id_a, c.id_b,
            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
              AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s)) > 0
-      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
     """,
     description="Exact n-gram Jaccard near-dup pairs via inverted shingle index.",

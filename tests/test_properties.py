@@ -1,0 +1,111 @@
+"""Property-based tests over randomized data — the PySpark mirror of the
+reference's randomized-expression methodology (reference:
+sql/catalyst/src/test/.../RandomDataGenerator.scala, SURVEY §5.5): instead
+of golden outputs, each property pins an operator's semantics against an
+independent in-Python model on hypothesis-generated inputs.
+
+Kept deliberately small-batch (Spark jobs per example are expensive):
+each property draws ONE composite example with many rows, not many tiny
+examples — same coverage, two orders of magnitude fewer Spark jobs.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_ROWS)
+def test_running_sum_matches_accumulate(spark, rows):
+    # WindowExec running frame (reference WindowFunctionFrame growing
+    # frame) == itertools.accumulate per key on the same ordered list.
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "idx int, k int, v int"
+    )
+    w = W.partitionBy("k").orderBy("idx")
+    got = {
+        (r.idx): r.rs
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    model: dict[int, int] = {}
+    by_key: dict[int, list] = {}
+    for i, (k, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((i, v))
+    for k, items in by_key.items():
+        for (i, _), acc in zip(items, itertools.accumulate(v for _, v in items)):
+            model[i] = acc
+    assert got == model
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+    b=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+)
+def test_set_ops_match_multiset_model(spark, a, b):
+    # Intersect/Except ALL semantics (reference Optimizer.scala:148-150
+    # rewrites) == collections.Counter multiset algebra.
+    from collections import Counter
+
+    df_a = spark.createDataFrame([(x,) for x in a] or [(None,)], "v int").filter(
+        "v is not null"
+    )
+    df_b = spark.createDataFrame([(x,) for x in b] or [(None,)], "v int").filter(
+        "v is not null"
+    )
+    ca, cb = Counter(a), Counter(b)
+    got_i = sorted(r.v for r in df_a.intersectAll(df_b).collect())
+    want_i = sorted((ca & cb).elements())
+    assert got_i == want_i
+    got_e = sorted(r.v for r in df_a.exceptAll(df_b).collect())
+    want_e = sorted((ca - cb).elements())
+    assert got_e == want_e
+    got_d = sorted(r.v for r in df_a.intersect(df_b).collect())
+    assert got_d == sorted(set(a) & set(b))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(st.integers(0, 1000), min_size=1, max_size=50, unique=True),
+    right=st.lists(st.integers(0, 1000), min_size=1, max_size=50, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # Our as-of join composition == pandas.merge_asof (backward) on the
+    # same frames. The reference has no as-of operator (SURVEY §2.3 gap);
+    # this property is its semantic pin.
+    from ops_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([(t,) for t in sorted(left)], "ts bigint")
+    rdf = spark.createDataFrame(
+        [(t, float(t * 2)) for t in sorted(right)], "ts bigint, quote double"
+    )
+    got = {
+        r.ts: r.quote
+        for r in asof_join(ldf, rdf, on="ts").collect()
+    }
+    want_df = pd.merge_asof(
+        pd.DataFrame({"ts": sorted(left)}),
+        pd.DataFrame({"ts": sorted(right), "quote": [float(t * 2) for t in sorted(right)]}),
+        on="ts",
+        direction="backward",
+    )
+    want = {
+        int(r.ts): (None if pd.isna(r.quote) else float(r.quote))
+        for r in want_df.itertuples()
+    }
+    assert got == want
