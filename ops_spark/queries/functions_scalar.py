@@ -739,3 +739,72 @@ def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).cast("string").alias("dec_min"),
         F.max(disc * tax).cast("string").alias("dec_prod"),
     )
+
+
+@register(
+    "fn_string_extra",
+    oracle="""
+    SELECT n_nationkey,
+           repeat(substr(n_name, 1, 2), 3)     AS rep2,
+           ascii(n_name)                        AS first_cp,
+           chr(65 + (n_nationkey % 26))         AS letter,
+           left(n_name, 3)                      AS l3,
+           right(n_name, 3)                     AS r3,
+           printf('%s-%04d', left(n_name, 2), n_nationkey) AS fmt
+    FROM nation
+    """,
+    description="String surface round 2 (stringExpressions.scala:2153 "
+    "kin): repeat/ascii/chr/left/right/format_string.",
+    tags=("function", "string"),
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("rep2"),
+        F.ascii("n_name").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("n_nationkey") % 26)).alias("letter"),
+        F.expr("left(n_name, 3)").alias("l3"),
+        F.expr("right(n_name, 3)").alias("r3"),
+        F.format_string("%s-%04d", F.expr("left(n_name, 2)"), F.col("n_nationkey")).alias("fmt"),
+    )
+
+
+@register(
+    "fn_array_extra",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             [c_nationkey, c_nationkey + 1, c_custkey % 7] AS a,
+             [c_custkey % 7, 99]                           AS b
+      FROM customer WHERE c_custkey <= 300
+    )
+    SELECT c_custkey,
+           list_position(a, c_custkey % 7)                  AS pos,
+           list_sort(list_distinct(list_concat(a, b)))      AS uni,
+           flatten([a, b])                                  AS flat,
+           list_contains(b, 99)                             AS has99
+    FROM t
+    """,
+    description="Array surface round 2 (collectionOperations.scala:3959 "
+    "kin): array_position/array_union/flatten/array_contains. "
+    "array_union is order-nondeterministic across engines, so both sides "
+    "sort it (the VALUE SET is what is pinned).",
+    tags=("function", "array"),
+)
+def fn_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    a = F.array(
+        F.col("c_nationkey").cast("bigint"),
+        (F.col("c_nationkey") + 1).cast("bigint"),
+        (F.col("c_custkey") % 7),
+    )
+    b = F.array((F.col("c_custkey") % 7), F.lit(99).cast("bigint"))
+    t = c.select("c_custkey", a.alias("a"), b.alias("b"))
+    return t.select(
+        "c_custkey",
+        F.array_position("a", F.col("c_custkey") % 7).alias("pos"),
+        F.sort_array(F.array_union("a", "b")).alias("uni"),
+        F.flatten(F.array("a", "b")).alias("flat"),
+        F.array_contains("b", F.lit(99).cast("bigint")).alias("has99"),
+    )

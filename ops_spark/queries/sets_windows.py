@@ -363,3 +363,39 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER w2   AS second_price,
+           first_value(big IGNORE NULLS) OVER w AS first_big,
+           last_value(o_totalprice) OVER w2     AS last_price
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS big
+      FROM orders WHERE o_custkey <= 100
+    )
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    description="Window value functions (windowExpressions.scala:741 kin): "
+    "nth_value over the entire frame, first_value with IGNORE NULLS over a "
+    "running frame, last_value over the entire frame.",
+    tags=("window", "analytic"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    big = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+        F.last("o_totalprice").over(w2).alias("last_price"),
+    )
