@@ -6,11 +6,14 @@ modern descendant of the reference's Python-worker batching
 (reference: python/ExtractPythonUDFs.scala, ArrowEvalPythonExec.scala:69;
 pre-Arrow in 2.4 for mapPartitions).
 
-The actual media decode is STUBBED (image/audio libs are not in this
-container): `decode_image_meta` computes deterministic fake dimensions from
-the byte content, and `decode_image_real` raises NotImplementedError where
-PIL/libav would be called. Everything around the stub — schema contract,
-Arrow batch iteration, partition sizing — is real and tested.
+Decode tiers: PPM (P6) payloads are REALLY decoded — `encode_ppm` builds
+valid binary images (header + RGB planes) and `decode_ppm` parses the
+actual header bytes, no image library needed. Formats that genuinely need
+external codecs (JPEG/PNG/video) remain STUBBED: `fake_dims` computes
+deterministic stand-in dimensions and `decode_image_real` raises
+NotImplementedError where PIL/libav would be called. Everything around
+both tiers — schema contract, Arrow batch iteration, partition sizing —
+is real and tested.
 
 Scale notes: binary payloads dominate row width, so (a) never groupBy a
 binary column, (b) repartition by a key column BEFORE mapInPandas so batch
@@ -42,16 +45,98 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+def with_ppm_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture adapter, real-image tier: pack each row's text bytes into a
+    VALID binary PPM image (encode_ppm) via Arrow-batched mapInPandas, so
+    downstream decode is a genuine parse of image bytes rather than a
+    restatement of a formula."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_ppm(t.encode("utf-8")) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+PPM_META_SCHEMA = "doc_id bigint, width int, height int, maxval int, n_bytes bigint"
+
+
+def extract_ppm_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode over binary image payloads: parses each PPM header
+    (decode_ppm) inside Arrow batches — the un-stubbed twin of
+    extract_image_meta for the one format that needs no codec library."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [decode_ppm(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "maxval": [d[2] for d in dims],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PPM_META_SCHEMA)
+
+
 def fake_dims(n_bytes: int) -> tuple[int, int]:
     """Deterministic stand-in for a decoded image's (width, height)."""
     return (n_bytes % 640 + 1, n_bytes % 480 + 1)
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook — requires an image library not in this container."""
+    """Real decoder hook for compressed formats — requires an image
+    library not in this container (PPM needs none: see decode_ppm)."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv; wire it here and flip use_stub=False"
+        "JPEG/PNG decode requires PIL/opencv; wire it here and flip use_stub=False"
     )
+
+
+def encode_ppm(data: bytes) -> bytes:
+    """Pack arbitrary bytes into a REAL binary PPM (P6) image: near-square
+    RGB raster, zero-padded to w·h·3. Pure integer math (isqrt) so every
+    engine derives identical dimensions from the byte count."""
+    import math
+
+    pixels = max(1, (len(data) + 2) // 3)
+    w = math.isqrt(pixels)
+    if w * w < pixels:
+        w += 1
+    h = (pixels + w - 1) // w
+    raster = data + b"\x00" * (w * h * 3 - len(data))
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int]:
+    """ACTUAL image decode (no external lib — PPM is why it's the fixture
+    format): parse the P6 header byte-for-byte, validate the raster
+    length, return (width, height, maxval)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    if len(parts[3]) != w * h * 3:
+        raise ValueError("raster length mismatch")
+    return w, h, maxval
 
 
 def extract_image_meta(

@@ -601,3 +601,36 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.extract_features(docs)
+
+
+@register(
+    "llm_multimodal_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), p AS (
+      SELECT doc_id, greatest(1, (n + 2) // 3) AS px FROM b
+    ), d AS (
+      SELECT doc_id, CAST(ceil(sqrt(CAST(px AS DOUBLE))) AS BIGINT) AS w, px
+      FROM p
+    ), dd AS (
+      SELECT doc_id, w, (px + w - 1) // w AS h FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           255            AS maxval,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + w * h * 3 AS BIGINT) AS n_bytes
+    FROM dd
+    """,
+    description="REAL image decode tier: text bytes are packed into valid "
+    "binary PPM (P6) images (operators/multimodal.encode_ppm) and the "
+    "decoder parses the actual header bytes per Arrow batch — no codec "
+    "library, no stub. The oracle re-derives the expected raster geometry "
+    "(near-square, isqrt-based) and full file size from the text length.",
+    tags=("llm", "multimodal", "pandas-udf", "decode"),
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.extract_ppm_meta(M.with_ppm_payload(docs))

@@ -280,3 +280,27 @@ def test_multimodal_features_compose_with_similarity(spark, sf_dir):
     q = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
     top1 = {r.query_id: r.vec_id for r in cosine_topk(corpus, q, k=1).collect()}
     assert all(qid == vid for qid, vid in top1.items())
+
+
+def test_ppm_encode_decode_roundtrip():
+    # Real-decode tier: the PPM bytes must be a self-consistent image —
+    # header geometry matches the raster, decode recovers exactly what
+    # encode derived, and non-image bytes are rejected loudly.
+    import math
+
+    import pytest
+
+    from ops_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    for n in (1, 2, 3, 4, 47, 48, 49, 157, 4096):
+        data = bytes(i % 251 for i in range(n))
+        img = encode_ppm(data)
+        w, h, maxval = decode_ppm(img)
+        pixels = max(1, (n + 2) // 3)
+        assert maxval == 255
+        assert w * h >= pixels and (w - 1) * h < pixels or w == 1
+        assert w == math.isqrt(pixels) + (0 if math.isqrt(pixels) ** 2 == pixels else 1)
+        # payload embeds the original bytes at the start of the raster
+        assert img.split(b"\n", 3)[3][:n] == data
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"GIF89a....")
