@@ -634,3 +634,28 @@ def x_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return M.extract_ppm_meta(M.with_ppm_payload(docs))
+
+
+@register(
+    "llm_multimodal_audio",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, (n + (n % 2)) // 2 AS n_samples FROM b
+    )
+    SELECT doc_id,
+           8000                                     AS sample_rate,
+           CAST(n_samples AS BIGINT)                AS n_samples,
+           CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms
+    FROM s
+    """,
+    description="REAL audio decode tier: text bytes packed into valid "
+    "RIFF/WAVE 16-bit PCM mono (operators/multimodal.encode_wav) and the "
+    "decoder parses + validates the actual chunk structure per Arrow "
+    "batch. Oracle re-derives sample count and duration from byte length.",
+    tags=("llm", "multimodal", "pandas-udf", "decode", "audio"),
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.extract_wav_meta(M.with_wav_payload(docs))

@@ -304,3 +304,20 @@ def test_ppm_encode_decode_roundtrip():
         assert img.split(b"\n", 3)[3][:n] == data
     with pytest.raises(ValueError, match="P6"):
         decode_ppm(b"GIF89a....")
+
+
+def test_wav_encode_decode_roundtrip():
+    import pytest
+
+    from ops_spark.operators.multimodal import decode_wav, encode_wav
+
+    for n in (0, 1, 2, 3, 157, 4096):
+        data = bytes(i % 251 for i in range(n))
+        wav = encode_wav(data)
+        rate, n_samples, dur_ms = decode_wav(wav)
+        assert rate == 8000
+        assert n_samples == (n + (n % 2)) // 2
+        assert dur_ms == n_samples * 1000 // 8000
+        assert wav[44 : 44 + n] == data  # samples embed the original bytes
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3....not audio")
