@@ -223,3 +223,16 @@ def test_sort_within_partitions(spark, sf_dir):
     for _, g in part.groupby("pid"):
         keys = list(zip(g.o_orderdate, g.o_orderkey))
         assert keys == sorted(keys)
+
+
+def test_q21_exchange_budget(spark, sf_dir):
+    # SCALE.md claim: the semi+anti chain costs exactly 3 shuffle
+    # exchanges (two SMJ sides on l_orderkey + the final s_name agg);
+    # the EXISTS side broadcasts. A 4th exchange would mean
+    # EnsureRequirements stopped sharing the l_orderkey partitioning.
+    import re
+
+    df = q.get_query("Q21_waiting_suppliers").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
