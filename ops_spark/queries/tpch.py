@@ -33,8 +33,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -50,7 +50,9 @@ def Q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter reaches the parquet scan as PushedFilters; the single groupBy
     # plans as partial→final HashAggregate with map-side combine, so the
     # shuffle moves ~(3×2 groups × 8 aggs) rows per task, not 600M rows at
-    # 100 TB scale.
+    # 100 TB scale. Money sums round to 2 decimals (TPC-H convention):
+    # at 600k+ rows the engines' different summation orders drift by an
+    # ulp (~1e-6 at these magnitudes), which 6-decimal rounding exposes.
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -59,8 +61,8 @@ def Q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
