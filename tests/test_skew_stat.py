@@ -345,3 +345,51 @@ def test_map_in_arrow(spark, sf_dir):
     row = out.agg(F.sum("qty2").alias("s")).head()
     expect = li.agg((F.sum("l_quantity") * 2).alias("s")).head()
     assert abs(row.s - expect.s) < 1e-6
+
+
+def test_socket_source_stream(spark):
+    # Socket streaming source (reference streaming/sources/socket.scala:230)
+    # — built into Spark, no external jar: feed lines over a real TCP
+    # socket, read with format("socket"), drain into a memory sink.
+    import socket
+    import threading
+    import time
+
+    lines = [f"evt-{i}" for i in range(20)]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(3)  # keep the pipe open while micro-batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("socket_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("socket_sink").count() >= len(lines):
+                break
+            time.sleep(0.5)
+        got = {r.value for r in spark.table("socket_sink").collect()}
+        assert set(lines) <= got
+    finally:
+        query.stop()
+        server.close()
