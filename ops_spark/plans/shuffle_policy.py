@@ -62,6 +62,11 @@ class ShufflePolicy:
 
     shuffle_partitions: int = 200
     advisory_partition_bytes: int = 64 * MiB
+    # Scan-side twin of shuffle sizing: how many bytes of input one scan
+    # task reads. Together with executor memory this bounds the working
+    # set BEFORE the first shuffle; at 100 TB too-large means scan-task
+    # OOM/spill, too-small means task-scheduling overhead dominates.
+    scan_partition_bytes: int = 128 * MiB
     skew_factor: int = 5
     skew_threshold_bytes: int = 256 * MiB
     broadcast_threshold_bytes: int = 64 * MiB
@@ -79,6 +84,7 @@ class ShufflePolicy:
 
     def confs(self) -> dict[str, str]:
         out = {
+            "spark.sql.files.maxPartitionBytes": str(self.scan_partition_bytes),
             "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
