@@ -102,3 +102,66 @@ def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey <= 200
         """
     )
+
+
+@register(
+    "sql_pivot",
+    oracle="""
+    SELECT c_nationkey,
+           round(coalesce(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                              THEN c_acctbal END), 0), 2) AS auto_bal,
+           round(coalesce(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                              THEN c_acctbal END), 0), 2) AS bldg_bal,
+           round(coalesce(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                              THEN c_acctbal END), 0), 2) AS mach_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    description="SQL PIVOT clause (parser surface distinct from "
+    "DataFrame groupBy().pivot(); reference ResolvePivot Analyzer.scala"
+    ":527) — oracle is the portable CASE-WHEN formulation.",
+    tags=("sql", "pivot"),
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               round(coalesce(AUTOMOBILE, 0), 2) AS auto_bal,
+               round(coalesce(BUILDING, 0), 2)   AS bldg_bal,
+               round(coalesce(MACHINERY, 0), 2)  AS mach_bal
+        FROM (SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer)
+        PIVOT (sum(c_acctbal)
+               FOR c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+        """
+    )
+
+
+@register(
+    "sql_unpivot",
+    oracle="""
+    SELECT n_nationkey, k, v FROM (
+      SELECT n_nationkey, 'nation_id' AS k, CAST(n_nationkey AS BIGINT) AS v
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, 'region_id' AS k, CAST(n_regionkey AS BIGINT) AS v
+      FROM nation
+    )
+    """,
+    description="SQL UNPIVOT clause (Spark 3.4+ parser surface over the "
+    "Unpivot node; the reference era spells this stack()) — oracle is the "
+    "portable UNION ALL formulation.",
+    tags=("sql", "unpivot"),
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey, k, v
+        FROM (SELECT n_nationkey,
+                     CAST(n_nationkey AS BIGINT) AS nation_id,
+                     CAST(n_regionkey AS BIGINT) AS region_id
+              FROM nation)
+        UNPIVOT (v FOR k IN (nation_id, region_id))
+        """
+    )
