@@ -393,3 +393,26 @@ def test_socket_source_stream(spark):
     finally:
         query.stop()
         server.close()
+
+
+def test_arrow_optimized_row_udf(spark, sf_dir):
+    """Arrow-optimized Python UDF (Spark 3.5+/4 useArrow=True): row-UDF
+    ergonomics with Arrow-batched transfer instead of pickled rows — the
+    modern midpoint between the reference's BatchEvalPythonExec (pickled)
+    and ArrowEvalPythonExec (pandas) tiers."""
+    from pyspark.sql import functions as F
+
+    @F.udf("string", useArrow=True)
+    def flag_status(flag, status):
+        return f"{flag}/{status}"
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    got = li.select(
+        flag_status("l_returnflag", "l_linestatus").alias("fs")
+    ).distinct()
+    expected = li.select(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("fs")
+    ).distinct()
+    assert {r.fs for r in got.collect()} == {r.fs for r in expected.collect()}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "useArrow=True must plan the Arrow eval tier"
