@@ -183,3 +183,34 @@ def language_id(text_col: str = "text") -> Column:
     return F.when(best.getField("n") > 0, best.getField("lang")).otherwise(
         F.lit("und")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens_bpe",
+    capacity: int = 2048,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for pretraining (concat-and-chunk): documents are
+    concatenated in deterministic (shard, order) order and the token
+    stream is cut every `capacity` tokens; each document is assigned the
+    bin its FIRST token lands in (the tokenizer stage later splits
+    stragglers across the boundary).
+
+    Scale contract: packing is per-shard (one window partition per
+    shard_col value), so parallelism = number of shards and no global
+    single-partition window exists. At 100 TB you shard by
+    (source, date, hash-bucket) — any key with bounded per-shard volume.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("start_offset", start.cast("bigint")).withColumn(
+        "bin_id", F.floor(F.col("start_offset") / capacity).cast("bigint")
+    )

@@ -659,3 +659,46 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return M.extract_wav_meta(M.with_wav_payload(docs))
+
+
+@register(
+    "llm_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS ntok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, ntok,
+             coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM toks
+    )
+    SELECT source,
+           CAST(start_offset // 2048 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT)             AS n_docs,
+           CAST(sum(ntok) AS BIGINT)            AS bin_tokens
+    FROM packed
+    GROUP BY source, start_offset // 2048
+    """,
+    description="Sequence packing (concat-and-chunk pretraining batches): "
+    "per-shard deterministic document order, token stream cut every 2048 "
+    "BPE-ish tokens, docs assigned to the bin of their first token. "
+    "Per-shard windows keep packing parallel (operators/text."
+    "pack_sequences).",
+    tags=("llm", "pipeline", "packing", "text"),
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count_bpe("text").alias("ntok")
+    )
+    packed = T.pack_sequences(
+        docs, tokens_col="ntok", capacity=2048, shard_col="source",
+        order_col="doc_id",
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("bin_tokens"),
+    )
