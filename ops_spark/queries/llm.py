@@ -702,3 +702,47 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("ntok").cast("bigint").alias("bin_tokens"),
     )
+
+
+@register(
+    "llm_data_mixing",
+    oracle=r"""
+    WITH drawn AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS ntok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+               / 4294967296.0 AS u,
+             CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.9
+                  WHEN source IN ('src3', 'src4')         THEN 0.5
+                  ELSE 0.2 END AS frac
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS kept_tokens
+    FROM drawn WHERE u < frac
+    GROUP BY source
+    """,
+    description="Deterministic data mixing (source-ratio resampling): the "
+    "keep decision is md5(doc_id, salt) as a uniform draw against a "
+    "per-source target fraction — reproducible across engines/runs/"
+    "partitionings, unlike seeded RNG sampling (operators/mixing.py).",
+    tags=("llm", "pipeline", "mixing", "sampling"),
+)
+def llm_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.mixing import mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count_bpe("text").alias("ntok")
+    )
+    frac = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(0.9))
+        .when(F.col("source").isin("src3", "src4"), F.lit(0.5))
+        .otherwise(F.lit(0.2))
+    )
+    kept = mix_sample(docs, frac, key_col="doc_id", salt="mix")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("ntok").cast("bigint").alias("kept_tokens"),
+    )
