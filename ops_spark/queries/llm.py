@@ -746,3 +746,52 @@ def llm_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.sum("ntok").cast("bigint").alias("kept_tokens"),
     )
+
+
+@register(
+    "llm_transitive_dedup",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS a, id AS b FROM nodes
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    ), comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+    losers AS (SELECT id FROM comp WHERE id <> comp)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    """,
+    description="Transitive-closure dedup: exact n-gram Jaccard pairs "
+    "(threshold 0.8) feed connected components, keeping one survivor per "
+    "duplicate CHAIN (A~B, B~C drops both B and C even when A!~C) — the "
+    "dedup + graph operators composed (operators/dedup.dedup_by_"
+    "components, operators/graph); oracle chains the inverted-index pair SQL into a "
+    "recursive-CTE closure.",
+    tags=("llm", "dedup", "graph", "pipeline"),
+)
+def llm_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.graph import dedup_by_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup_by_components(docs, pairs, id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
