@@ -321,3 +321,19 @@ def test_wav_encode_decode_roundtrip():
         assert wav[44 : 44 + n] == data  # samples embed the original bytes
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"ID3....not audio")
+
+
+def test_mix_sample_partition_invariant(spark):
+    # The mixing claim that matters at 100 TB: the kept set is a pure
+    # function of (key, salt, fraction) — identical across partitionings
+    # (seeded df.sample is not), so a resampled corpus is reproducible.
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.mixing import mix_sample
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    frac = F.lit(0.3)
+    one = {r.doc_id for r in mix_sample(df.repartition(1), frac).collect()}
+    many = {r.doc_id for r in mix_sample(df.repartition(16), frac).collect()}
+    assert one == many
+    assert 0.25 * 5000 < len(one) < 0.35 * 5000  # draw is roughly uniform
