@@ -808,3 +808,31 @@ def fn_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.array("a", "b")).alias("flat"),
         F.array_contains("b", F.lit(99).cast("bigint")).alias("has99"),
     )
+
+
+@register(
+    "fn_bit_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(bit_count(o_orderkey) AS INT)        AS popcount,
+           xor(o_orderkey, o_custkey)                AS x,
+           o_orderkey & 255                          AS low_byte,
+           o_orderkey | 1                            AS set_lsb,
+           ~o_orderkey                               AS flipped
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    description="Scalar bitwise surface (bitwiseExpressions kin): "
+    "bit_count/popcount, xor, and, or, not — all codegen'd long ops.",
+    tags=("function", "bitwise"),
+)
+def fn_bit_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.bit_count(k).alias("popcount"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("x"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_lsb"),
+        F.expr("~o_orderkey").alias("flipped"),
+    )
