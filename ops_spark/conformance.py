@@ -48,13 +48,34 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def complex_output_columns(sdf) -> list[str]:
+    """Top-level array/map/struct output columns — unorderable as raw pandas
+    cells, so they crash the driver's sort-then-hash canonicalizer. Every
+    oracle-tier query must stringify these (array_join / to_json) on BOTH
+    sides; rows-only ``x_`` queries may keep them (the driver only counts
+    rows there)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        # Sort RAW values first — exactly like the driver's canonicalizer —
+        # so any unhashable/unorderable cell type (numpy.ndarray from an
+        # array<> column, dict from map<>, Row from struct<>) crashes HERE,
+        # locally, instead of passing locally and failing the round gate
+        # (the round-2 fn_array_extra regression: the old stringify-before-
+        # sort order masked exactly this class of drift).
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     for c in df.columns:
         if str(df[c].dtype) == "object":
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
@@ -87,7 +108,17 @@ def compare(
         sdf = query.builder(spark, sf_dir).toPandas()
         return CompareResult(query.name, True, "rows-only (no oracle)", len(sdf), -1)
 
-    spark_pdf = _normalize(query.builder(spark, sf_dir).toPandas())
+    sdf = query.builder(spark, sf_dir)
+    bad = complex_output_columns(sdf)
+    if bad:
+        return CompareResult(
+            query.name,
+            False,
+            f"complex-typed output columns {bad}: the driver's canonicalizer "
+            "sorts raw pandas cells and crashes on ndarray/dict/Row — "
+            "stringify (array_join/to_json) in the query or demote to x_ tier",
+        )
+    spark_pdf = _normalize(sdf.toPandas())
     con = duckdb_connection(sf_dir)
     oracle_pdf = _normalize(con.execute(query.oracle).fetch_df())
     con.close()

@@ -781,15 +781,17 @@ def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey,
            list_position(a, c_custkey % 7)                  AS pos,
-           list_sort(list_distinct(list_concat(a, b)))      AS uni,
-           flatten([a, b])                                  AS flat,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS uni,
+           array_to_string(flatten([a, b]), ',')            AS flat,
            list_contains(b, 99)                             AS has99
     FROM t
     """,
     description="Array surface round 2 (collectionOperations.scala:3959 "
     "kin): array_position/array_union/flatten/array_contains. "
     "array_union is order-nondeterministic across engines, so both sides "
-    "sort it (the VALUE SET is what is pinned).",
+    "sort it (the VALUE SET is what is pinned). Array results are joined "
+    "to csv strings on BOTH sides: the driver's canonicalizer sorts raw "
+    "pandas cells and cannot order numpy.ndarray (round-2 red row).",
     tags=("function", "array"),
 )
 def fn_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,8 +806,8 @@ def fn_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "c_custkey",
         F.array_position("a", F.col("c_custkey") % 7).alias("pos"),
-        F.sort_array(F.array_union("a", "b")).alias("uni"),
-        F.flatten(F.array("a", "b")).alias("flat"),
+        F.array_join(F.sort_array(F.array_union("a", "b")), ",").alias("uni"),
+        F.array_join(F.flatten(F.array("a", "b")), ",").alias("flat"),
         F.array_contains("b", F.lit(99).cast("bigint")).alias("has99"),
     )
 

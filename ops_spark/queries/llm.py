@@ -107,22 +107,28 @@ def llm_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
              CASE WHEN len(hs) = 0 THEN []::BIGINT[]
                   WHEN len(hs) < 4 THEN [list_min(hs)]
                   ELSE list_transform(range(1, len(hs) - 4 + 2),
                          j -> list_min(hs[j:j+3]))
-             END)) AS fprints
+             END)), ',') AS fprints
     FROM g
     """,
     description="Winnowing rolling-hash fingerprints (k=8 char-grams, w=4 "
-    "windows) — shared substrings of length >= 11 guarantee a shared print.",
+    "windows) — shared substrings of length >= 11 guarantee a shared print. "
+    "Fingerprint sets are csv-joined on both sides: the driver canonicalizer "
+    "cannot sort raw array cells.",
     tags=("llm", "text", "fingerprint"),
 )
 def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", T.winnow_fingerprints("text", k=8, w=4).alias("fprints")
+        "doc_id",
+        F.array_join(
+            F.sort_array(F.array_distinct(T.winnow_fingerprints("text", k=8, w=4))),
+            ",",
+        ).alias("fprints"),
     )
 
 
