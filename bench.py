@@ -91,14 +91,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "shuffle": shuffle_report(spark),
     }
+    # Snapshot the FULL payload before any wire-line degrade below — when
+    # the stdout line is oversized, BENCH_FULL.json is the only place the
+    # shuffle report and family rollups survive.
+    full = dict(payload)
+    full["queries"] = timings
+
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:  # last-resort degrade: drop detail, keep the gate
         payload["queries"] = headline
         payload.pop("shuffle", None)
         line = json.dumps(payload, separators=(",", ":"))
-
-    full = dict(payload)
-    full["queries"] = timings
     full_json = json.dumps(full, indent=1, sort_keys=True)
     print(full_json, file=sys.stderr)
     try:

@@ -64,10 +64,11 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     # Right rows sort before left rows at identical `on` (__is_left ASC) so
     # a left row exactly at a right timestamp sees it (<= semantics);
-    # __payload DESC makes the tie-break among equal right rows stable.
+    # __payload ASC means last() lands on the GREATEST struct among right
+    # rows tied on (by, on) — the tie-break the docstring promises.
     w = (
         W.partitionBy(*by_keys)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__payload").desc())
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__payload").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

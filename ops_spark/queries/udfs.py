@@ -430,7 +430,12 @@ def source_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 500)
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
-    url = derby_url(f"fixtures_{abs(hash(sf_dir)) % 10**8}")
+    import hashlib
+
+    # Stable digest, not builtin hash(): PYTHONHASHSEED salts hash() per
+    # process, which would mint a fresh Derby DB name (and directory) on
+    # every run.
+    url = derby_url(f"fixtures_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     write_jdbc(cust, url, "customer_slice")
     back = read_jdbc_partitioned(
         spark, url, "customer_slice", "c_custkey", 1, 501, num_partitions=4

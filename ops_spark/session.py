@@ -103,7 +103,23 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             except Exception:  # noqa: BLE001 — locked conf must not kill reads
                 pass
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions", None) == "200":
+        # "200" can be the never-touched stock default OR a deliberate choice
+        # (e.g. ShufflePolicy(shuffle_partitions=200)); the VALUE cannot
+        # distinguish them. SQLConf tracks explicit sets — builder confs and
+        # spark.conf.set both land in its settings map — so resize only the
+        # true default. (N.B. spark.conf.get(key, None) returns None for an
+        # unset conf rather than resolving the SQLConf default, so the old
+        # `get(key, None) == "200"` guard never fired on vanilla sessions.)
+        explicitly_set = True  # conservative: never clobber if undeterminable
+        try:
+            explicitly_set = bool(
+                spark._jsparkSession.sessionState()
+                .conf()
+                .contains("spark.sql.shuffle.partitions")
+            )
+        except Exception:  # noqa: BLE001 — no py4j session (connect mode)
+            pass
+        if not explicitly_set:
             cores = spark.sparkContext.defaultParallelism
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(max(4, min(cores, 64)))

@@ -31,8 +31,14 @@ EVENTS_SCHEMA = (
 def _staged_dir(sf_dir: str, table: str) -> str:
     """FileStreamSource wants a directory; the fixtures are single files.
     Stage a directory containing a symlink to the table's parquet."""
+    import hashlib
+
+    # Stable digest, not builtin hash() (PYTHONHASHSEED-salted per process):
+    # keeps the staged dir reusable across runs instead of leaking one per
+    # process under tmp.
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staged = os.path.join(
-        tempfile.gettempdir(), f"ops_spark_stream_{abs(hash(sf_dir))}", table
+        tempfile.gettempdir(), f"ops_spark_stream_{digest}", table
     )
     os.makedirs(staged, exist_ok=True)
     link = os.path.join(staged, f"{table}.parquet")

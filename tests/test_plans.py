@@ -144,6 +144,21 @@ def test_policy_apply_roundtrip(spark):
     spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_ensure_runtime_confs_respects_explicit_200(spark):
+    # A deliberately-chosen 200 (e.g. ShufflePolicy(shuffle_partitions=200))
+    # is indistinguishable from the stock default by VALUE; the resize must
+    # key on SQLConf's explicit-set tracking, not the number.
+    from ops_spark.session import ensure_runtime_confs
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        ensure_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 # Queries where an all-pairs operator is the INTENDED plan, with why:
 #   join_cross          — the cross-join operator itself
 #   llm_cosine_topk     — documented brute-force ANN baseline (broadcast cross)

@@ -109,3 +109,18 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_asof_join_tie_break_picks_greatest_payload(spark):
+    # Right rows tied on (by, on) must resolve to the GREATEST payload
+    # struct (asof.py docstring contract). Regression: ordering __payload
+    # DESC made last() land on the smallest struct instead.
+    from ops_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([("a", 10), ("a", 5)], "k string, ts bigint")
+    rdf = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 5, 9.0), ("a", 5, 4.0)],
+        "k string, ts bigint, quote double",
+    )
+    got = {r.ts: r.quote for r in asof_join(ldf, rdf, on="ts", by="k").collect()}
+    assert got == {5: 9.0, 10: 9.0}
