@@ -450,3 +450,40 @@ def source_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "source_avro",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                       AS n,
+           round(sum(s_acctbal), 2)       AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    description="Avro source/sink (AvroFileFormat.scala:44 kin): supplier "
+    "roundtrips through Avro files, then aggregates. The roundtrip is "
+    "lossless, so the parquet-backed oracle is exact. Uses the bundled "
+    "implementation via full provider class when format('avro')'s short "
+    "name isn't registered (io/kafka_avro.py).",
+    tags=("source", "avro"),
+)
+def source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ops_spark.io.kafka_avro import read_avro, write_avro
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ops_spark_avro_{abs(sup.count())}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_avro(sup, path, mode="overwrite")
+    back = read_avro(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )

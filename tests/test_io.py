@@ -455,3 +455,81 @@ def test_sort_spills_under_memory_pressure():
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert result["rows"] == 600572 or result["rows"] > 500000
     assert result["spilled"] > 0, "sort under 650m heap must have spilled"
+
+
+# --- Kafka / Avro connectors. On this image: Avro FILE read/write works
+# (spark-sql bundles the implementation; we resolve the full provider class
+# when the short name isn't registered), while Kafka and from_avro/to_avro
+# are blocked-but-ready (jar / short-name registration absent) — their tests
+# skip here and light up when the classpath gains the modules. ---
+
+
+def test_kafka_wrapper_unavailable_raises_actionable_error(spark):
+    import pytest as _pytest
+
+    from ops_spark.io import kafka_avro as KA
+
+    if KA.kafka_available(spark):
+        _pytest.skip("kafka jar present; covered by test_kafka_stream_schema")
+    with _pytest.raises(KA.ConnectorUnavailable, match="spark-sql-kafka-0-10"):
+        KA.read_kafka_stream(spark, "localhost:9092", "t")
+    with _pytest.raises(KA.ConnectorUnavailable):
+        KA.read_kafka_batch(spark, "localhost:9092", "t")
+
+
+def test_kafka_stream_schema(spark):
+    """With the jar on the classpath, the source must expose the fixed Kafka
+    schema (key/value binary + topic/partition/offset/timestamp) without any
+    broker connection (schema is static)."""
+    import pytest as _pytest
+
+    from ops_spark.io import kafka_avro as KA
+
+    if not KA.kafka_available(spark):
+        _pytest.skip("spark-sql-kafka-0-10 jar not on classpath (image gap)")
+    df = KA.read_kafka_stream(spark, "localhost:9092", "probe_topic")
+    cols = {f.name for f in df.schema.fields}
+    assert {"key", "value", "topic", "partition", "offset", "timestamp"} <= cols
+
+
+def test_avro_file_roundtrip(spark, sf_dir):
+    """Runs for real on this image: the bundled AvroFileFormat executes even
+    though the short name isn't registered."""
+    import pytest as _pytest
+
+    from ops_spark.io import kafka_avro as KA
+
+    if not KA.avro_available(spark):
+        _pytest.skip("no usable Avro file format in this JVM")
+    nat = load_table(spark, sf_dir, "nation")
+    path = scratch_dir("avro") + "/nation"
+    KA.write_avro(nat, path, mode="overwrite")
+    back = KA.read_avro(spark, path)
+    assert back.count() == nat.count()
+    assert {f.name for f in back.schema.fields} == set(nat.columns)
+    a = sorted(r.n_name for r in nat.select("n_name").collect())
+    b = sorted(r.n_name for r in back.select("n_name").collect())
+    assert a == b
+
+
+def test_avro_functions_encode_decode(spark):
+    """from_avro/to_avro need the short-name registration (Spark hard-gates
+    them); skip until spark-avro is deployed as a module."""
+    import pytest as _pytest
+
+    from ops_spark.io import kafka_avro as KA
+
+    if not KA.avro_functions_available(spark):
+        _pytest.skip("spark-avro short name not registered (image gap)")
+    df = spark.range(3).select(
+        F.struct(F.col("id"), (F.col("id") * 2).alias("v")).alias("s")
+    )
+    enc = df.select(KA.encode_avro(F.col("s")).alias("b"))
+    schema = (
+        '{"type":"record","name":"s","fields":'
+        '[{"name":"id","type":"long"},{"name":"v","type":"long"}]}'
+    )
+    dec = enc.select(KA.decode_avro(F.col("b"), schema).alias("s")).select(
+        "s.id", "s.v"
+    )
+    assert [(r.id, r.v) for r in dec.collect()] == [(0, 0), (1, 2), (2, 4)]
