@@ -144,6 +144,73 @@ def test_policy_apply_roundtrip(spark):
     spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_cbo_analyze_stats_drive_join_reorder(spark, sf_dir):
+    """ANALYZE TABLE statistics + CBO join reordering (reference
+    AnalyzeTableCommand.scala:28, CostBasedJoinReorder.scala:35). The query
+    is written in adversarial textual order — fact table first — so the
+    left-deep default joins customer before the tiny filtered dimensions;
+    with rowCount + column NDV stats and CBO on, the optimizer must rebuild
+    the tree to join nation⋈region first. At 100 TB this reorder is the
+    difference between shuffling the fact table once and shuffling every
+    intermediate."""
+    from ops_spark.plans import (
+        analyze,
+        cbo,
+        join_leaf_order,
+        snapshot_tables,
+        table_row_count_stat,
+    )
+
+    names = snapshot_tables(
+        spark,
+        sf_dir,
+        {
+            "customer": ["c_nationkey"],
+            "nation": ["n_nationkey", "n_regionkey"],
+            "region": ["r_regionkey", "r_name"],
+        },
+    )
+    for t, cols in (
+        ("customer", ["c_nationkey"]),
+        ("nation", ["n_nationkey", "n_regionkey"]),
+        ("region", ["r_regionkey", "r_name"]),
+    ):
+        analyze(spark, names[t], cols)
+
+    # Table-level stats materialized: the optimizer sees exact rowCount
+    # (only surfaced when CBO is on; size-only otherwise).
+    with cbo(spark, True):
+        assert table_row_count_stat(spark, names["customer"]) == 150
+    # Column-level stats materialized (NDV/min/max for the join key).
+    desc = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            f"DESCRIBE EXTENDED {names['nation']} n_nationkey"
+        ).collect()
+    }
+    assert desc["min"] == "0" and int(desc["distinct_count"]) >= 20
+
+    q = f"""
+        SELECT c.c_custkey, n.n_name
+        FROM {names["customer"]} c
+        JOIN {names["nation"]} n ON c.c_nationkey = n.n_nationkey
+        JOIN {names["region"]} r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    """
+    with cbo(spark, False):
+        off = join_leaf_order(spark.sql(q))
+    with cbo(spark, True):
+        on = join_leaf_order(spark.sql(q))
+        n_on = spark.sql(q).count()
+    assert off[0].startswith("customer"), f"textual order expected first: {off}"
+    assert on != off and not on[0].startswith("customer"), (
+        f"CBO did not reorder: off={off} on={on}"
+    )
+    # Reorder must not change results.
+    with cbo(spark, False):
+        assert spark.sql(q).count() == n_on
+
+
 def test_ensure_runtime_confs_respects_explicit_200(spark):
     # A deliberately-chosen 200 (e.g. ShufflePolicy(shuffle_partitions=200))
     # is indistinguishable from the stock default by VALUE; the resize must
