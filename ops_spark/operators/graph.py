@@ -143,6 +143,68 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """(id, triangles) — per-vertex triangle membership counts (GraphX
+    parity: reference graphx/.../GraphOps.scala triangleCount:452).
+
+    Degree-ordered compact-forward enumeration: orient every undirected
+    edge from the endpoint with smaller (degree, id) to the larger, then a
+    triangle is exactly one wedge (u→v, u→w with v ordered before w) whose
+    closing edge (v→w) exists in the oriented set. Each triangle is found
+    once, and — the scale property — every vertex's out-degree in the
+    oriented DAG is O(√m), so wedge enumeration is bounded by m^1.5 total
+    work in equi-joins regardless of skew (a celebrity vertex with 10M
+    followers contributes in-edges, not wedges). No global sort: the
+    orientation compares (degree, id) tuples attached via two equi-joins
+    with the degree table.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") < F.col("y"))  # drops self-loops
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("id"))
+        .unionAll(e.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orient by (degree, id): u → v iff (d_u, u) < (d_v, v).
+    with_deg = (
+        e.join(deg.withColumnRenamed("id", "x").withColumnRenamed("d", "dx"), "x")
+        .join(deg.withColumnRenamed("id", "y").withColumnRenamed("d", "dy"), "y")
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = with_deg.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    ).localCheckpoint()  # reused 3× below; cut the self-join lineage
+    e1 = oe.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oe.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oe.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = tri.select(F.explode(F.array("u", "v1", "v2")).alias("id"))
+    return corners.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ops_spark.io import load_table
-from ops_spark.operators.graph import connected_components, pagerank
+from ops_spark.operators.graph import connected_components, pagerank, triangle_count
 from ops_spark.queries.registry import register
 
 
@@ -113,3 +113,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey <= 300 AND b.l_orderkey <= 300
+    ),
+    tri AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      FROM co e1
+      JOIN co e2 ON e2.p1 = e1.p2
+      JOIN co e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY id
+    """,
+    description="Per-vertex triangle counts (GraphX triangleCount:452 kin) "
+    "over the part-part co-purchase graph (parts sharing an order form a "
+    "clique). Spark side enumerates via degree-ordered compact-forward "
+    "wedges (skew-proof: oriented out-degree is O(sqrt(m))); oracle "
+    "enumerates each triangle once as a < b < c. Per-vertex counts are "
+    "enumeration-order independent, so both agree exactly.",
+    tags=("graph", "custom-operator"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    co = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    return triangle_count(co, src="pa", dst="pb")

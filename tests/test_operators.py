@@ -337,3 +337,19 @@ def test_mix_sample_partition_invariant(spark):
     many = {r.doc_id for r in mix_sample(df.repartition(16), frac).collect()}
     assert one == many
     assert 0.25 * 5000 < len(one) < 0.35 * 5000  # draw is roughly uniform
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, every vertex in exactly 3.
+    # Pendant edge 4-5 joins no triangle; vertex 5 must not appear.
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    # Duplicate + reversed + self-loop edges must not change counts.
+    edges = spark.createDataFrame(
+        k4 + [(2, 1), (3, 3), (1, 2)], "a bigint, b bigint"
+    )
+    got = {r.id: r.triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
