@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ops_spark.io import load_table
 from ops_spark.operators.graph import connected_components, pagerank, triangle_count
+from ops_spark.operators.pregel import MSG, pregel
 from ops_spark.queries.registry import register
 
 
@@ -161,3 +162,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(co, src="pa", dst="pb")
+
+
+@register(
+    "graph_sssp",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
+      FROM lineitem WHERE l_orderkey <= 60
+    ),
+    edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    walk AS (
+      SELECT (SELECT min(id) FROM nodes) AS id, 0 AS d
+      UNION
+      SELECT e.b AS id, w.d + 1 AS d
+      FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.d < 8
+    )
+    SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
+    """,
+    description="Single-source shortest paths, 8 BFS supersteps (GraphX "
+    "pregel:362 / ShortestPaths kin) over the order-part bipartite graph, "
+    "expressed through the GENERIC pregel operator (operators/pregel.py) "
+    "— message = dist+1 both directions, inbox min, update least. Fixed "
+    "superstep count keeps the run oracle-expressible as a depth-bounded "
+    "recursive CTE; vertices unreached within 8 hops are excluded on both "
+    "sides. Source = min vertex id (driver pulls one scalar, like an "
+    "index-metadata read).",
+    tags=("graph", "iterative", "custom-operator"),
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _order_part_edges(spark, sf_dir, max_order=60)
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    vertices = (
+        base.select(F.col("a").alias("id"))
+        .union(base.select("b"))
+        .distinct()
+    )
+    source = vertices.agg(F.min("id")).head()[0]
+    init = vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0)).alias("dist"),
+    )
+    final = pregel(
+        init,
+        edges,
+        update={"dist": F.least(F.col("dist"), F.col(MSG))},
+        agg=F.min(F.col(MSG)),
+        msg_to_dst=F.col("src_dist") + 1,
+        msg_to_src=F.col("dst_dist") + 1,
+        max_iter=8,
+    )
+    return final.filter(F.col("dist").isNotNull()).select(
+        "id", F.col("dist").cast("int").alias("dist")
+    )
