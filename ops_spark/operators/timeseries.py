@@ -1,0 +1,94 @@
+"""Hypertable-style hierarchical time rollups (continuous aggregates).
+
+The reference has no time-series module; this is the "hypertable rollup"
+custom operator a metrics/events pipeline needs, expressed Spark-first.
+
+The scale property is HIERARCHICAL REAGGREGATION: the raw table is scanned
+and shuffled exactly once to build the finest resolution; every coarser
+level aggregates the (orders-of-magnitude smaller) finest partials using
+merge-safe partials — sum of sums, min of mins, count of counts — with
+derived metrics (avg) computed only at presentation. At 100 TB of events,
+the 1-day rollup therefore costs one pass over 1-hour partials, never a
+second scan of the raw data. This is the same partial/final split
+HashAggregate uses inside one query (partial → final), applied across
+resolutions.
+
+Plan shape (asserted in tests/test_operators.py): each finest-level row is
+EXPLODED into one row per resolution (its own bucket plus each coarser
+truncation), then a single groupBy(resolution, bucket, dims) merges all
+levels at once — one parquet scan and exactly two shuffles regardless of
+how many resolutions are requested. The naive union-of-levels formulation
+plans a separate scan per level (exchange reuse does not fire across
+union branches), which is precisely the shape this avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Merge-safe partials kept at every level.
+_PARTIALS = ("cnt", "total", "vmin", "vmax")
+
+
+def _truncate(ts_col: str, resolution: str):
+    return F.date_trunc(resolution, F.col(ts_col))
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    resolutions: list[str],
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Multi-resolution rollup of ``value_col`` bucketed by ``ts_col``.
+
+    ``resolutions`` must be ordered finest → coarsest and each coarser unit
+    must align to the finer one (minute → hour → day → week...; all
+    date_trunc units align). Returns one row per (resolution, bucket,
+    *dims) with merge-safe partials + derived ``avg``.
+    """
+    if not resolutions:
+        raise ValueError("at least one resolution required")
+    dims = list(dims or [])
+
+    finest = resolutions[0]
+    fine = df.groupBy(_truncate(ts_col, finest).alias("bucket"), *dims).agg(
+        F.count("*").alias("cnt"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    # One row per (fine bucket × resolution): date_trunc(finest, bucket) is
+    # the identity, coarser units truncate further. Input to the explode is
+    # already aggregated, so the multiplier applies to partials, not raw.
+    memberships = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(res).alias("resolution"),
+                    F.date_trunc(res, F.col("bucket")).alias("bucket"),
+                )
+                for res in resolutions
+            ]
+        )
+    ).alias("lvl")
+    return (
+        fine.select(memberships, *dims, *_PARTIALS)
+        .groupBy(F.col("lvl.resolution").alias("resolution"),
+                 F.col("lvl.bucket").alias("bucket"), *dims)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .select(
+            "resolution",
+            "bucket",
+            *dims,
+            *_PARTIALS,
+            (F.col("total") / F.col("cnt")).alias("avg"),
+        )
+    )

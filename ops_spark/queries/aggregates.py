@@ -332,3 +332,95 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(ln).alias("b_xor"),
         F.sum(F.shiftleft(F.col("l_linenumber"), 2)).cast("bigint").alias("shifted_sum"),
     )
+
+
+@register(
+    "stat_bitmap_distinct",
+    oracle="""
+    SELECT CAST((o_custkey - 1) // 32768 + 1 AS BIGINT) AS bucket,
+           CAST(count(DISTINCT (o_custkey - 1) % 32768) AS BIGINT) AS n_distinct
+    FROM orders
+    WHERE o_custkey >= 1
+    GROUP BY 1
+    """,
+    description="Bitmap aggregate family (Spark 3.5 bitmapExpressions kin): "
+    "bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg / "
+    "bitmap_count compose into exact per-bucket distinct counts with "
+    "fixed-size (4 KB) state per bucket — the scalable exact-distinct "
+    "pattern (vs unbounded collect_set state). Restricted to ids >= 1: "
+    "Spark's bucket/position arithmetic for non-positive ids (v=0 -> "
+    "bucket 0, pos 0) does not match DuckDB's truncating // — and bitmap "
+    "ids are 1-based by design. Oracle recomputes the arithmetic "
+    "symbolically.",
+    tags=("aggregate", "bitmap", "sketch"),
+)
+def stat_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") >= 1)
+    return (
+        o.select(
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))")
+            .cast("bigint")
+            .alias("n_distinct")
+        )
+    )
+
+
+@register(
+    "ts_rollup_hierarchy",
+    oracle="""
+    WITH fine AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(count(*) AS BIGINT) AS cnt, sum(value) AS total,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1, 2
+    ),
+    coarse AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             CAST(sum(cnt) AS BIGINT) AS cnt, sum(total) AS total,
+             min(vmin) AS vmin, max(vmax) AS vmax
+      FROM fine GROUP BY 1, 2
+    ),
+    both_levels AS (
+      SELECT 'hour' AS resolution, * FROM fine
+      UNION ALL
+      SELECT 'day' AS resolution, * FROM coarse
+    )
+    SELECT resolution, bucket, event_type, cnt,
+           round(total, 4) AS total, round(vmin, 4) AS vmin,
+           round(vmax, 4) AS vmax,
+           round(round(total, 4) / cnt, 6) AS avg
+    FROM both_levels
+    """,
+    description="Hypertable-style hierarchical time rollup "
+    "(operators/timeseries.py): hour buckets from raw events, day buckets "
+    "reaggregated FROM the hour partials (sum-of-sums/min-of-mins — one "
+    "raw scan total, the continuous-aggregate pattern at 100 TB); avg "
+    "derived at presentation. Oracle mirrors the two-level recurrence.",
+    tags=("aggregate", "timeseries", "custom-operator"),
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.timeseries import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        ev, "ts", "value", resolutions=["hour", "day"], dims=["event_type"]
+    )
+    # avg is derived from the ROUNDED total on both sides: double summation
+    # order differs between engines, and round(raw_total/cnt) can land on
+    # opposite sides of a rounding boundary; round(round(total,4)/cnt) is
+    # computed from byte-identical inputs.
+    return out.select(
+        "resolution",
+        "bucket",
+        "event_type",
+        "cnt",
+        F.round("total", 4).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round(F.round("total", 4) / F.col("cnt"), 6).alias("avg"),
+    )

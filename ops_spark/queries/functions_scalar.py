@@ -838,3 +838,79 @@ def fn_bit_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseOR(F.lit(1)).alias("set_lsb"),
         F.expr("~o_orderkey").alias("flipped"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT n_nationkey,
+           'https' AS proto,
+           'shop.example.com' AS host,
+           '/nation/' || n_nationkey AS path,
+           'q=' || replace(n_name, ' ', '+') AS query,
+           replace(n_name, ' ', '+') AS encoded,
+           n_name AS decoded
+    FROM nation
+    """,
+    description="URL function surface (stringExpressions ParseUrl kin): "
+    "parse_url(PROTOCOL/HOST/PATH/QUERY) + url_encode/url_decode. URLs are "
+    "built from fixture columns; the oracle recomputes each part "
+    "symbolically (DuckDB has no parse_url). Inputs are restricted to "
+    "space-only specials so x-www-form-urlencoded is replace(' ','+') on "
+    "both sides.",
+    tags=("function", "string", "url"),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://shop.example.com/nation/"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("?q="),
+        F.url_encode(F.col("n_name")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.url_encode(F.col("n_name")).alias("encoded"),
+        F.url_decode(F.url_encode(F.col("n_name"))).alias("decoded"),
+    )
+
+
+@register(
+    "fn_string_format",
+    oracle="""
+    WITH b AS (
+      SELECT *,
+             CAST(round(abs(round(c_acctbal, 2)) * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey <= 400
+    )
+    SELECT c_custkey,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')         AS transd,
+           upper(substr(c_mktsegment, 1, 1))
+             || lower(substr(c_mktsegment, 2))               AS capped,
+           substr(c_name, 1, 4) || 'XX' || substr(c_name, 7) AS spliced,
+           strpos(c_name, '0')                               AS pos0,
+           format('{:,}', cents // 100) || '.'
+             || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')   AS fmt_bal
+    FROM b
+    """,
+    description="String surface round 3 (stringExpressions.scala kin): "
+    "translate, initcap (single-token input; oracle emulates per-char), "
+    "overlay, position/strpos, format_number (grouped thousands over "
+    "abs() — DuckDB's fmt rejects ',' on floats, so the oracle composes "
+    "sign-free integer cents).",
+    tags=("function", "string"),
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    return c.select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("transd"),
+        F.initcap("c_mktsegment").alias("capped"),
+        F.overlay("c_name", F.lit("XX"), F.lit(5), F.lit(2)).alias("spliced"),
+        F.expr("position('0' in c_name)").alias("pos0"),
+        F.format_number(F.abs(F.round("c_acctbal", 2)), 2).alias("fmt_bal"),
+    )
