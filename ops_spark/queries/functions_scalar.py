@@ -914,3 +914,34 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("position('0' in c_name)").alias("pos0"),
         F.format_number(F.abs(F.round("c_acctbal", 2)), 2).alias("fmt_bal"),
     )
+
+
+@register(
+    "fn_time_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 2 MONTH                AS plus_months,
+           o_orderdate + INTERVAL 36 HOUR                AS plus_hours,
+           o_orderdate - INTERVAL 90 MINUTE              AS minus_minutes,
+           CAST(date_part('dow', o_orderdate) AS INT)    AS dow,
+           CAST(date_part('doy', o_orderdate) AS INT)    AS doy
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    description="Interval arithmetic (intervalExpressions / make_interval "
+    "kin): timestamp +- month/hour/minute intervals via make_interval and "
+    "make_dt_interval, plus dayofweek/dayofyear parts. DuckDB mirrors "
+    "with INTERVAL literals; month addition follows the same "
+    "end-of-month clamping rule in both engines.",
+    tags=("function", "datetime", "interval"),
+)
+def fn_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (ts + F.make_interval(months=F.lit(2))).alias("plus_months"),
+        (ts + F.make_dt_interval(hours=F.lit(36))).alias("plus_hours"),
+        (ts - F.make_dt_interval(mins=F.lit(90))).alias("minus_minutes"),
+        (F.dayofweek(ts) - 1).cast("int").alias("dow"),
+        F.dayofyear(ts).cast("int").alias("doy"),
+    )

@@ -250,3 +250,37 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT nullif(c_nationkey, 3) AS k, c_acctbal
+               FROM customer WHERE c_custkey <= 600),
+         s AS (SELECT nullif(s_nationkey, 3) AS k, s_acctbal
+               FROM supplier)
+    SELECT c.k AS k, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c.c_acctbal + s.s_acctbal), 2) AS bal
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+    description="Null-safe equality join (<=> / EqualNullSafe; reference "
+    "predicates.scala kin): NULL keys MATCH each other instead of "
+    "dropping, still planned as a hash join on the null-safe key (no "
+    "BNLJ). Oracle uses IS NOT DISTINCT FROM — identical semantics.",
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 600)
+        .select(F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck"), "c_acctbal")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk"), "s_acctbal"
+    )
+    joined = c.join(s, c["ck"].eqNullSafe(s["sk"]))
+    return joined.groupBy(F.col("ck").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("c_acctbal") + F.col("s_acctbal")), 2).alias("bal"),
+    )

@@ -165,3 +165,64 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (v FOR k IN (nation_id, region_id))
         """
     )
+
+
+@register(
+    "sql_lateral_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1
+    )
+    WHERE c_custkey <= 300
+    """,
+    description="LATERAL correlated subquery with ORDER BY ... LIMIT "
+    "(Spark 3.2+ LateralJoin -> DecorrelateInnerQuery; reference kin: "
+    "2.4 had only LATERAL VIEW generators). Same SQL text runs on both "
+    "engines — top-1-order-per-customer decorrelates into a ranked join, "
+    "not a per-row re-scan.",
+    tags=("sql", "subquery", "lateral"),
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 1
+        )
+        WHERE c_custkey <= 300
+        """
+    )
+
+
+@register(
+    "sql_hints",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="Join-strategy + partitioning hints through the SQL parser "
+    "(ResolveJoinStrategyHints / ResolveCoalesceHints): BROADCAST pins the "
+    "dimension build side, REPARTITION inserts an explicit exchange. "
+    "Results are hint-invariant, so the oracle is the same query unhinted; "
+    "the plan effect is asserted in tests/test_plans.py.",
+    tags=("sql", "hint"),
+)
+def sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation), REPARTITION(8) */
+               n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -318,3 +318,32 @@ def test_q21_exchange_budget(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sql_hints_shape(spark, sf_dir):
+    # /*+ BROADCAST(nation), REPARTITION(8) */ must actually pin the
+    # broadcast build side and insert the explicit round-robin exchange.
+    from ops_spark.plans import plan_summary
+    from ops_spark.queries import load_all
+    from ops_spark.queries.registry import get_query
+
+    load_all()
+    df = get_query("sql_hints").builder(spark, sf_dir)
+    p = plan_summary(df)
+    assert p.n_broadcast_hash_joins >= 1
+    assert "REPARTITION" in df._jdf.queryExecution().optimizedPlan().toString() or (
+        p.n_shuffle_exchanges >= 2
+    )
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    # EqualNullSafe keys still hash-partition (null buckets together);
+    # the planner must not fall back to BroadcastNestedLoopJoin.
+    from ops_spark.plans import plan_summary
+    from ops_spark.queries import load_all
+    from ops_spark.queries.registry import get_query
+
+    load_all()
+    p = plan_summary(get_query("join_null_safe").builder(spark, sf_dir))
+    assert p.n_nested_loop_joins == 0 and p.n_cartesian == 0
+    assert p.total_joins() >= 1
