@@ -945,3 +945,61 @@ def fn_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek(ts) - 1).cast("int").alias("dow"),
         F.dayofyear(ts).cast("int").alias("doy"),
     )
+
+
+@register(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT o_orderkey,
+           'a_x:' || (o_orderkey * 2) || ',b_x:' || (o_custkey * 2) AS doubled,
+           CASE
+             WHEN o_orderkey % 2 = 0 AND o_custkey % 2 = 0
+               THEN 'a:' || o_orderkey || ',b:' || o_custkey
+             WHEN o_orderkey % 2 = 0 THEN 'a:' || o_orderkey
+             WHEN o_custkey % 2 = 0 THEN 'b:' || o_custkey
+             ELSE ''
+           END AS evens,
+           'a:' || (o_orderkey + o_custkey) AS zipped
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    description="Map higher-order functions (higherOrderFunctions.scala:538 "
+    "kin): transform_keys, transform_values, map_filter, map_zip_with. "
+    "Maps are serialized to sorted key:value csv on both sides (driver "
+    "canonicalizer cannot sort raw dict cells); values are integers so the "
+    "engines' number->string rendering agrees.",
+    tags=("function", "map", "higher-order"),
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("o_orderkey"), F.col("o_custkey")),
+    )
+
+    def entries_csv(mp):
+        return F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(mp),
+                    lambda e: F.concat(e.key, F.lit(":"), e.value.cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    doubled = F.transform_values(
+        F.transform_keys(m, lambda k, v: F.concat(k, F.lit("_x"))),
+        lambda k, v: v * 2,
+    )
+    evens = F.map_filter(m, lambda k, v: v % 2 == 0)
+    zipped = F.map_zip_with(
+        F.create_map(F.lit("a"), F.col("o_orderkey")),
+        F.create_map(F.lit("a"), F.col("o_custkey")),
+        lambda k, v1, v2: v1 + v2,
+    )
+    return orders.select(
+        "o_orderkey",
+        entries_csv(doubled).alias("doubled"),
+        entries_csv(evens).alias("evens"),
+        entries_csv(zipped).alias("zipped"),
+    )

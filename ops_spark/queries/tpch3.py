@@ -81,9 +81,22 @@ def Q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Broadcast-join the selective part filter BELOW the supply aggregate:
+    # the (partkey, suppkey) groupBy then shuffles only lineitem rows whose
+    # part survives (~1/30 here) instead of the whole table — the join is
+    # map-side, so the filter costs no extra shuffle. Same result as
+    # aggregating first (min per group is unaffected by dropping groups).
+    li = _t(spark, sf_dir, "lineitem")
+    supply = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
     regional = (
-        _supply(spark, sf_dir)
-        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        supply.join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(_t(spark, sf_dir, "supplier")),
             F.col("suppkey") == F.col("s_suppkey"),

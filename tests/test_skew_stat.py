@@ -525,3 +525,44 @@ def test_bloom_filter_broadcast_path_matches_literal(spark):
     a = {r.v: r.h for r in lit.collect()}
     b = {r.v: r.h for r in brd.collect()}
     assert a == b
+
+
+def test_from_xml_and_xpath(spark):
+    """XML surface (Spark 4 from_xml + the older xpath_* family). No DuckDB
+    XML support, so this is test-pinned rather than oracle-checked."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "<item><name>bolt</name><qty>7</qty></item>"),
+         (2, "<item><name>nut</name><qty>11</qty></item>")],
+        "id int, xml string",
+    )
+    parsed = df.select(
+        "id",
+        F.from_xml("xml", "name STRING, qty INT").alias("v"),
+        F.xpath_string("xml", F.lit("/item/name")).alias("xname"),
+        F.xpath_int("xml", F.lit("/item/qty")).alias("xqty"),
+    ).select("id", "v.name", "v.qty", "xname", "xqty")
+    rows = {r.id: r for r in parsed.collect()}
+    assert rows[1].name == "bolt" and rows[1].qty == 7
+    assert rows[2].xname == "nut" and rows[2].xqty == 11
+    # schema_of_xml infers the struct shape
+    inferred = spark.range(1).select(
+        F.schema_of_xml(F.lit("<item><qty>7</qty></item>")).alias("s")
+    ).head().s
+    assert "qty" in inferred
+
+
+def test_parameterized_sql(spark):
+    """spark.sql(..., args=...) named and positional parameter binding
+    (Spark 3.4+ parameterized queries — injection-safe literals)."""
+    named = spark.sql(
+        "SELECT id FROM range(10) WHERE id BETWEEN :lo AND :hi ORDER BY id",
+        args={"lo": 3, "hi": 5},
+    ).collect()
+    assert [r.id for r in named] == [3, 4, 5]
+    pos = spark.sql(
+        "SELECT id FROM range(10) WHERE id > ? AND id < ? ORDER BY id",
+        args=[6, 9],
+    ).collect()
+    assert [r.id for r in pos] == [7, 8]
