@@ -1,12 +1,13 @@
 """Python Data Source API (Spark 4): a user-defined source with partition
-planning and source-level filter pushdown.
+planning, source-level filter pushdown, and a two-phase-commit writer.
 
-Capability parity: the reference's DataSource V2 read path
+Capability parity: the reference's DataSource V2 read AND write paths
 (sql/core/.../datasources/v2/DataSourceV2ScanExec.scala, reader factories
-+ InputPartition planning) — re-expressed through PySpark's
-``pyspark.sql.datasource`` surface, the Python-native descendant of that
-API: ``partitions()`` is InputPartition planning, ``pushFilters()`` is
-SupportsPushDownFilters.
++ InputPartition planning; WriteToDataSourceV2Exec.scala commit protocol)
+— re-expressed through PySpark's ``pyspark.sql.datasource`` surface, the
+Python-native descendant of that API: ``partitions()`` is InputPartition
+planning, ``pushFilters()`` is SupportsPushDownFilters, and
+``JsonlDirWriter`` implements task-stage → driver-commit.
 
 The source generates deterministic synthetic events from pure arithmetic
 on the row id, so any engine can reproduce it exactly (the DuckDB oracle
@@ -24,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -32,6 +34,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -119,9 +122,74 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         return iter([_gen_row(i) for i in range(int(start["next"]), int(end["next"]))])
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    n_rows: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Write path with the V2 two-phase commit protocol (reference:
+    datasources/v2/WriteToDataSourceV2Exec.scala commit flow): each task
+    writes to a private staged file and returns a commit message; only the
+    DRIVER's commit() makes results visible (atomic renames + _SUCCESS),
+    and abort() discards stages — a failed/speculated task can never leave
+    partial output. Local-FS paths here; on a cluster the same protocol
+    targets shared storage."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("ops_events writer requires .option('path', dir)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(staged_path=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import glob
+        import os
+        import shutil
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+        total = 0
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged_path))
+            os.replace(m.staged_path, final)  # atomic on one filesystem
+            total += m.n_rows
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
 class SyntheticEventsDataSource(DataSource):
     """spark.read.format("ops_events").option("rows", N) source —
-    batch reader with pushdown AND micro-batch stream reader."""
+    batch reader with pushdown, micro-batch stream reader, AND a batch
+    writer with the two-phase commit protocol."""
 
     @classmethod
     def name(cls) -> str:
@@ -137,6 +205,9 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(
             {k.lower(): v for k, v in self.options.items()}
         )
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(dict(self.options.items()), overwrite)
 
 
 def register_python_source(spark) -> None:

@@ -424,3 +424,25 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmax", 4).alias("vmax"),
         F.round(F.round("total", 4) / F.col("cnt"), 6).alias("avg"),
     )
+
+
+@register(
+    "stat_approx_topk",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="approx_top_k sketch aggregate (Spark 4 ApproxTopK; "
+    "space-saving summary). The fixture domain (5 priorities) is far "
+    "below maxItemsTracked, where the sketch is EXACT — so the oracle is "
+    "plain GROUP BY counts and the result is exploded to (item, cnt) "
+    "rows (the driver compares row sets, dodging sketch tie order).",
+    tags=("aggregate", "sketch", "approx"),
+)
+def stat_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    sk = o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("top"))
+    return sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
+    )

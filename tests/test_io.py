@@ -533,3 +533,37 @@ def test_avro_functions_encode_decode(spark):
         "s.id", "s.v"
     )
     assert [(r.id, r.v) for r in dec.collect()] == [(0, 0), (1, 2), (2, 4)]
+
+
+def test_python_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """Python DataSource write path (Spark 4 DataSourceWriter): task-side
+    staged files + driver-side atomic commit (+_SUCCESS), overwrite mode,
+    and roundtrip fidelity."""
+    import os
+
+    from ops_spark.io.pysource import register_python_source
+
+    register_python_source(spark)
+    out = str(tmp_path / "pyds_out")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.repartition(4).write.format("ops_events").mode("append").option(
+        "path", out
+    ).save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging")), "staging must be cleaned"
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert int(fh.read()) == nat.count()
+    back = spark.read.json(out)
+    assert back.count() == nat.count()
+    a = sorted(r.n_name for r in nat.collect())
+    b = sorted(r.n_name for r in back.select("n_name").collect())
+    assert a == b
+
+    # Overwrite replaces prior committed files, not appends.
+    nat.limit(5).repartition(2).write.format("ops_events").mode(
+        "overwrite"
+    ).option("path", out).save()
+    assert spark.read.json(out).count() == 5

@@ -347,3 +347,13 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     p = plan_summary(get_query("join_null_safe").builder(spark, sf_dir))
     assert p.n_nested_loop_joins == 0 and p.n_cartesian == 0
     assert p.total_joins() >= 1
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    # rank() <= k filters must plan the Spark 3.5 WindowGroupLimit
+    # pushdown: each partition keeps only k candidates BEFORE the full
+    # window sort — the difference between shuffling k rows per group and
+    # shuffling every row at 100 TB.
+    df = q.get_query("topk_per_group").builder(spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in txt
