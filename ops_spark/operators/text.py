@@ -214,3 +214,86 @@ def pack_sequences(
     return df.withColumn("start_offset", start.cast("bigint")).withColumn(
         "bin_id", F.floor(F.col("start_offset") / capacity).cast("bigint")
     )
+
+
+def ngram_repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher/C4-style quality rule):
+    fraction of duplicate n-grams inside each doc. High ratios flag
+    degenerate/boilerplate text that length or stopword checks miss.
+
+    Pure codegen: per-row list ops (transform over a token-index sequence,
+    array_distinct), zero shuffle — the operator cost is a projection.
+    """
+    toks = tokens(F.col(text_col), lowercase=True)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("n_grams", F.size(grams).cast("bigint")).withColumn(
+        "n_unique_grams", F.size(F.array_distinct(grams)).cast("bigint")
+    ).withColumn(
+        "dup_gram_ratio",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                (F.col("n_grams") - F.col("n_unique_grams"))
+                / F.col("n_grams"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def boilerplate_tokens(
+    df: DataFrame, text_col: str = "text", min_doc_frac: float = 0.5
+) -> DataFrame:
+    """Corpus-level boilerplate discovery: tokens appearing in more than
+    ``min_doc_frac`` of documents (the data-driven stopword/boilerplate
+    list CCNet-style pipelines subtract before dedup scoring).
+
+    Scale shape: explode to DISTINCT (doc, token) pairs — map-side
+    distinct inside each doc via array_distinct BEFORE the explode, so the
+    shuffle carries at most vocab-per-doc rows — then one groupBy(token)
+    count against the (broadcastable scalar) corpus size.
+    """
+    n_docs = df.count()
+    pairs = df.select(
+        F.explode(F.array_distinct(tokens(F.col(text_col), lowercase=True))).alias(
+            "token"
+        )
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > min_doc_frac * n_docs)
+        .withColumn(
+            "doc_frac", F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6)
+        )
+    )
+
+
+# Deliberately simple, auditable patterns (an NER model is out of scope);
+# ordering matters: emails before phones so user@555-1234.com never
+# half-matches. Same regex dialect subset works in Java and RE2-likes.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Regex redaction of emails / phone numbers / IPv4 literals — the
+    pre-training scrub pass. Chained regexp_replace stays inside codegen;
+    at 100 TB this is scan-speed work."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return col

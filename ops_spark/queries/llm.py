@@ -801,3 +801,136 @@ def llm_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_components(docs, pairs, id_col="doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "llm_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt FROM counts
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    description="Global vocabulary top-k (the Zipf head a tokenizer trainer "
+    "inspects first): explode tokens -> count -> top-20 with deterministic "
+    "(count, token) tie-break. Partial aggregation collapses counts "
+    "map-side; only the vocabulary reaches the shuffle, and TakeOrdered "
+    "keeps the top-k without a global sort.",
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"), lowercase=True)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE []::VARCHAR[] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT)                 AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT)  AS n_unique_grams,
+           CASE WHEN len(grams) > 0
+             THEN round((len(grams) - len(list_distinct(grams)))
+                        / CAST(len(grams) AS DOUBLE), 6)
+             ELSE 0.0 END                             AS dup_gram_ratio
+    FROM g
+    """,
+    description="Within-doc duplicate-trigram ratio (Gopher repetition "
+    "quality rule, operators/text.py:ngram_repetition_stats): flags "
+    "degenerate text that length/stopword checks miss. Pure per-row list "
+    "codegen, zero shuffle.",
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.ngram_repetition_stats(docs, "text", n=3).select(
+        "doc_id", "n_grams", "n_unique_grams", "dup_gram_ratio"
+    )
+
+
+@register(
+    "llm_boilerplate_tokens",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           round(count(*) / (SELECT n_docs FROM n), 6) AS doc_frac
+    FROM pairs
+    GROUP BY token
+    HAVING count(*) > 0.5 * (SELECT n_docs FROM n)
+    """,
+    description="Corpus boilerplate/stopword discovery "
+    "(operators/text.py:boilerplate_tokens): tokens in >50% of docs by "
+    "document frequency. array_distinct BEFORE explode keeps the shuffle "
+    "at vocab-per-doc rows, not token occurrences.",
+    tags=("llm", "text", "boilerplate"),
+)
+def llm_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.boilerplate_tokens(docs, "text", min_doc_frac=0.5)
+
+
+@register(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || doc_id || '@mail-' || doc_id
+                      || '.example.com or ' || (100 + doc_id % 900) || '-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS scrubbed
+    FROM documents
+    """,
+    description="PII scrub pass (operators/text.py:scrub_pii): chained "
+    "regexp redaction of emails/phones/IPv4 (email first so hostile "
+    "half-matches cannot survive). Fixture docs carry no PII, so each doc "
+    "gets a deterministic synthesized contact tail — the scrubbed output "
+    "must collapse it to <EMAIL>/<PHONE>/<IP> on both engines.",
+    tags=("llm", "text", "pii"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail-"), F.col("doc_id"), F.lit(".example.com or "),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    return docs.select("doc_id", T.scrub_pii(tail).alias("scrubbed"))
