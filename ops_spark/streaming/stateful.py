@@ -75,6 +75,50 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+EXPIRING_SCHEMA = "user_id bigint, n_events bigint, status string"
+
+
+def _expire_user_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Open a per-user session on data; when the user goes quiet for the
+    timeout duration, the TIMEOUT callback (hasTimedOut=True, no input)
+    emits the final 'expired' record and removes state — the
+    GroupStateTimeout lifecycle (reference GroupStateImpl.scala timeout
+    semantics) end to end, including Spark's no-data micro-batches that
+    fire timers when no new input arrives."""
+    if state.hasTimedOut:
+        (n,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "status": ["expired"]}
+        )
+        return
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    state.setTimeoutDuration(1500)
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "status": ["open"]})
+
+
+def expiring_sessions(events: DataFrame) -> DataFrame:
+    """Per-user sessions that emit a final record on processing-time
+    timeout (the state-expiry half of the FlatMapGroupsWithState
+    contract)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _expire_user_sessions,
+            outputStructType=EXPIRING_SCHEMA,
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def user_totals_tws(events: DataFrame) -> DataFrame:
     """Per-user running totals via transformWithStateInPandas (Spark 4).
 

@@ -567,3 +567,118 @@ def test_python_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
         "overwrite"
     ).option("path", out).save()
     assert spark.read.json(out).count() == 5
+
+
+def test_stateful_processing_time_timeout_expires_sessions(spark, tmp_path):
+    """GroupStateTimeout.ProcessingTimeTimeout end-to-end: a user whose
+    stream goes quiet gets the timeout callback (hasTimedOut=True) in a
+    later micro-batch — including Spark's no-data batches — emitting the
+    final 'expired' record and clearing state."""
+    import os
+    import time
+
+    from ops_spark.streaming.stateful import expiring_sessions
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id bigint, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(src)
+    q = (
+        expiring_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("expiring_sessions")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        expired: dict[int, int] = {}
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM expiring_sessions WHERE status = 'expired'"
+            ).collect()
+            expired = {r.user_id: r.n_events for r in rows}
+            if {1, 2} <= set(expired):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert expired.get(1) == 2 and expired.get(2) == 1, f"got {expired}"
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Outer stream-stream join (reference StreamingSymmetricHashJoinExec
+    kin): unmatched left rows are held in state and emitted with nulls
+    only once the watermark (min across both streams) passes their join
+    window — so a second, later batch on BOTH inputs drives the eviction.
+    Inner-join results plus exactly the unmatched-left row must appear."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(d, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write(ldir, [("a", t0), ("lonely", t0)], "k string, lts timestamp")
+    write(rdir, [("a", t0 + timedelta(seconds=5))], "k string, rts timestamp")
+
+    from pyspark.sql import functions as F
+
+    left = (
+        spark.readStream.schema("k string, lts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir)
+        .withWatermark("lts", "5 seconds")
+    )
+    right = (
+        spark.readStream.schema("k string, rts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+        .withWatermark("rts", "5 seconds")
+    )
+    joined = left.join(
+        right,
+        (left.k == right.k)
+        & (right.rts >= left.lts - F.expr("INTERVAL 30 SECONDS"))
+        & (right.rts <= left.lts + F.expr("INTERVAL 30 SECONDS")),
+        "leftOuter",
+    ).select(left.k, "lts", "rts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # Later data on BOTH streams advances the min watermark beyond
+        # lonely's window, forcing the unmatched emission.
+        late = t0 + timedelta(minutes=10)
+        write(ldir, [("z", late)], "k string, lts timestamp")
+        write(rdir, [("z", late)], "k string, rts timestamp")
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {
+                (r.k, r.rts is None)
+                for r in spark.sql("SELECT * FROM ss_left_outer").collect()
+            }
+            if ("lonely", True) in got and ("a", False) in got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert ("a", False) in got, f"inner match missing: {got}"
+    assert ("lonely", True) in got, f"unmatched left not emitted: {got}"
