@@ -338,3 +338,36 @@ def ann_topk(
         ),
     )
     return _topk_window(scored, k)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) clamped to [-127, 127] — the 4×
+    storage/bandwidth cut an ANN serving tier takes before distance
+    rescoring (error bound ≤ scale/2 per component).
+
+    Engine-reproducible by construction: float32 inputs widen to exact
+    doubles, and floor(x + 0.5) is deterministic IEEE arithmetic (unlike
+    round(), whose half-way rule differs across engines). The scale is
+    exported as integer micro-units for the same reason. Pure codegen,
+    zero shuffle.
+    """
+    v = F.col(vec_col)
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    ) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / F.col(f"{prefix}_scale") + 0.5).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn(f"{prefix}_scale", scale).withColumn(
+        f"{prefix}_scale_micro", F.floor(F.col(f"{prefix}_scale") * 1e6).cast("bigint")
+    ).withColumn(f"{prefix}_vec", q)

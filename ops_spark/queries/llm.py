@@ -934,3 +934,41 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
     )
     return docs.select("doc_id", T.scrub_pii(tail).alias("scrubbed"))
+
+
+@register(
+    "llm_quantize_embeddings",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e6) AS BIGINT) AS q_scale_micro,
+           array_to_string(list_transform(embedding,
+             x -> CAST(greatest(-127, least(127,
+               CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS VARCHAR)
+           ), ',') AS q_csv
+    FROM s
+    """,
+    description="Symmetric int8 embedding quantization "
+    "(operators/similarity.py:quantize_int8): per-vector scale = "
+    "max|v|/127, components floor(v/scale + 0.5) clamped — the 4x "
+    "storage cut before ANN rescoring. floor-based rounding and "
+    "micro-unit scales keep both engines bit-identical; zero shuffle.",
+    tags=("llm", "embedding", "quantization"),
+)
+def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "embedding", prefix="q")
+    return out.select(
+        "vec_id",
+        "q_scale_micro",
+        F.array_join(F.transform("q_vec", lambda x: x.cast("string")), ",").alias(
+            "q_csv"
+        ),
+    )

@@ -506,3 +506,37 @@ def test_time_rollup_single_scan_two_shuffles(spark, sf_dir):
         assert d.cnt == cnt
         assert abs(d.total - total) < 1e-6 * max(1.0, abs(total))
         assert d.vmin == vmin and d.vmax == vmax
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    # Dequantized vectors must sit within scale/2 per component (the
+    # symmetric-quantization guarantee), and the int range must hold.
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding", prefix="q")
+    checked = q.select(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "q_vec",
+                lambda v, qi: F.abs(
+                    v.cast("double") - qi.cast("double") * F.col("q_scale")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.col("q_scale") / 2 + F.lit(1e-9)).alias("bound"),
+        F.array_max("q_vec").alias("hi"),
+        F.array_min("q_vec").alias("lo"),
+    )
+    bad = checked.filter(
+        (F.col("max_err") > F.col("bound"))
+        | (F.col("hi") > 127)
+        | (F.col("lo") < -127)
+    ).count()
+    assert bad == 0
