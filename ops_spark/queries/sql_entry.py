@@ -202,6 +202,129 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_RECURSIVE_CTE = """
+WITH RECURSIVE months(m) AS (
+  SELECT 1
+  UNION ALL
+  SELECT m + 1 FROM months WHERE m < 12
+)
+SELECT m AS month_no, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON month(o_orderdate) = m
+GROUP BY m
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=SQL_RECURSIVE_CTE,
+    description="WITH RECURSIVE (Spark 4.0 UnionLoop; the reference era had "
+    "no recursion — SURVEY §2.7 notes set-ops only). Iterative month-series "
+    "generation joined back to a fact table; same SQL text runs on DuckDB. "
+    "Recursion depth is bounded by the WHERE guard (and Spark's "
+    "cteRecursionLevelLimit=100 backstop), so this is driver-safe: each "
+    "iteration is a 1-row local scan, the only distributed work is the "
+    "final join+agg.",
+    tags=("sql", "cte", "recursive"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_CTE)
+
+
+@register(
+    "sql_collation",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_auto
+    FROM (SELECT c_nationkey,
+                 CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END AS seg
+          FROM customer)
+    WHERE lower(seg) = 'automobile'
+    GROUP BY c_nationkey
+    """,
+    description="Case-insensitive string collation (Spark 4.0 COLLATE "
+    "UTF8_LCASE; CollationKey-based compare/hash — absent from the "
+    "reference's UTF8String binary-only comparisons). The mixed-case column "
+    "is compared under UTF8_LCASE so 'AUTOMOBILE' and 'automobile' hash to "
+    "one group; the oracle is the portable lower() formulation. Collation "
+    "participates in hash partitioning, so grouping on a collated key still "
+    "shuffles correctly at scale.",
+    tags=("sql", "collation"),
+)
+def sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_auto
+        FROM (SELECT c_nationkey,
+                     CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                          ELSE c_mktsegment END AS seg
+              FROM customer)
+        WHERE seg COLLATE UTF8_LCASE = 'automobile'
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT r_name, count(*) AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    WHERE r_regionkey <= 3
+    GROUP BY r_name
+    """,
+    description="EXECUTE IMMEDIATE with a positional parameter (Spark 4.0 "
+    "dynamic SQL; complements the parameterized-SQL query in udfs.py). The "
+    "SQL text is composed at runtime and bound with USING — the oracle is "
+    "the same statement with the literal inlined.",
+    tags=("sql", "dynamic"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT r_name, count(*) AS n_nations
+           FROM region JOIN nation ON n_regionkey = r_regionkey
+           WHERE r_regionkey <= ? GROUP BY r_name'
+        USING 3
+        """
+    )
+
+
+@register(
+    "sql_scripting",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_big
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    description="SQL scripting compound (Spark 4.0 BEGIN/DECLARE/SET/END, "
+    "SQL/PSM subset): a session variable is populated from a scalar "
+    "subquery and referenced by the final statement, whose result the "
+    "script returns. The oracle inlines the variable as a scalar subquery. "
+    "Control flow runs on the driver; each statement is still a full "
+    "Catalyst-planned distributed query.",
+    tags=("sql", "scripting"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE DEFAULT 0.0;
+          SET threshold = (SELECT avg(o_totalprice) FROM orders);
+          SELECT o_orderstatus, count(*) AS n_big
+          FROM orders
+          WHERE o_totalprice > threshold
+          GROUP BY o_orderstatus;
+        END
+        """
+    )
+
+
 @register(
     "sql_hints",
     oracle="""

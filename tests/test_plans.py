@@ -357,3 +357,32 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     df = q.get_query("topk_per_group").builder(spark, sf_dir)
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in txt
+
+
+def test_recursive_cte_plans_union_loop(spark, sf_dir):
+    # WITH RECURSIVE must plan Spark 4's UnionLoop iterative node, not be
+    # silently rewritten to a bounded unroll; the loop body re-executes per
+    # level with the previous level as input.
+    df = q.get_query("sql_recursive_cte").builder(spark, sf_dir)
+    txt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in txt or "CTERelation" in txt
+
+
+def test_collated_filter_is_codegen_not_udf(spark, sf_dir):
+    # COLLATE UTF8_LCASE comparisons must stay JVM-side (collation-aware
+    # predicate), never fall back to a Python UDF.
+    df = q.get_query("sql_collation").builder(spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_sql_scripting_variable_resolution(spark, sf_dir):
+    # The script's DECLARE/SET variable must resolve: final SELECT returns
+    # only orders above the computed average.
+    import ops_spark.io as io_mod
+
+    df = q.get_query("sql_scripting").builder(spark, sf_dir)
+    total = df.agg({"n_big": "sum"}).collect()[0][0]
+    io_mod.register_views(spark, sf_dir)
+    n_orders = spark.table("orders").count()
+    assert 0 < total < n_orders
