@@ -609,3 +609,134 @@ def embedding_dedup(
             .select(F.col("id_b").alias(id_col))
         )
     return df.join(dups.distinct(), id_col, "left_anti")
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation set (the train/test-overlap check every
+    pretraining pipeline runs before training; same shape as GPT-3's
+    13-gram and Dolma's paragraph-overlap decontam passes).
+
+    Returns one row per training doc: ``n_shared`` distinct shingles also
+    present in the eval set, and a ``contaminated`` flag.
+
+    Scale contract: the eval side (benchmarks) is tiny relative to the
+    corpus, so its distinct-shingle set is BROADCAST — the 100 TB train
+    side is touched once, map-side, with no shuffle for the probe. The
+    per-doc count then aggregates on doc_id (one bounded shuffle). If an
+    eval set ever outgrew broadcast, drop the hint and the same plan
+    becomes a plain equi shuffle join.
+    """
+    train_sh = train.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh")
+    )
+    eval_sh = (
+        eval_df.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"))
+        .distinct()
+    )
+    # shingles() already emits distinct grams per doc, so count() == count
+    # of distinct shared shingles.
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("sh").alias("n_shared"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def positioned_grams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams with their 1-based start position:
+    array<struct<pos:int, g:string>> (NOT distinct — position matters).
+
+    Same lambda-binding trick as shingles(): bind the token expression
+    once so the per-position lambda does not re-tokenize the document.
+    """
+
+    def _per_doc(tk: Column) -> Column:
+        count = F.size(tk) - n + 1
+        made = F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice(tk, i, n), " ").alias("g"),
+            ),
+        )
+        return F.when(count >= 1, made).otherwise(
+            F.array().cast("array<struct<pos:int,g:string>>")
+        )
+
+    return F.transform(F.array(toks), _per_doc)[0]
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-doc fraction of tokens covered by corpus-repeated n-gram spans
+    (the exact-substring-dedup diagnostic of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 — token
+    n-grams standing in for their suffix-array byte spans).
+
+    A gram is "duplicated" when it occurs >= min_occurrences times across
+    the whole corpus (within-doc repeats count). Every token position
+    inside any duplicated gram is covered; coverage = covered / n_tokens.
+
+    Scale contract: positioned grams explode to ~1 row per token; the
+    occurrence count is a map-side-combining groupBy on the md5 gram key;
+    the join back is an equi join AQE can rebalance (a degenerate
+    boilerplate gram concentrates its *count*, not its pairs — no
+    quadratic stage anywhere). The position-coverage explode is bounded
+    at n rows per matched gram.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    ).withColumn("n_tokens", F.size("t").cast("bigint"))
+    pg = toks.select(
+        id_col,
+        F.explode(positioned_grams(F.col("t"), n)).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.md5("pg.g").alias("gk"))
+    dup_keys = (
+        pg.groupBy("gk")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gk")
+    )
+    covered = (
+        pg.join(dup_keys, "gk")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("cpos").alias("covered_tokens"))
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                ).otherwise(0.0),
+                4,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -11,6 +11,7 @@ shuffle (row-local). At 100 TB these are scan-bound map operators.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -297,3 +298,67 @@ def scrub_pii(text: Column | str) -> Column:
     for pattern, token in PII_PATTERNS:
         col = F.regexp_replace(col, pattern, token)
     return col
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFKC/NFD/NFKD).
+
+    Spark has no built-in normalizer, so this is the documented Pandas-UDF
+    tier: Arrow-batched, vectorized via pandas' str.normalize — the
+    standard first pass of a web-text pipeline (decomposed accents, fullwidth
+    forms, and compatibility characters collapse to one canonical form so
+    downstream hashing/dedup keys agree).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)
+
+
+# Fixed, auditable weights for the linear quality filter — stand-ins for a
+# trained fastText/logreg classifier's coefficients (the model-based quality
+# scoring tier of CCNet/DCLM-style pipelines). Only +,*,/ and comparisons:
+# IEEE-double-deterministic across engines, so the oracle can recompute the
+# logit bit-for-bit (no exp/log, which differ in ulps between libms).
+QUALITY_WEIGHTS = {
+    "len_norm": 1.5,  # min(n_tokens, 100)/100 — enough content
+    "avg_token_len": 0.35,  # sane word lengths
+    "stopword_ratio": 4.0,  # real prose has function words
+    "punct_ratio": -6.0,  # symbol soup penalty
+    "digit_ratio": -3.0,  # number-dump penalty
+}
+QUALITY_BIAS = -1.2
+
+
+def quality_logit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a linear quality-classifier logit + keep decision.
+
+    Features come from with_text_stats (each pre-rounded to 4dp so both
+    engines combine identical doubles); the logit is w·x + b with the
+    QUALITY_WEIGHTS above, and ``keep`` is logit > 0. Zero-shuffle,
+    whole-stage-codegen arithmetic — the shape a real exported linear
+    model compiles to (a trained classifier would just swap the weights).
+    """
+    s = with_text_stats(df, text_col)
+    w = QUALITY_WEIGHTS
+    len_norm = F.least(F.col("n_tokens_ws"), F.lit(100)).cast("double") / 100.0
+    logit = (
+        F.lit(QUALITY_BIAS)
+        + len_norm * w["len_norm"]
+        + F.col("avg_token_len") * w["avg_token_len"]
+        + F.col("stopword_ratio") * w["stopword_ratio"]
+        + F.col("punct_ratio") * w["punct_ratio"]
+        + F.col("digit_ratio") * w["digit_ratio"]
+    )
+    # Micro-unit encoding (floor(x*1e4 + 0.5)), not round(x, 4): round()'s
+    # decimal-halfway rule differs between engines on boundary doubles,
+    # while floor over identical IEEE arithmetic is bit-exact everywhere.
+    return s.withColumn(
+        "quality_logit_e4", F.floor(logit * 10000.0 + 0.5).cast("bigint")
+    ).withColumn("keep", logit > 0)

@@ -972,3 +972,148 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_csv"
         ),
     )
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+    ), ev AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n
+      FROM tr t JOIN ev e ON t.g = e.g GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    description="Benchmark decontamination: training docs sharing any word "
+    "3-gram with the held-out eval slice (doc_id % 97 == 0) are flagged. "
+    "Eval shingle set is broadcast; train side probed map-side.",
+    tags=("llm", "decontam"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.contamination(train, eval_df)
+
+
+@register(
+    "llm_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens, t FROM toks
+    ), pg AS (
+      SELECT doc_id, u.pos AS pos, md5(u.g) AS gk
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, n_tokens - 1),
+                     i -> struct_pack(pos := i,
+                                      g := t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS u
+            FROM base WHERE n_tokens >= 3)
+    ), dup AS (
+      SELECT gk FROM pg GROUP BY gk HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT cpos) AS covered
+      FROM (SELECT p.doc_id, unnest(range(p.pos, p.pos + 3)) AS cpos
+            FROM pg p JOIN dup d ON p.gk = d.gk)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CASE WHEN b.n_tokens > 0
+                      THEN CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n_tokens
+                      ELSE 0.0 END, 4) AS dup_fraction
+    FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+    """,
+    description="Duplicate-span coverage (Lee et al. 2022 exact-substring "
+    "dedup diagnostic): fraction of each doc's tokens inside a corpus-"
+    "repeated 3-gram. Inverted-index equi joins only; no all-pairs.",
+    tags=("llm", "dedup", "spans"),
+)
+def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_span_coverage(docs)
+
+
+@register(
+    "llm_unicode_normalize",
+    oracle="""
+    WITH dec AS (
+      SELECT doc_id, text || ' cafe' || chr(769) AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+           length(nfc_normalize(raw)) <> length(raw) AS changed
+    FROM dec
+    """,
+    description="Unicode NFC normalization (Pandas-UDF tier — Spark has no "
+    "built-in normalizer; DuckDB oracle uses nfc_normalize). A decomposed "
+    "e+COMBINING-ACUTE suffix is planted so the pass provably composes it.",
+    tags=("llm", "text", "unicode"),
+)
+def llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" café"))
+    out = docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("len_raw"),
+        F.length(T.normalize_unicode(raw)).cast("bigint").alias("len_nfc"),
+    )
+    return out.withColumn("changed", F.col("len_nfc") != F.col("len_raw"))
+
+
+@register(
+    "llm_quality_filter",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+             len(regexp_extract_all(text, '[0-9]')) AS digits
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(t) AS ntok, nc, punct, digits,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','is'],
+                                                   lower(x)))) AS nstop
+      FROM s
+    ), f AS (
+      SELECT doc_id, ntok,
+        round(CASE WHEN ntok > 0 THEN CAST(nc AS DOUBLE) / ntok ELSE 0.0 END, 4) AS f_avg,
+        round(CASE WHEN ntok > 0 THEN CAST(nstop AS DOUBLE) / ntok ELSE 0.0 END, 4) AS f_stop,
+        round(CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE) / nc ELSE 0.0 END, 4) AS f_punct,
+        round(CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE) / nc ELSE 0.0 END, 4) AS f_digit
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(floor((-1.2 + (CAST(least(ntok, 100) AS DOUBLE) / 100.0) * 1.5
+                      + f_avg * 0.35 + f_stop * 4.0
+                      + f_punct * (-6.0) + f_digit * (-3.0)) * 10000.0 + 0.5)
+                AS BIGINT) AS quality_logit_e4,
+           (-1.2 + (CAST(least(ntok, 100) AS DOUBLE) / 100.0) * 1.5
+                      + f_avg * 0.35 + f_stop * 4.0
+                      + f_punct * (-6.0) + f_digit * (-3.0)) > 0 AS keep
+    FROM f
+    """,
+    description="Model-based quality filter: linear classifier logit over "
+    "the text-stats features (fixed auditable weights standing in for "
+    "trained coefficients; +,*,/ only so the oracle recomputes the logit "
+    "bit-for-bit). Zero-shuffle codegen.",
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_logit(docs).select("doc_id", "quality_logit_e4", "keep")

@@ -540,3 +540,64 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         | (F.col("lo") < -127)
     ).count()
     assert bad == 0
+
+
+def test_contamination_flags_eval_overlap(spark, docs):
+    from ops_spark.operators.dedup import contamination
+
+    # Eval set = doc 1's sentence; doc 2 (identical) and doc 3 (shares
+    # 7 of its 3-grams) are contaminated; doc 4 is clean; doc 7 is too
+    # short to have any 3-gram.
+    eval_df = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id").isin(2, 3, 4, 7))
+    got = {r.doc_id: (r.n_shared, r.contaminated) for r in contamination(train, eval_df).collect()}
+    assert got[2][1] and got[2][0] == 8  # 10 tokens -> 8 shingles, all shared
+    assert got[3][1] and 0 < got[3][0] < 8
+    assert got[4] == (0, False)
+    assert got[7] == (0, False)
+
+
+def test_duplicate_span_coverage_counts_positions(spark):
+    from ops_spark.operators.dedup import duplicate_span_coverage
+
+    rows = [
+        (1, "a b c d e"),  # "a b c" repeated in doc 2 -> positions 1..3 covered
+        (2, "a b c x y"),
+        (3, "p q r s t"),  # all grams unique -> 0 coverage
+        (4, "z z z z z z"),  # within-doc repeats count: every gram dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_fraction)
+           for r in duplicate_span_coverage(df).collect()}
+    assert got[1] == (5, 3, 0.6)
+    assert got[2] == (5, 3, 0.6)
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (6, 6, 1.0)
+
+
+def test_normalize_unicode_composes_and_folds(spark):
+    from ops_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [("café",), ("Ｈｉ",)], "s string"  # decomposed é, fullwidth "Hi"
+    )
+    out = df.select(
+        normalize_unicode("s", "NFC").alias("nfc"),
+        normalize_unicode("s", "NFKC").alias("nfkc"),
+    ).collect()
+    assert out[0].nfc == "café" and out[0].nfkc == "café"
+    assert out[1].nfc == "Ｈｉ"  # NFC keeps compatibility chars
+    assert out[1].nfkc == "Hi"  # NFKC folds them
+    with pytest.raises(ValueError):
+        normalize_unicode("s", "NFX")
+
+
+def test_quality_logit_keep_matches_sign(spark, docs):
+    from ops_spark.operators.text import quality_logit
+
+    rows = quality_logit(docs).select("doc_id", "quality_logit_e4", "keep").collect()
+    assert len(rows) == 7
+    for r in rows:
+        # e4 encoding only nudges at the 4th decimal; sign must agree except
+        # exactly at 0 (floor(0.5) == 0 keeps them consistent there too).
+        assert r.keep == (r.quality_logit_e4 > 0)
