@@ -92,3 +92,80 @@ def time_rollup(
             (F.col("total") / F.col("cnt")).alias("avg"),
         )
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    resolution: str = "day",
+) -> DataFrame:
+    """Regularize a sparse per-key series onto a dense time grid, filling
+    gaps by last-observation-carried-forward AND linear interpolation
+    (TimescaleDB time_bucket_gapfill / locf / interpolate, Spark-first).
+
+    Per key: bucket observations (max per bucket — deterministic across
+    engines, unlike order-dependent double sums), build the dense grid
+    with sequence(min, max, interval), left join observations back, then
+    one window pass computes the previous/next observed value and bucket
+    via last/first IGNORE NULLS. ``linear_e4`` is the interpolated value
+    in floor-rounded 1e-4 units (engine-bit-exact; round()'s halfway rule
+    is not portable), falling back to locf/nocb at the edges.
+
+    Scale contract: the grid explode is span/step rows per key, the join
+    is an equi join on (key, bucket), and both window specs partition by
+    key — state is one key's series, never global. A single pathological
+    key with a huge span is bounded by its own span/step, not by corpus
+    size; AQE rebalances the post-explode skew.
+    """
+    bucket = F.date_trunc(resolution, F.col(ts_col))
+    obs = df.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        F.max(value_col).alias("v")
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    step = F.expr(f"interval 1 {resolution}")
+    grid = spans.select(
+        key_col, F.explode(F.sequence("mn", "mx", step)).alias("bucket")
+    )
+    j = grid.join(obs, [key_col, "bucket"], "left")
+
+    from pyspark.sql.window import Window as W
+
+    back = (
+        W.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    w = (
+        j.withColumn("prev_v", F.last("v", ignorenulls=True).over(back))
+        .withColumn("prev_t", F.last(obs_t, ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("next_t", F.first(obs_t, ignorenulls=True).over(fwd))
+    )
+    frac = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp("prev_t")).cast("double")
+        / (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t")).cast("double")
+    )
+    interp = F.when(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("next_t") != F.col("prev_t")),
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+    )
+    linear = F.coalesce(interp, F.col("prev_v"), F.col("next_v"))
+    return w.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.col("v"),
+        F.col("prev_v").alias("locf"),
+        F.floor(linear * 10000.0 + 0.5).cast("bigint").alias("linear_e4"),
+    )

@@ -446,3 +446,60 @@ def stat_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
     )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, max(value) AS v
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    ), j AS (
+      SELECT g.user_id, g.bucket, o.v
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+    ), w AS (
+      SELECT user_id, bucket, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j
+    )
+    SELECT user_id, bucket, v, prev_v AS locf,
+      CAST(floor(coalesce(
+        CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t <> prev_t
+             THEN prev_v + (next_v - prev_v) *
+                  (CAST(CAST(epoch(bucket) AS BIGINT)
+                        - CAST(epoch(prev_t) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(epoch(next_t) AS BIGINT)
+                          - CAST(epoch(prev_t) AS BIGINT) AS DOUBLE))
+        END, prev_v, next_v) * 10000.0 + 0.5) AS BIGINT) AS linear_e4
+    FROM w
+    """,
+    description="Time-series gap fill + locf + linear interpolation "
+    "(operators/timeseries.py:gap_fill — TimescaleDB "
+    "time_bucket_gapfill/locf/interpolate re-expressed as sequence() grid "
+    "+ per-key IGNORE-NULLS windows). Sparse per-user daily 'error' "
+    "series densified; interpolated values in floor-e4 micro-units so "
+    "both engines agree bit-for-bit.",
+    tags=("aggregate", "timeseries", "window", "custom-operator"),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.timeseries import gap_fill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return gap_fill(ev, "ts", "user_id", "value", resolution="day")

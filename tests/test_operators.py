@@ -601,3 +601,25 @@ def test_quality_logit_keep_matches_sign(spark, docs):
         # e4 encoding only nudges at the 4th decimal; sign must agree except
         # exactly at 0 (floor(0.5) == 0 keeps them consistent there too).
         assert r.keep == (r.quality_logit_e4 > 0)
+
+
+def test_gap_fill_locf_and_linear(spark):
+    from datetime import datetime
+    from ops_spark.operators.timeseries import gap_fill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5), 10.0),
+        (1, datetime(2024, 1, 4, 9), 40.0),  # 2-day interior gap
+        (2, datetime(2024, 1, 2, 0), 7.0),  # single point -> no gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket.day): (r.v, r.locf, r.linear_e4)
+        for r in gap_fill(df).collect()
+    }
+    assert len(got) == 5  # 4 grid days for user 1, 1 for user 2
+    assert got[(1, 1)] == (10.0, 10.0, 100000)
+    assert got[(1, 2)] == (None, 10.0, 200000)  # locf holds, linear 20.0
+    assert got[(1, 3)] == (None, 10.0, 300000)  # linear 30.0
+    assert got[(1, 4)] == (40.0, 40.0, 400000)
+    assert got[(2, 2)] == (7.0, 7.0, 70000)
