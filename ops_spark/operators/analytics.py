@@ -1,0 +1,210 @@
+"""Warehouse / product-analytics operators: SCD2 merge, funnel, cohort
+retention, fixed-bin histograms, and Z-order layout keys.
+
+The reference is a SQL engine, not an analytics library — these are the
+composite operators its users hand-write on top (SURVEY §2 covers their
+building blocks: joins, windows, aggregates). Re-expressed here as reusable
+DataFrame combinators with explicit 100 TB shapes:
+
+- scd2_merge: one equi join + union — the slowly-changing-dimension type-2
+  upsert every warehouse runs nightly; no MERGE INTO needed (that's a
+  table-format feature, not an engine feature).
+- funnel_steps: k-step ordered funnel as k chained (agg → equi-join)
+  stages on the user key — never a per-user sort of the whole event log.
+- cohort_retention: two aggregations (first-seen, then cohort×offset),
+  both map-side combinable.
+- numeric_histogram: one groupBy on a codegen bucket expression.
+- zorder_key: bit-interleaving as a pure column expression; sorting or
+  range-partitioning by it before a write gives multi-dimensional data
+  skipping (min/max pruning works on BOTH dimensions), the standard
+  layout trick for 100 TB scan-heavy tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    update_ts: str,
+    eff_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge.
+
+    ``current`` carries the dimension history (open rows have NULL
+    ``end_col``); ``updates`` is the incoming snapshot with an ``update_ts``
+    column. Open rows whose tracked attributes changed are closed at the
+    update timestamp and a new open version is inserted; brand-new keys are
+    inserted; unchanged and already-closed rows pass through.
+
+    One equi join on the business key + a union — the whole merge is a
+    single shuffle by key (plus the union's no-op), so it scales as a
+    plain join. Null-safe comparison (eqNullSafe) so NULL→value and
+    value→NULL transitions count as changes.
+    """
+    open_rows = current.filter(F.col(end_col).isNull())
+    closed_rows = current.filter(F.col(end_col).isNotNull())
+
+    changed_cond = ~F.expr(
+        " AND ".join(f"cur.{c} <=> upd.{c}" for c in tracked_cols)
+    )
+    j = open_rows.alias("cur").join(
+        updates.alias("upd"), [F.col(f"cur.{k}") == F.col(f"upd.{k}") for k in key_cols], "full_outer"
+    )
+
+    cur_cols = [f"cur.{k}" for k in key_cols] + [f"cur.{c}" for c in tracked_cols]
+    upd_cols = [f"upd.{k}" for k in key_cols] + [f"upd.{c}" for c in tracked_cols]
+    has_cur = F.col(f"cur.{key_cols[0]}").isNotNull()
+    has_upd = F.col(f"upd.{key_cols[0]}").isNotNull()
+
+    # 1. Open rows with no update, or with an identical update: unchanged.
+    unchanged = j.filter(has_cur & (~has_upd | ~changed_cond)).select(
+        *[F.col(c).alias(c.split(".")[1]) for c in cur_cols],
+        F.col(f"cur.{eff_col}").alias(eff_col),
+        F.col(f"cur.{end_col}").alias(end_col),
+    )
+    # 2. Open rows whose tracked values changed: closed at update_ts.
+    closed_now = j.filter(has_cur & has_upd & changed_cond).select(
+        *[F.col(c).alias(c.split(".")[1]) for c in cur_cols],
+        F.col(f"cur.{eff_col}").alias(eff_col),
+        F.col(f"upd.{update_ts}").alias(end_col),
+    )
+    # 3. New versions: changed keys + brand-new keys, open-ended.
+    new_rows = j.filter(has_upd & (~has_cur | changed_cond)).select(
+        *[F.col(c).alias(c.split(".")[1]) for c in upd_cols],
+        F.col(f"upd.{update_ts}").alias(eff_col),
+        F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
+    )
+    return closed_rows.select(
+        *key_cols, *tracked_cols, eff_col, end_col
+    ).unionByName(unchanged).unionByName(closed_now).unionByName(new_rows)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered k-step funnel: per user, the earliest time each step was
+    reached AFTER the previous step's time. Returns one row per user with
+    t_1..t_k (NULL once the funnel breaks).
+
+    Shape: k chained (filter → groupBy(user).min(ts) → equi join) stages.
+    Each stage shuffles only users who survived the previous step — a
+    shrinking frontier, never a per-user sort of the full event log.
+    """
+    if not steps:
+        raise ValueError("at least one funnel step required")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+            .join(out.select(user_col, f"t_{i-1}"), user_col)
+            .filter(F.col("__ts") > F.col(f"t_{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t_{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active period, then
+    distinct-user counts per (cohort, periods_since).
+
+    Two aggregations, both map-side combinable: first-seen per user, then
+    count per (cohort, offset) over the (user × active-period) pairs. The
+    join attaching cohorts to activity is equi on the user key.
+    """
+    unit_days = {"day": 1, "week": 7}[period]
+    bucket = F.date_trunc(period, F.col(ts_col))
+    first_seen = events.groupBy(user_col).agg(F.min(bucket).alias("cohort"))
+    active = events.select(user_col, bucket.alias("p")).distinct()
+    return (
+        active.join(first_seen, user_col)
+        .withColumn(
+            "periods_since",
+            # floor(), not a bare bigint cast: Spark's double->bigint cast
+            # truncates while other engines round — floor is portable.
+            F.floor(F.datediff("p", "cohort") / unit_days).cast("bigint"),
+        )
+        .groupBy("cohort", "periods_since")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram: bucket index (1..nbins, 0/nbins+1 for
+    under/overflow), count, and per-bucket min/max. One codegen bucket
+    expression + one groupBy — the profiling primitive for 100 TB numeric
+    columns (df.stat's approxQuantile complements it for quantiles).
+
+    Bucket = floor((v - lo)/width) + 1, clamped — identical arithmetic is
+    reproducible in any engine (width_bucket() exists in Spark 3.5+, but
+    the explicit formula keeps the oracle contract exact).
+    """
+    width = (hi - lo) / nbins
+    v = F.col(value_col)
+    bucket = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(nbins + 1))
+        .otherwise((F.floor((v - F.lit(lo)) / F.lit(width)) + 1).cast("int"))
+    )
+    return (
+        df.select(bucket.alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+    )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — x in even positions, y in odd.
+
+    Pure codegen (shift/mask/sum), no UDF. Range-partitioning or sorting
+    by this key before a write co-locates rows that are close in BOTH
+    dimensions, so parquet min/max stats prune on either predicate — the
+    standard multi-dimensional layout optimization for scan-heavy tables
+    (Delta/Iceberg expose the same idea as OPTIMIZE ZORDER BY).
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 10) -> str:
+    """The DuckDB/ANSI expression reproducing zorder_key bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -8,6 +8,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from ops_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         functions_scalar,
         graph,
         joins,

@@ -1,0 +1,191 @@
+"""Warehouse / product-analytics queries wiring ops_spark.operators.analytics
+into the conformance registry: SCD2 merge, funnel, cohort retention,
+histogram profiling, Z-order layout keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ops_spark.io import load_table
+from ops_spark.operators import analytics as A
+from ops_spark.queries.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "an_scd2_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 600
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'WEB' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey <= 700
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM cur WHERE NOT (c_custkey % 3 = 0 OR c_custkey % 5 = 0)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '2024-01-01', '2024-06-01'
+    FROM cur WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '2024-06-01', CAST(NULL AS VARCHAR)
+    FROM upd WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0 OR c_custkey > 600
+    """,
+    description="SCD type-2 merge (operators/analytics.py:scd2_merge): "
+    "changed open rows close at the update timestamp and re-version; new "
+    "keys insert. One full-outer equi join + union — a single shuffle by "
+    "business key. The oracle enumerates the same three branches directly "
+    "from the synthetic change pattern (%3 balance bump, %5 segment flip, "
+    "keys 601-700 brand-new).",
+    tags=("analytics", "scd", "custom-operator"),
+)
+def an_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.filter(F.col("c_custkey") <= 600).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") <= 700).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("WEB"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("update_ts"),
+    )
+    merged = A.scd2_merge(
+        current, updates, ["c_custkey"], ["c_mktsegment", "c_acctbal"], "update_ts"
+    )
+    # ISO strings for the driver canonicalizer: literal DATEs round-trip as
+    # pandas Timestamp from DuckDB but datetime.date from Spark, which
+    # stringify differently.
+    return merged.withColumn(
+        "valid_from", F.date_format("valid_from", "yyyy-MM-dd")
+    ).withColumn("valid_to", F.date_format("valid_to", "yyyy-MM-dd"))
+
+
+@register(
+    "an_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t_1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t_2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t_1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t_3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t_2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_step1,
+           CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_step2,
+           CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_step3,
+           round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+                 / (SELECT count(*) FROM t1), 4) AS conversion
+    """,
+    description="Ordered 3-step funnel view→click→purchase "
+    "(operators/analytics.py:funnel_steps): per-user earliest step times "
+    "computed as chained agg→equi-join stages on a shrinking user "
+    "frontier — no per-user sort of the event log.",
+    tags=("analytics", "funnel", "custom-operator"),
+)
+def an_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = A.funnel_steps(ev, ["view", "click", "purchase"])
+    return f.agg(
+        F.count("t_1").cast("bigint").alias("n_step1"),
+        F.count("t_2").cast("bigint").alias("n_step2"),
+        F.count("t_3").cast("bigint").alias("n_step3"),
+        F.round(
+            F.count("t_3").cast("double") / F.count("t_1"), 4
+        ).alias("conversion"),
+    )
+
+
+@register(
+    "an_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    )
+    SELECT f.cohort,
+           CAST(floor(date_diff('day', f.cohort, a.p) / 7.0) AS BIGINT)
+             AS periods_since,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    description="Weekly cohort retention matrix "
+    "(operators/analytics.py:cohort_retention): first-seen week per user, "
+    "then distinct-user counts per (cohort, weeks-since). Two map-side "
+    "combinable aggregations + one equi join.",
+    tags=("analytics", "retention", "custom-operator"),
+)
+def an_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return A.cohort_retention(ev, period="week")
+
+
+@register(
+    "an_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 500.0 THEN 26
+                ELSE CAST(floor(value / 20.0) AS INT) + 1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY 1
+    """,
+    description="Equi-width numeric histogram over events.value "
+    "(operators/analytics.py:numeric_histogram): 25 bins on [0,500) with "
+    "under/overflow buckets. One codegen bucket expression + one groupBy; "
+    "the explicit floor formula (not width_bucket) keeps the oracle "
+    "bit-exact.",
+    tags=("analytics", "profiling"),
+)
+def an_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = A.numeric_histogram(ev, "value", 0.0, 500.0, 25)
+    return out.select("bucket", F.col("n").cast("bigint").alias("n"), "vmin", "vmax")
+
+
+@register(
+    "an_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           {A.zorder_key_sql('(o_custkey % 1024)',
+                             'CAST(floor(o_totalprice / 500.0) AS INT)')} AS zval
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    description="Z-order (Morton) layout key over (customer, price-bucket) "
+    "(operators/analytics.py:zorder_key): bit interleaving as pure codegen. "
+    "Range-partitioning by zval before a write co-locates rows close in "
+    "BOTH dimensions so parquet min/max stats prune on either predicate — "
+    "the OPTIMIZE ZORDER BY layout trick without a table format.",
+    tags=("analytics", "layout", "custom-operator"),
+)
+def an_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    z = A.zorder_key(
+        (F.col("o_custkey") % 1024).cast("int"),
+        F.floor(F.col("o_totalprice") / 500.0).cast("int"),
+    )
+    return o.select("o_orderkey", z.alias("zval"))

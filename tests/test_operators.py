@@ -623,3 +623,64 @@ def test_gap_fill_locf_and_linear(spark):
     assert got[(1, 3)] == (None, 10.0, 300000)  # linear 30.0
     assert got[(1, 4)] == (40.0, 40.0, 400000)
     assert got[(2, 2)] == (7.0, 7.0, 70000)
+
+
+def test_scd2_merge_semantics(spark):
+    from ops_spark.operators.analytics import scd2_merge
+
+    cur = spark.createDataFrame(
+        [
+            (1, "gold", "2020-01-01", None),  # open, will change
+            (2, "silver", "2020-01-01", None),  # open, unchanged update
+            (3, "bronze", "2020-01-01", None),  # open, no update at all
+            (1, "silver", "2019-01-01", "2020-01-01"),  # already closed
+        ],
+        "k long, tier string, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "platinum", "2024-06-01"), (2, "silver", "2024-06-01"),
+         (9, "new", "2024-06-01")],
+        "k long, tier string, update_ts string",
+    )
+    got = {
+        (r.k, r.tier, r.valid_from): r.valid_to
+        for r in scd2_merge(cur, upd, ["k"], ["tier"], "update_ts").collect()
+    }
+    assert len(got) == 6
+    assert got[(1, "gold", "2020-01-01")] == "2024-06-01"  # closed
+    assert got[(1, "platinum", "2024-06-01")] is None  # new version
+    assert got[(2, "silver", "2020-01-01")] is None  # unchanged
+    assert got[(3, "bronze", "2020-01-01")] is None  # untouched
+    assert got[(9, "new", "2024-06-01")] is None  # brand-new key
+    assert got[(1, "silver", "2019-01-01")] == "2020-01-01"  # history kept
+
+
+def test_funnel_requires_order(spark):
+    from datetime import datetime
+    from ops_spark.operators.analytics import funnel_steps
+
+    rows = [
+        (1, datetime(2024, 1, 1), "view"),
+        (1, datetime(2024, 1, 2), "click"),  # in order -> completes
+        (2, datetime(2024, 1, 2), "click"),
+        (2, datetime(2024, 1, 3), "view"),  # click BEFORE view -> step 2 null
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r.t_2 for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert got[1] is not None and got[2] is None
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from ops_spark.operators.analytics import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (1023, 1023)], "x int, y int")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    # x=0b11 even positions -> 0b0101=5; y=0b01 odd -> 0b0010=2; total 7.
+    assert got[0] == 7
+    assert got[1] == 0
+    assert got[2] == (1 << 20) - 1  # all 20 bits set
