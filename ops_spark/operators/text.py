@@ -362,3 +362,113 @@ def quality_logit(df: DataFrame, text_col: str = "text") -> DataFrame:
     return s.withColumn(
         "quality_logit_e4", F.floor(logit * 10000.0 + 0.5).cast("bigint")
     ).withColumn("keep", logit > 0)
+
+
+def _apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Replace every adjacent (left, right) pair in a symbol array with the
+    concatenation — one BPE merge, as a pure HOF left-fold (no UDF).
+
+    The accumulator is struct(res: array, carry: string): each step either
+    completes a pending merge, re-emits the carried symbol, or carries the
+    current one. greedy-leftmost semantics, matching the reference BPE
+    algorithm (Sennrich et al. 2016, arXiv:1508.07909).
+    """
+    merged = left + right
+    empty = F.array().cast("array<string>")
+    acc0 = F.struct(
+        empty.alias("res"), F.lit(None).cast("string").alias("carry")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        complete = (acc.carry == left) & (s == right)
+        return F.struct(
+            F.when(complete, F.concat(acc.res, F.array(F.lit(merged))))
+            .when(acc.carry.isNull(), acc.res)
+            .otherwise(F.concat(acc.res, F.array(acc.carry)))
+            .alias("res"),
+            F.when(complete, F.lit(None).cast("string"))
+            .when(s == left, s)
+            .otherwise(
+                F.when(acc.carry.isNull() | (acc.carry == left), s).otherwise(s)
+            )
+            .alias("carry"),
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            acc.carry.isNotNull(), F.concat(acc.res, F.array(acc.carry))
+        ).otherwise(acc.res)
+
+    return F.aggregate(symbols, acc0, step, fin)
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> "pd.DataFrame":
+    """Learn the first ``n_merges`` byte-pair-encoding merges from a corpus
+    (Sennrich et al. 2016): repeatedly count adjacent symbol pairs weighted
+    by word frequency and fuse the most frequent pair (ties broken
+    lexicographically so the result is engine-deterministic).
+
+    Distributed shape: ONE pass over the corpus builds the distinct-word
+    frequency table (the classic BPE state — its size is the vocabulary,
+    not the corpus); each merge iteration is a pair-explode + groupBy(sum)
+    over that small table plus a 1-row collect of the argmax. The merge
+    application itself is a JVM higher-order-function fold, so the loop
+    never ships word data through Python. k merges = k bounded shuffles
+    over vocab-sized data — at 100 TB the corpus is touched once.
+
+    Returns a pandas DataFrame (rank, left, right, merged, pair_freq) —
+    merge tables are driver-sized metadata like IVF centroids.
+    """
+    import pandas as pd
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col), lowercase=True)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            # filter the trailing "" that split-with-limit=-1 can emit
+            F.filter(F.split(F.col("w"), ""), lambda x: x != "").alias("sym"),
+            F.col("freq"),
+        )
+        .localCheckpoint()  # cut lineage; the loop re-reads this k times
+    )
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.when(
+                        F.size("sym") >= 2,
+                        F.zip_with(
+                            F.slice("sym", 1, F.size("sym") - 1),
+                            F.slice("sym", 2, F.size("sym") - 1),
+                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        top = pairs[0]
+        out.append(
+            {
+                "rank": rank,
+                "left": top["l"],
+                "right": top["r"],
+                "merged": top["l"] + top["r"],
+                "pair_freq": top["pair_freq"],
+            }
+        )
+        words = words.select(
+            _apply_merge(F.col("sym"), top["l"], top["r"]).alias("sym"), "freq"
+        ).localCheckpoint()
+    return pd.DataFrame(out)

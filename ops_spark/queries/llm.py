@@ -1117,3 +1117,23 @@ def llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.quality_logit(docs).select("doc_id", "quality_logit_e4", "keep")
+
+
+@register(
+    "x_llm_bpe_merges",
+    oracle=None,  # k-iteration driver loop is not single-statement SQL;
+    # pinned instead against a pure-Python Sennrich reference in
+    # tests/test_operators.py::test_bpe_merges_match_reference
+    description="BPE vocabulary induction (Sennrich et al. 2016): learn the "
+    "first 8 merges from the documents corpus. One corpus pass builds the "
+    "distinct-word frequency table; each merge is a vocab-sized "
+    "pair-explode + groupBy + 1-row argmax collect, with the merge applied "
+    "as a JVM higher-order-function fold (operators/text.py:bpe_merges).",
+    tags=("llm", "text", "bpe", "iterative"),
+)
+def x_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    )

@@ -684,3 +684,47 @@ def test_zorder_key_interleaves_bits(spark):
     assert got[0] == 7
     assert got[1] == 0
     assert got[2] == (1 << 20) - 1  # all 20 bits set
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich BPE for cross-checking the Spark loop."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, f in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, freq))
+        out = {}
+        for sym, f in words.items():
+            res, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + f
+        words = out
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from ops_spark.operators.text import bpe_merges
+
+    corpus = ["low low low lower lowest", "new newer newest low", "wide wider new"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_merges(df, n_merges=6)
+
+    freqs: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_reference(freqs, 6)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got.iloc[0]["merged"] == "lo"  # 'l','o' dominates this corpus
