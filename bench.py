@@ -53,15 +53,29 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: python-source warmup skipped: {exc}", file=sys.stderr)
 
+    def release_session_memory() -> None:
+        """Drop blocks the finished query left pinned (cache_scan's cached
+        table, iterative operators' final localCheckpoint) — outside the
+        timed window, so each query is measured against a lean session
+        instead of inheriting the previous 170 queries' residue."""
+        try:
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.rdd().unpersist(False)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: cleanup skipped: {exc}", file=sys.stderr)
+
     def run_once(name: str) -> float:
         query = q.get_query(name)
         t0 = time.perf_counter()
         try:
             query.builder(spark, sf_dir).count()
-            return round(time.perf_counter() - t0, 4)
+            elapsed = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the run
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            return -1.0
+            elapsed = -1.0
+        release_session_memory()
+        return elapsed
 
     timings: dict[str, float] = {name: run_once(name) for name in names}
     # The box's wall clock swings ~3× under concurrent load; a single noisy

