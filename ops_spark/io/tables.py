@@ -58,6 +58,18 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so queries can use
-    ``spark.sql`` (reference entry point: SparkSession.scala:641)."""
+    ``spark.sql`` (reference entry point: SparkSession.scala:641).
+
+    Idempotent per (session, sf_dir): each registration is 10 parquet
+    footer reads + py4j round trips (~0.5s), and every SQL-entry query
+    calls this — a session-scoped marker conf skips the re-read when the
+    views already point at the same fixture dir."""
+    key = "spark.ops_spark.viewsFor"
+    try:
+        if spark.conf.get(key, None) == sf_dir:
+            return
+    except Exception:  # noqa: BLE001 — conf read denied: fall through
+        pass
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(key, sf_dir)
