@@ -349,3 +349,44 @@ def sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+    FROM nation GROUP BY ALL
+    """,
+    description="GROUP BY ALL (Spark 3.4+/DuckDB shared dialect): grouping "
+    "keys inferred as every non-aggregate SELECT item. Same SQL text runs "
+    "on both engines.",
+    tags=("sql", "aggregate"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_star_except_order_all",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+    WHERE c_custkey <= 300 ORDER BY ALL
+    """,
+    description="SELECT * EXCEPT (...) projection pruning + ORDER BY ALL "
+    "(Spark 4.0 parser surface; DuckDB spells the except clause EXCLUDE, "
+    "so the oracle lists columns explicitly). The pruned columns must not "
+    "reach the scan — ReadSchema is plan-checked in tests.",
+    tags=("sql", "projection"),
+)
+def sql_star_except_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM customer "
+        "WHERE c_custkey <= 300 ORDER BY ALL"
+    )

@@ -682,3 +682,72 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
         q.stop()
     assert ("a", False) in got, f"inner match missing: {got}"
     assert ("lonely", True) in got, f"unmatched left not emitted: {got}"
+
+
+def test_default_column_values(spark):
+    """Column DEFAULT values (Spark 3.4+ DDL surface): INSERT with fewer
+    columns and the explicit DEFAULT keyword both fill from table metadata."""
+    spark.sql("DROP TABLE IF EXISTS dflt_demo")
+    spark.sql(
+        "CREATE TABLE dflt_demo(id INT, tier STRING DEFAULT 'standard') "
+        "USING parquet"
+    )
+    try:
+        spark.sql("INSERT INTO dflt_demo (id) VALUES (1)")
+        spark.sql("INSERT INTO dflt_demo VALUES (2, DEFAULT)")
+        spark.sql("INSERT INTO dflt_demo VALUES (3, 'gold')")
+        got = {r.id: r.tier for r in spark.table("dflt_demo").collect()}
+        assert got == {1: "standard", 2: "standard", 3: "gold"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dflt_demo")
+
+
+def test_to_arrow_roundtrip(spark):
+    """df.toArrow() (Spark 4.0): zero-copy-ish Arrow Table export — the
+    integration point for handing results to Arrow-native tooling."""
+    import pyarrow as pa
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS dbl")
+    tbl = df.toArrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == 5
+    assert tbl.column("dbl").to_pylist() == [0, 2, 4, 6, 8]
+    back = spark.createDataFrame(tbl.to_pandas())
+    assert back.count() == 5
+
+
+def test_state_store_reader(spark, tmp_path):
+    """State Store data source (Spark 4 observability): the checkpointed
+    aggregation state of a streaming query is queryable as a batch
+    DataFrame — the debugging/repair surface for production streaming
+    state. Values read from the store must equal the sink's results."""
+    import pyspark.sql.functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.range(12).selectExpr("id % 3 AS k", "id AS v").write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .writeStream.format("memory")
+        .queryName("state_reader_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.format("statestore").load(ckpt)
+    # the state VALUE row carries the aggregation buffer's field name
+    # ("sum"), not the output alias
+    got = {r["key"]["k"]: r["value"]["sum"] for r in state.collect()}
+    want = {
+        r.k: r.s for r in spark.table("state_reader_sink").collect()
+    }
+    assert got == want and len(got) == 3
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = [r.operatorName for r in meta.collect()]
+    assert "stateStoreSave" in ops

@@ -386,3 +386,31 @@ def test_sql_scripting_variable_resolution(spark, sf_dir):
     io_mod.register_views(spark, sf_dir)
     n_orders = spark.table("orders").count()
     assert 0 < total < n_orders
+
+
+def test_star_except_prunes_scan(spark, sf_dir):
+    # SELECT * EXCEPT must behave as projection pruning: the excluded
+    # columns never reach the parquet scan.
+    df = q.get_query("sql_star_except_order_all").builder(spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", txt)
+    assert schemas and all("c_name" not in s and "c_acctbal" not in s for s in schemas)
+
+
+def test_tablesample_repeatable(spark, sf_dir):
+    # TABLESAMPLE ... REPEATABLE parser surface (SampleExec): deterministic
+    # within an engine for a fixed seed; sampling algorithms differ across
+    # engines, so this is pytest-pinned, not oracle-hashed.
+    import ops_spark.io as io_mod
+
+    io_mod.register_views(spark, sf_dir)
+    a = spark.sql(
+        "SELECT count(*) AS n FROM customer TABLESAMPLE (20 PERCENT) REPEATABLE (42)"
+    ).collect()[0].n
+    b = spark.sql(
+        "SELECT count(*) AS n FROM customer TABLESAMPLE (20 PERCENT) REPEATABLE (42)"
+    ).collect()[0].n
+    total = spark.table("customer").count()
+    assert a == b  # same seed -> same sample
+    assert 0 < a < total
