@@ -790,3 +790,52 @@ def duplicate_span_coverage(
             ).alias("dup_fraction"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma/CCNet sub-document pass):
+    split each document on ``sep``, keep only the FIRST occurrence of each
+    distinct paragraph corpus-wide (first = minimum (doc, position)), and
+    reassemble documents from their surviving paragraphs in order.
+
+    Boilerplate paragraphs (headers, navigation, license blocks) repeat
+    across millions of pages; document-level dedup never removes them.
+
+    Shape: posexplode → one groupBy on the paragraph digest (min struct
+    winner — map-side combinable) → equi join back → one groupBy(doc) to
+    reassemble. Two bounded shuffles keyed by digest/doc; the reassembly
+    sort is per-document inside an array, never a global sort. Documents
+    whose every paragraph was seen earlier disappear (their text would be
+    empty).
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.col("para") != "")
+        .withColumn("k", F.md5("para"))
+    )
+    winners = paras.groupBy("k").agg(
+        F.min(F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))).alias(
+            "w"
+        )
+    )
+    kept = paras.join(winners, "k").filter(
+        (F.col(id_col) == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count("*").cast("bigint").alias("n_paras"),
+    )

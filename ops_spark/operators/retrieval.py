@@ -1,0 +1,75 @@
+"""Text retrieval operators: BM25 bulk scoring.
+
+The reference has no IR surface; a training-data pipeline needs one for
+quality-targeted selection (DSIR-style importance sampling, "books-like"
+retrieval) and for eval-set mining. Okapi BM25 is the standard lexical
+scorer; here it is the BULK form — score a batch of queries against the
+whole corpus in one shot — rather than an index lookup: at pipeline scale
+you score millions of documents against a fixed query battery, which is a
+few equi joins + one aggregation, not a serving problem.
+
+Scale shape: tf/df/dl are map-side-combinable groupBys over the exploded
+token stream; corpus constants (N, avgdl) ride a 1-row broadcast; query
+terms are a broadcast dimension; the per-(query, doc) sum shuffles on the
+(query, doc) key. Nothing is quadratic — cost is corpus tokens × average
+query-term hit rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ops_spark.operators.text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scores for every (query, document) pair with ≥1 term hit.
+
+    ``queries`` is the exploded form: one (query_id, term) row per query
+    term, lowercase. idf uses the standard smoothed form
+    ln(1 + (N - df + 0.5)/(df + 0.5)), which is always positive.
+
+    Returns (query_id, doc_id, score) with raw double scores; callers
+    that need engine-exact comparison should floor-quantize (ln() differs
+    across libms in the last ulp — scores are continuous, so quantized
+    buckets are stable, but bit-exactness is not promised).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col), lowercase=True)).alias("t")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    consts = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    q = queries.select(F.col(query_id_col), F.col(term_col).alias("t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(q), "t")  # restrict to query terms first
+        .join(dl, id_col)
+        .join(dfreq, "t")  # equi join; left side already query-term-only
+        .crossJoin(F.broadcast(consts))  # 1-row corpus constants
+        .withColumn("__s", idf * tf_part)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__s").alias("score"))
+    )

@@ -1137,3 +1137,104 @@ def x_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq bigint"
     )
+
+
+@register(
+    "llm_paragraph_dedup",
+    oracle="""
+    WITH two_para AS (
+      SELECT a.doc_id,
+             a.text || chr(10) || chr(10) || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ), p AS (
+      SELECT doc_id,
+             generate_subscripts(l, 1) - 1 AS pos,
+             unnest(l) AS para
+      FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+            FROM two_para)
+    ), kept AS (
+      SELECT doc_id, pos, para FROM p WHERE para <> ''
+      QUALIFY row_number() OVER (PARTITION BY md5(para)
+                                 ORDER BY doc_id, pos) = 1
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_paras
+    FROM kept GROUP BY doc_id
+    """,
+    description="Paragraph-level exact dedup (Dolma-style sub-document "
+    "pass; operators/dedup.py:paragraph_dedup): a two-paragraph corpus is "
+    "built by chaining consecutive docs (so every paragraph appears in "
+    "two documents), then only first occurrences survive and documents "
+    "reassemble from their remaining paragraphs. Two digest/doc-keyed "
+    "shuffles, no global sort.",
+    tags=("llm", "dedup", "paragraph"),
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    two_para = docs.join(nxt, "doc_id").select(
+        "doc_id", F.concat_ws("\n\n", "text", "text_b").alias("text")
+    )
+    return D.paragraph_dedup(two_para)
+
+
+@register(
+    "llm_bm25_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), q(query_id, t) AS (
+      VALUES (1, 'table'), (1, 'hash'),
+             (2, 'spark'), (2, 'sort'), (2, 'window'),
+             (3, 'merge'), (3, 'batch')
+    ), s AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))) AS s
+      FROM tf JOIN q ON tf.t = q.t
+              JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN dfreq d ON tf.t = d.t
+              CROSS JOIN consts c
+    )
+    SELECT query_id, doc_id,
+           CAST(floor(sum(s) * 100.0 + 0.5) AS BIGINT) AS score_e2
+    FROM s GROUP BY 1, 2
+    """,
+    description="Bulk Okapi BM25 (operators/retrieval.py): a 3-query "
+    "battery scored against every document — tf/df/dl from one exploded "
+    "token stream (map-side combinable), corpus constants on a 1-row "
+    "broadcast, query terms a broadcast dim. Scores quantized to e2 "
+    "micro-units (ln differs across libms in the last ulp; continuous "
+    "scores make quantized buckets stable).",
+    tags=("llm", "retrieval", "bm25"),
+)
+def llm_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(1, "table"), (1, "hash"), (2, "spark"), (2, "sort"), (2, "window"),
+         (3, "merge"), (3, "batch")],
+        "query_id int, term string",
+    )
+    out = bm25_scores(docs, q)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.floor(F.col("score") * 100.0 + 0.5).cast("bigint").alias("score_e2"),
+    )

@@ -390,3 +390,28 @@ def sql_star_except_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * EXCEPT (c_name, c_acctbal) FROM customer "
         "WHERE c_custkey <= 300 ORDER BY ALL"
     )
+
+
+@register(
+    "sql_lateral_alias",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal * 1.1 AS boosted,
+           boosted - c_acctbal AS delta
+    FROM customer WHERE c_custkey <= 400
+    """,
+    description="Lateral column aliases (Spark 3.4+): a SELECT item "
+    "referencing an alias defined earlier in the same list — shared "
+    "dialect with DuckDB, so the same SQL text runs on both engines.",
+    tags=("sql", "projection"),
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               c_acctbal * 1.1 AS boosted,
+               boosted - c_acctbal AS delta
+        FROM customer WHERE c_custkey <= 400
+        """
+    )

@@ -728,3 +728,35 @@ def test_bpe_merges_match_reference(spark):
     want = _bpe_reference(freqs, 6)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert got.iloc[0]["merged"] == "lo"  # 'l','o' dominates this corpus
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from ops_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate"),
+        (2, "shared boilerplate\n\ngamma delta"),  # first para already seen
+        (3, "shared boilerplate"),  # whole doc duplicated -> disappears
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_paras) for r in paragraph_dedup(df).collect()}
+    assert got[1] == ("alpha beta\n\nshared boilerplate", 2)
+    assert got[2] == ("gamma delta", 1)
+    assert 3 not in got
+
+
+def test_bm25_ranks_term_density(spark):
+    from ops_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),  # dense in 'cat'
+            (2, "cat bird fish lizard"),
+            (3, "bird fish lizard snake"),  # no hit
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "cat")], "query_id int, term string")
+    got = {r.doc_id: r.score for r in bm25_scores(docs, q).collect()}
+    assert set(got) == {1, 2}  # doc 3 never scored
+    assert got[1] > got[2] > 0  # higher tf -> higher score

@@ -414,3 +414,35 @@ def test_tablesample_repeatable(spark, sf_dir):
     total = spark.table("customer").count()
     assert a == b  # same seed -> same sample
     assert 0 < a < total
+
+
+def test_identifier_clause_and_session_variables(spark, sf_dir):
+    # IDENTIFIER() templating (Spark 3.5) + SQL session variables
+    # (Spark 4 DECLARE/SET VAR outside scripting) — engine-specific
+    # syntax, so pytest-pinned.
+    import ops_spark.io as io_mod
+
+    io_mod.register_views(spark, sf_dir)
+    n1 = spark.sql("SELECT count(*) AS n FROM IDENTIFIER('nation')").collect()[0].n
+    assert n1 == spark.table("nation").count()
+    spark.sql("DECLARE OR REPLACE VARIABLE region_cap INT DEFAULT 2")
+    spark.sql("SET VAR region_cap = 3")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM region WHERE r_regionkey <= region_cap"
+    ).collect()[0].n
+    assert got == 4  # regionkeys 0..3
+
+
+def test_distribute_by_plans_hash_exchange(spark, sf_dir):
+    # DISTRIBUTE BY / SORT BY: hash exchange + intra-partition sort,
+    # NO global sort (the scalable ETL layout clause).
+    import ops_spark.io as io_mod
+
+    io_mod.register_views(spark, sf_dir)
+    df = spark.sql(
+        "SELECT c_custkey, c_nationkey FROM customer "
+        "DISTRIBUTE BY c_nationkey SORT BY c_custkey"
+    )
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(c_nationkey" in txt
+    assert "rangepartitioning" not in txt  # no global sort
