@@ -760,3 +760,44 @@ def test_bm25_ranks_term_density(spark):
     got = {r.doc_id: r.score for r in bm25_scores(docs, q).collect()}
     assert set(got) == {1, 2}  # doc 3 never scored
     assert got[1] > got[2] > 0  # higher tf -> higher score
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    """The point of zorder_key: range-partitioning by the Morton key before
+    a write co-locates rows close in BOTH dimensions, so every file's
+    parquet min/max stats span a small box — predicate pushdown on EITHER
+    column then skips most files. Asserted directly on footer statistics
+    against a hash-partitioned baseline."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ops_spark.operators.analytics import zorder_key
+
+    # dense 256x256 grid — layout behavior independent of fixture SF
+    o = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / 256).cast("int").alias("y"),
+    )
+    o = o.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=8))
+    zdir, ndir = str(tmp_path / "zsort"), str(tmp_path / "nat")
+    o.repartitionByRange(16, "z").write.mode("overwrite").parquet(zdir)
+    o.repartition(16).write.mode("overwrite").parquet(ndir)
+
+    def mean_span(d: str, col: str) -> float:
+        spans = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    for col in ("x", "y"):
+        z_span, n_span = mean_span(zdir, col), mean_span(ndir, col)
+        # hash layout spans ~the full domain per file; a 16-way z-range
+        # cut confines each file to ~a quadrant per dimension.
+        assert z_span < 0.6 * n_span, (col, z_span, n_span)
