@@ -475,3 +475,78 @@ def bpe_merges(
         prev.unpersist()  # superseded round: don't pin k copies of the vocab
     words.unpersist()  # result is the driver-side merge table, not `words`
     return pd.DataFrame(out)
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span corruption: mask ~mask_pct% of tokens, collapse each
+    masked RUN to one <extra_id_k> sentinel in the input, and emit the
+    masked content after its sentinel in the target — the (input, target)
+    pair shape of T5/UL2 denoising pretraining (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4).
+
+    Mask decisions are md5(doc:pos) draws, so the corruption is a pure
+    function of the data — reproducible across runs, engines, and
+    repartitionings (seeded RNGs are none of those). Runs are numbered
+    with one per-doc window pass (lag + running sum); assembly is a
+    per-doc sorted-array fold. Window state is one document's tokens.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col), F.col("pos"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    toks = toks.withColumn("masked", draw < mask_pct)
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    new_span = F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False))
+    toks = toks.withColumn("new_span", new_span).withColumn(
+        "span_id",
+        F.sum(F.col("new_span").cast("int")).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("span_id") - 1), F.lit(">"))
+    in_piece = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("new_span"), sentinel)
+        .otherwise(F.lit(None))
+    )
+    tgt_piece = F.when(
+        F.col("masked"),
+        F.when(F.col("new_span"), F.concat(sentinel, F.lit(" "), F.col("tok"))).otherwise(
+            F.col("tok")
+        ),
+    )
+
+    def assemble(piece: Column) -> Column:
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), piece.alias("piece")))
+        )
+        return F.array_join(
+            F.filter(
+                F.transform(arr, lambda x: x["piece"]), lambda p: p.isNotNull()
+            ),
+            " ",
+        )
+
+    return toks.groupBy(id_col).agg(
+        assemble(in_piece).alias("input_text"),
+        assemble(tgt_piece).alias("target_text"),
+        F.max("span_id").cast("bigint").alias("n_spans"),
+    )

@@ -1003,3 +1003,47 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries_csv(evens).alias("evens"),
         entries_csv(zipped).alias("zipped"),
     )
+
+
+@register(
+    "fn_csv_scalar",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_orderkey || ',' || o_orderstatus || ',' || o_custkey AS line
+      FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT o_orderkey, line,
+           CAST(string_split(line, ',')[1] AS BIGINT) AS k,
+           string_split(line, ',')[2] AS status,
+           CAST(string_split(line, ',')[3] AS BIGINT) AS cust
+    FROM src
+    """,
+    description="CSV scalar functions (to_csv / from_csv / schema_of_csv, "
+    "Spark 3.0+ surface over UnivocityParser): rows serialize to a CSV "
+    "line and parse back to typed fields. DuckDB has no scalar CSV parser, "
+    "so the oracle recomputes via string_split + casts — same values for "
+    "this delimiter-safe projection.",
+    tags=("function", "csv"),
+)
+def fn_csv_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_custkey")
+        )
+    )
+    parsed = F.from_csv(
+        F.col("line"), "k BIGINT, status STRING, cust BIGINT"
+    )
+    return (
+        o.select("o_orderkey", line.alias("line"))
+        .withColumn("p", parsed)
+        .select(
+            "o_orderkey",
+            "line",
+            F.col("p.k").alias("k"),
+            F.col("p.status").alias("status"),
+            F.col("p.cust").alias("cust"),
+        )
+    )

@@ -1238,3 +1238,95 @@ def llm_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.floor(F.col("score") * 100.0 + 0.5).cast("bigint").alias("score_e2"),
     )
+
+
+@register(
+    "llm_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, unnest({_SQL_SHINGLES.replace("t", "t", 1)}) AS g
+      FROM (SELECT source, t FROM toks)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_shingles
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    description="Cross-source contamination matrix: distinct word 3-grams "
+    "shared between every source pair — the corpus-analytics input to "
+    "mixing/decontam decisions (which sources leak into each other). "
+    "Distinct (source, shingle) pairs collapse map-side BEFORE the "
+    "self-equi-join on the shingle key; the pair count is bounded by "
+    "shingle source-frequency, never all-docs.",
+    tags=("llm", "decontam", "analytics"),
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(D.shingles(T.tokens(F.col("text")))).alias("g"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), F.col("g").alias("g_b"))
+    return (
+        a.join(b, (F.col("g") == F.col("g_b")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_shingles"))
+    )
+
+
+@register(
+    "llm_span_corruption",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+            FROM documents WHERE doc_id < 200)
+    ), m AS (
+      SELECT doc_id, pos, tok,
+             (('0x' || substr(md5(doc_id || ':' || pos), 1, 4))::BIGINT % 100) < 15
+               AS masked
+      FROM toks
+    ), sp1 AS (
+      SELECT doc_id, pos, tok, masked,
+             masked AND NOT coalesce(
+               lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+               AS new_span
+      FROM m
+    ), sp AS (
+      SELECT doc_id, pos, tok, masked, new_span,
+             sum(CASE WHEN new_span THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM sp1
+    )
+    SELECT doc_id,
+           coalesce(string_agg(
+             CASE WHEN NOT masked THEN tok
+                  WHEN new_span THEN '<extra_id_' || (span_id - 1) || '>' END,
+             ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(
+             CASE WHEN masked THEN
+               CASE WHEN new_span
+                    THEN '<extra_id_' || (span_id - 1) || '> ' || tok
+                    ELSE tok END END,
+             ' ' ORDER BY pos), '') AS target_text,
+           CAST(max(span_id) AS BIGINT) AS n_spans
+    FROM sp GROUP BY doc_id
+    """,
+    description="T5-style span corruption (operators/text.py:"
+    "span_corruption): ~15% of tokens masked by md5(doc:pos) draw, masked "
+    "runs collapse to <extra_id_k> sentinels in the input and expand after "
+    "their sentinel in the target. Pure function of the data — identical "
+    "(input, target) pairs on any engine, run, or partitioning.",
+    tags=("llm", "text", "pretraining"),
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return T.span_corruption(docs)

@@ -801,3 +801,30 @@ def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
         # hash layout spans ~the full domain per file; a 16-way z-range
         # cut confines each file to ~a quadrant per dimension.
         assert z_span < 0.6 * n_span, (col, z_span, n_span)
+
+
+def test_span_corruption_reconstructs(spark):
+    """Lossless property: substituting each sentinel in the input with its
+    span from the target reproduces the original text exactly."""
+    import re
+
+    from ops_spark.operators.text import span_corruption
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(40))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_corruption(df).collect()}
+    originals = dict(rows)
+    saw_masked = 0
+    for doc_id, r in got.items():
+        spans = {}
+        # parse target: "<extra_id_0> a b <extra_id_1> c" -> {0: "a b", 1: "c"}
+        pieces = re.split(r"<extra_id_(\d+)>\s*", r.target_text)[1:]
+        for k, content in zip(pieces[0::2], pieces[1::2]):
+            spans[int(k)] = content.strip()
+        rebuilt = r.input_text
+        for k, content in spans.items():
+            rebuilt = rebuilt.replace(f"<extra_id_{k}>", content)
+        assert rebuilt == originals[doc_id]
+        assert r.n_spans == len(spans)
+        saw_masked += len(spans)
+    assert saw_masked > 0  # the 15% draw masked something across 800 tokens

@@ -566,3 +566,79 @@ def test_parameterized_sql(spark):
         args=[6, 9],
     ).collect()
     assert [r.id for r in pos] == [7, 8]
+
+
+def test_rate_micro_batch_source(spark):
+    """rate-micro-batch source (Spark 3.3+): deterministic per-batch row
+    allocation — unlike plain rate, every micro-batch carries exactly
+    rowsPerBatch rows, which makes throughput tests reproducible."""
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 20)
+        .option("numPartitions", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rate_mb_sink")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("rate_mb_sink").count()
+            if n >= 40:
+                break
+            time.sleep(0.5)
+        assert spark.table("rate_mb_sink").count() % 20 == 0  # whole batches
+    finally:
+        q.stop()
+
+
+def test_streaming_query_listener(spark, tmp_path):
+    """StreamingQueryListener (observability surface): progress events
+    carry per-batch row counts for the running query."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = []
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):  # noqa: N802
+            events.append(("start", e.id))
+
+        def onQueryProgress(self, e):  # noqa: N802
+            events.append(("progress", e.progress.numInputRows))
+
+        def onQueryIdle(self, e):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, e):  # noqa: N802
+            events.append(("end", e.id))
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "lsrc")
+        spark.range(30).selectExpr("id AS v").write.parquet(src)
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(src)
+            .writeStream.format("memory")
+            .queryName("listener_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        deadline = time.time() + 30  # listener bus is async
+        while time.time() < deadline:
+            if any(k == "end" for k, _ in events):
+                break
+            time.sleep(0.5)
+        kinds = {k for k, _ in events}
+        assert {"start", "progress", "end"} <= kinds
+        assert sum(n for k, n in events if k == "progress") == 30
+    finally:
+        spark.streams.removeListener(listener)
