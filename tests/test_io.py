@@ -751,3 +751,62 @@ def test_state_store_reader(spark, tmp_path):
     meta = spark.read.format("state-metadata").load(ckpt)
     ops = [r.operatorName for r in meta.collect()]
     assert "stateStoreSave" in ops
+
+
+def test_small_file_compaction(spark, tmp_path):
+    """Small-file compaction — the table-maintenance pass every 100 TB
+    parquet lake needs: many tiny files (one per original task) rewrite
+    into few target-sized files with identical contents. AQE rebalance
+    does the sizing; the rewrite is content-preserving."""
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    df = spark.read.parquet(src)
+    # hint-driven rebalance: AQE coalesces to advisory-size outputs
+    df.hint("rebalance").write.mode("overwrite").parquet(out)
+    n_out = len(glob.glob(out + "/*.parquet"))
+    assert n_out < 64 // 4  # materially fewer files
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
+
+
+def test_msck_repair_discovers_partitions(spark, tmp_path):
+    """External partitioned table + MSCK REPAIR TABLE: files written
+    outside the metastore become queryable after partition discovery, and
+    partition filters prune to the matching directories."""
+    loc = str(tmp_path / "ext_events")
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS day"
+    ).write.partitionBy("day").parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS ext_events")
+    spark.sql(
+        f"CREATE TABLE ext_events(id BIGINT, day INT) USING parquet "
+        f"PARTITIONED BY (day) LOCATION '{loc}'"
+    )
+    try:
+        spark.sql("MSCK REPAIR TABLE ext_events")
+        assert spark.table("ext_events").count() == 100
+        assert spark.sql("SHOW PARTITIONS ext_events").count() == 4
+        # new files land OUTSIDE the metastore's knowledge...
+        spark.range(100, 125).selectExpr(
+            "id", "CAST(4 AS INT) AS day"
+        ).write.mode("append").partitionBy("day").parquet(loc)
+        spark.sql("MSCK REPAIR TABLE ext_events")  # ...until repaired
+        assert spark.sql("SHOW PARTITIONS ext_events").count() == 5
+        assert spark.table("ext_events").count() == 125
+        one_day = spark.sql("SELECT count(*) AS n FROM ext_events WHERE day = 2")
+        assert one_day.collect()[0].n == 25
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_events")
+
+
+def test_dataframe_transpose(spark):
+    """df.transpose (Spark 4.0): rows become columns keyed by the first
+    column — the small-matrix reshape for stats/report surfaces."""
+    df = spark.createDataFrame([("a", 1, 2), ("b", 3, 4)], "k string, x int, y int")
+    got = {r.key: (r.a, r.b) for r in df.transpose().collect()}
+    assert got == {"x": (1, 3), "y": (2, 4)}
