@@ -235,9 +235,11 @@ def test_ensure_runtime_confs_respects_explicit_200(spark):
 _ALL_PAIRS_OK = {
     "join_cross",
     "llm_cosine_topk",
-    "llm_embedding_dedup",
     "Q11_important_parts",
     "Q22_dormant_customers",
+    "llm_bm25_scores",  # 1-row corpus-constants broadcast (scalar shape)
+    # llm_embedding_dedup left this list in round 3: the exact tier is now
+    # chunk-pair cogrouped GEMM — quadratic WORK, but no cross-join stage.
 }
 
 
