@@ -124,3 +124,41 @@ def test_asof_join_tie_break_picks_greatest_payload(spark):
     )
     got = {r.ts: r.quote for r in asof_join(ldf, rdf, on="ts", by="k").collect()}
     assert got == {5: 9.0, 10: 9.0}
+
+
+_SERIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # day offset
+        st.integers(min_value=-50, max_value=50),  # value (int -> exact)
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(series=_SERIES)
+def test_gap_fill_linear_matches_numpy_interp(spark, series):
+    """gap_fill's interior linear interpolation must agree with
+    numpy.interp over the observed anchors (edges are locf/nocb by
+    contract, so only interior grid points are compared)."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from ops_spark.operators.timeseries import gap_fill
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base + timedelta(days=d, hours=3), float(v)) for d, v in series
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.bucket - base).days: r.linear_e4 for r in gap_fill(df).collect()
+    }
+    xs = sorted(d for d, _ in series)
+    vals = dict(series)
+    ref = np.interp(range(min(xs), max(xs) + 1), xs, [vals[x] for x in xs])
+    for day, expect in zip(range(min(xs), max(xs) + 1), ref):
+        assert got[day] == int(np.floor(expect * 10000.0 + 0.5)), (day, series)

@@ -642,3 +642,34 @@ def test_streaming_query_listener(spark, tmp_path):
         assert sum(n for k, n in events if k == "progress") == 30
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_aes_encrypt_roundtrip(spark):
+    """aes_encrypt/aes_decrypt (Spark 3.3+): GCM (random IV) decrypts its
+    own output; ECB is deterministic — same plaintext, same ciphertext."""
+    df = spark.sql(
+        """
+        SELECT
+          CAST(aes_decrypt(aes_encrypt('secret', '0000111122223333'),
+                           '0000111122223333') AS STRING) AS gcm_roundtrip,
+          base64(aes_encrypt('secret', '0000111122223333', 'ECB')) AS ecb_1,
+          base64(aes_encrypt('secret', '0000111122223333', 'ECB')) AS ecb_2
+        """
+    ).head()
+    assert df.gcm_roundtrip == "secret"
+    assert df.ecb_1 == df.ecb_2
+
+
+def test_partition_metadata_functions(spark, tmp_path):
+    """spark_partition_id + input_file_name: the per-task provenance
+    functions an audit/debug pipeline leans on."""
+    p = str(tmp_path / "files")
+    spark.range(100).repartition(4).write.parquet(p)
+    df = spark.read.parquet(p).select(
+        F.spark_partition_id().alias("pid"),
+        F.input_file_name().alias("src"),
+    )
+    rows = df.collect()
+    assert {r.pid for r in rows} <= set(range(8))
+    assert all(r.src.endswith(".parquet") and "files" in r.src for r in rows)
+    assert len({r.src for r in rows}) == 4  # one file per writing task
