@@ -550,3 +550,80 @@ def span_corruption(
         assemble(tgt_piece).alias("target_text"),
         F.max("span_id").cast("bigint").alias("n_spans"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 30,
+    stride: int = 25,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-index prep
+    pass: each document yields windows of ``chunk_tokens`` tokens starting
+    every ``stride`` (overlap = chunk_tokens - stride), final window
+    ragged. Chunk k of a doc is fully determined by (doc, k): stable ids
+    for incremental re-embedding.
+
+    Pure per-row expression work (bind-once token array, slice per start)
+    followed by one explode — zero shuffles; output volume is
+    ~n_tokens/stride rows per doc.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _chunks(tk: Column) -> Column:
+        n = F.size(tk)
+        k_max = F.floor((n - 1) / stride).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), k_max),
+            lambda k: F.struct(
+                k.cast("int").alias("chunk_id"),
+                F.array_join(
+                    F.slice(tk, k * stride + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+                F.size(F.slice(tk, k * stride + 1, chunk_tokens))
+                .cast("bigint")
+                .alias("n_chunk_tokens"),
+            ),
+        )
+
+    bound = F.transform(F.array(toks), _chunks)[0]
+    return (
+        df.select(F.col(id_col), F.explode(bound).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(id:salt) % 100 buckets
+    map to splits by ratio. A pure function of the key — stable across
+    runs, engines, partitionings, and corpus growth (a doc never migrates
+    between splits when new data arrives), which is what makes eval sets
+    trustworthy. Zero shuffle."""
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col), F.lit(salt))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(draw < train_pct, F.lit("train"))
+        .when(draw < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", draw).withColumn("split", split)

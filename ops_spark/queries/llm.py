@@ -1330,3 +1330,61 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return T.span_corruption(docs)
+
+
+@register(
+    "llm_chunking",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST((len(t) - 1) // 25 AS INT) + 1),
+               k -> struct_pack(
+                 chunk_id := CAST(k AS INT),
+                 chunk_text := array_to_string(t[k*25 + 1 : k*25 + 30], ' '),
+                 n_chunk_tokens := CAST(len(t[k*25 + 1 : k*25 + 30]) AS BIGINT)
+               ))) AS u
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+           u.n_chunk_tokens AS n_chunk_tokens
+    FROM c
+    """,
+    description="Overlapping token-window chunking (operators/text.py:"
+    "chunk_documents): 30-token windows every 25 tokens (5-token overlap), "
+    "final window ragged — the RAG/embedding-index prep pass. Zero "
+    "shuffles; (doc, k) fully determines chunk k for incremental "
+    "re-embedding.",
+    tags=("llm", "text", "chunking"),
+)
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, chunk_tokens=30, stride=25)
+
+
+@register(
+    "llm_split_assign",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id || ':split-v1'), 1, 6))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    description="Deterministic train/val/test split (operators/text.py:"
+    "split_assign): md5(id:salt) buckets — a pure function of the key, so "
+    "docs never migrate between splits as the corpus grows. Zero shuffle.",
+    tags=("llm", "split"),
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.split_assign(docs).select("doc_id", "bucket", "split")

@@ -828,3 +828,34 @@ def test_span_corruption_reconstructs(spark):
         assert r.n_spans == len(spans)
         saw_masked += len(spans)
     assert saw_masked > 0  # the 15% draw masked something across 800 tokens
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from ops_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    got = {
+        r.chunk_id: (r.chunk_text.split(), r.n_chunk_tokens)
+        for r in chunk_documents(df, chunk_tokens=5, stride=4).collect()
+    }
+    assert got[0] == (["t0", "t1", "t2", "t3", "t4"], 5)
+    assert got[1] == (["t4", "t5", "t6", "t7", "t8"], 5)  # 1-token overlap
+    assert got[2] == (["t8", "t9", "t10", "t11"], 4)  # ragged tail
+    assert len(got) == 3
+
+
+def test_split_assign_stable_and_ratioed(spark):
+    from ops_spark.operators.text import split_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    # growth stability: the same doc keeps its split in a bigger corpus
+    bigger = split_assign(spark.range(4000).withColumnRenamed("id", "doc_id"))
+    a = {r.doc_id: r.split for r in split_assign(df).collect()}
+    b = {r.doc_id: r.split for r in bigger.filter(F.col("doc_id") < 2000).collect()}
+    assert a == b
