@@ -839,3 +839,39 @@ def paragraph_dedup(
         ).alias(text_col),
         F.count("*").cast("bigint").alias("n_paras"),
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    digest_col: str = "digest",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental (production-shape) exact dedup: dedup a NEW batch
+    against itself AND against the historical digest index, returning
+    (survivors, updated_index).
+
+    This is how dedup actually runs day to day — the corpus is not
+    re-deduped from scratch per increment; a digest index (one md5 row per
+    historical distinct content) carries state forward. Survivors are new
+    rows whose content digest is unseen, with within-batch ties broken by
+    lowest id; the updated index is the old index plus the survivors'
+    digests.
+
+    Shape: one within-batch window on the digest + one anti equi-join
+    against the index — cost scales with the INCREMENT, not the corpus
+    (the index side streams through the join). The same pattern runs as
+    Structured Streaming dropDuplicates with the index as state.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    batch = exact_dedup(new_df, content_cols, id_col).withColumn(
+        digest_col, digest
+    )
+    survivors = batch.join(
+        index_df.select(digest_col), digest_col, "left_anti"
+    )
+    updated = index_df.select(digest_col).unionByName(
+        survivors.select(digest_col)
+    )
+    return survivors.drop(digest_col), updated

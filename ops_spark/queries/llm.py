@@ -1388,3 +1388,74 @@ def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.split_assign(docs).select("doc_id", "bucket", "split")
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 400
+    ), batch AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 400
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b LEFT JOIN hist h ON md5(b.text) = h.digest
+    WHERE h.digest IS NULL
+    """,
+    description="Incremental exact dedup (operators/dedup.py:"
+    "incremental_exact_dedup): today's batch (doc_id >= 400) dedups "
+    "within itself then anti-joins the historical digest index "
+    "(doc_id < 400) — cost scales with the increment, not the corpus. "
+    "The production day-to-day shape of dedup; the streaming twin is "
+    "dropDuplicates state.",
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 400).select(
+        F.md5("text").alias("digest")
+    ).distinct()
+    batch = docs.filter(F.col("doc_id") >= 400)
+    survivors, _updated = D.incremental_exact_dedup(
+        batch, hist, ["text"], "doc_id"
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_quality_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+             )), ' ')) AS fprint,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id, lang, fprint
+    FROM fp
+    QUALIFY row_number() OVER (PARTITION BY fprint
+                               ORDER BY nc DESC, doc_id) = 1
+    """,
+    description="Quality-policy dedup: within each fingerprint-collision "
+    "cluster keep the LONGEST document (ties to lowest id) instead of the "
+    "lowest id — survivor selection is a pluggable ORDER BY on the same "
+    "one-shuffle digest window (exact_dedup generalized).",
+    tags=("llm", "dedup", "policy"),
+)
+def llm_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fprint", T.fingerprint("text")
+    )
+    w = W.partitionBy("fprint").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "fprint")
+    )

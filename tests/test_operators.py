@@ -859,3 +859,24 @@ def test_split_assign_stable_and_ratioed(spark):
     a = {r.doc_id: r.split for r in split_assign(df).collect()}
     b = {r.doc_id: r.split for r in bigger.filter(F.col("doc_id") < 2000).collect()}
     assert a == b
+
+
+def test_incremental_dedup_survivors_and_index(spark):
+    from ops_spark.operators.dedup import incremental_exact_dedup
+
+    hist_docs = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    index = hist_docs.select(F.md5("text").alias("digest")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),  # historical dup -> dropped
+            (11, "brand new"),
+            (12, "brand new"),  # within-batch dup -> dropped
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, updated = incremental_exact_dedup(batch, index, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in survivors.collect()) == [11, 13]
+    assert updated.distinct().count() == 4  # 2 historical + 2 new digests
