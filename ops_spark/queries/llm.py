@@ -1459,3 +1459,52 @@ def llm_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "fprint")
     )
+
+
+@register(
+    "llm_corpus_dashboard",
+    oracle=r"""
+    WITH s AS (
+      SELECT source, lang, text,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS ntok,
+             md5(text) AS digest
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(min(ntok) AS BIGINT) AS min_tokens,
+           CAST(max(ntok) AS BIGINT) AS max_tokens,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups
+    FROM s GROUP BY 1, 2
+    """,
+    description="Corpus health dashboard: per (source, lang) document and "
+    "token counts plus exact-dup counts in ONE aggregation pass — the "
+    "monitoring rollup a pipeline emits per ingest. count(DISTINCT digest) "
+    "rides the same shuffle via Spark's expand-based distinct-agg rewrite.",
+    tags=("llm", "analytics", "dashboard"),
+)
+def llm_corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(T.tokens(F.col("text")))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            ntok.alias("ntok"),
+            F.md5("text").alias("digest"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.min("ntok").cast("bigint").alias("min_tokens"),
+            F.max("ntok").cast("bigint").alias("max_tokens"),
+            F.count_distinct("digest").cast("bigint").alias("n_distinct"),
+            (F.count("*") - F.count_distinct("digest"))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+        )
+    )

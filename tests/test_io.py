@@ -810,3 +810,57 @@ def test_dataframe_transpose(spark):
     df = spark.createDataFrame([("a", 1, 2), ("b", 3, 4)], "k string, x int, y int")
     got = {r.key: (r.a, r.b) for r in df.transpose().collect()}
     assert got == {"x": (1, 3), "y": (2, 4)}
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """The incremental-dedup operator wired into its streaming home:
+    foreachBatch applies incremental_exact_dedup per micro-batch against
+    a parquet digest index that carries state across batches — the
+    production continuous-ingest dedup loop."""
+    import os
+
+    from ops_spark.operators.dedup import incremental_exact_dedup
+
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([("",)], "digest string").filter("digest <> ''").write.mode(
+        "overwrite"
+    ).parquet(idx)
+
+    def sink(batch, batch_id):
+        index = batch.sparkSession.read.parquet(idx)
+        survivors, updated = incremental_exact_dedup(
+            batch, index, ["text"], "doc_id"
+        )
+        survivors.write.mode("append").parquet(out)
+        updated.distinct().write.mode("overwrite").parquet(idx + "_next")
+        # atomic-enough swap for a test; production would version paths
+        next_df = batch.sparkSession.read.parquet(idx + "_next")
+        next_df.write.mode("overwrite").parquet(idx)
+
+    def run():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # second increment: one historical dup, one new
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2, 11]
