@@ -1047,3 +1047,48 @@ def fn_csv_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.cust").alias("cust"),
         )
     )
+
+
+@register(
+    "fn_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS id,
+           upper(o_orderstatus) AS status,
+           o_totalprice AS price,
+           year(o_orderdate) AS yr
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    description="Nested-struct surgery (Spark 3.1 withField/dropFields + "
+    "struct build/flatten): a struct column is assembled, a field is "
+    "rewritten in place, another dropped, a third added, then the result "
+    "is flattened back out. The oracle is the flat projection — the test "
+    "is that nested rewrites preserve values; Catalyst collapses the whole "
+    "chain into one Project (no intermediate materialization).",
+    tags=("function", "struct"),
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("s"),
+    )
+    surgically = nested.withColumn(
+        "s",
+        F.col("s")
+        .withField("status", F.upper(F.col("s.status")))
+        .withField("yr", F.year(F.col("s.odate")))
+        .dropFields("odate"),
+    )
+    return surgically.select(
+        "o_orderkey",
+        F.col("s.id").alias("id"),
+        F.col("s.status").alias("status"),
+        F.col("s.price").alias("price"),
+        F.col("s.yr").alias("yr"),
+    )

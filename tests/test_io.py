@@ -864,3 +864,37 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     run()
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2, 11]
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: files written before a column existed read back
+    with mergeSchema, nulls filling the missing column — the contract
+    that lets a 100 TB table add columns without rewriting history."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, tag string").write.parquet(p + "/d=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, tag string, score double"
+    ).write.parquet(p + "/d=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "tag", "score"}
+    got = {r.id: r.score for r in merged.collect()}
+    assert got[1] is None and got[2] == 9.5
+
+
+def test_catalog_api_and_global_temp_view(spark, sf_dir):
+    """Catalog introspection + GLOBAL temp views (cross-session namespace
+    global_temp) — the metadata surface of SparkSession.catalog."""
+    from ops_spark.io import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceGlobalTempView("gnation")
+    try:
+        assert spark.table("global_temp.gnation").count() == 25
+        names = {t.name for t in spark.catalog.listTables("global_temp")}
+        assert "gnation" in names
+        fns = {f.name for f in spark.catalog.listFunctions()}
+        assert {"sum", "explode", "xxhash64"} <= fns
+        assert spark.catalog.functionExists("levenshtein")
+        dbs = {d.name for d in spark.catalog.listDatabases()}
+        assert "default" in dbs
+    finally:
+        spark.catalog.dropGlobalTempView("gnation")
