@@ -503,3 +503,55 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     return gap_fill(ev, "ts", "user_id", "value", resolution="day")
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             sum(value) OVER win AS s,
+             sum(value * value) OVER win AS s2,
+             count(*) OVER win AS n
+      FROM events
+      WHERE event_type = 'view'
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, value,
+           CAST(floor(CASE WHEN n >= 4 AND (s2 - s * s / n) / (n - 1) > 0
+                 THEN (value - s / n)
+                      / sqrt((s2 - s * s / n) / (n - 1))
+                 ELSE 0.0 END * 100.0 + 0.5) AS BIGINT) AS zscore_e2
+    FROM w
+    """,
+    description="Rolling z-score anomaly detection per user over trailing-7 "
+    "'view' events: mean/std built from explicit sum/sum-of-squares window "
+    "aggregates (NOT the stddev function, whose Welford accumulation order "
+    "is engine-internal) so both engines fold the same frame in the same "
+    "order; scores in floor-e2 units. Window state is one user's frame — "
+    "scale-safe.",
+    tags=("aggregate", "timeseries", "window", "anomaly"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    s = F.sum("value").over(win)
+    s2 = F.sum(F.col("value") * F.col("value")).over(win)
+    n = F.count("*").over(win)
+    var = (s2 - s * s / n) / (n - 1)
+    z = F.when((n >= 4) & (var > 0), (F.col("value") - s / n) / F.sqrt(var)).otherwise(
+        0.0
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.floor(z * 100.0 + 0.5).cast("bigint").alias("zscore_e2"),
+    )
