@@ -415,3 +415,32 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey <= 400
         """
     )
+
+
+@register(
+    "sql_agg_filter_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           count(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
+           count(*) FILTER (WHERE n_nationkey % 2 = 1) AS n_odd,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    description="Aggregate FILTER clause (per-aggregate predicates in one "
+    "pass — the portable PIVOT-lite) + listagg WITHIN GROUP (Spark 4.0 "
+    "ordered string aggregation; DuckDB spells it string_agg ORDER BY). "
+    "The ordered listagg is deterministic by construction, unlike bare "
+    "collect_list.",
+    tags=("sql", "aggregate"),
+)
+def sql_agg_filter_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               count(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
+               count(*) FILTER (WHERE n_nationkey % 2 = 1) AS n_odd,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey
+        """
+    )

@@ -898,3 +898,32 @@ def test_catalog_api_and_global_temp_view(spark, sf_dir):
         assert "default" in dbs
     finally:
         spark.catalog.dropGlobalTempView("gnation")
+
+
+def test_sql_ddl_battery(spark, sf_dir):
+    """DDL surface in one pass: CREATE OR REPLACE VIEW, ALTER TABLE ADD
+    COLUMNS, DESCRIBE, SHOW CREATE TABLE, CACHE/UNCACHE, TRUNCATE."""
+    from ops_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("CREATE OR REPLACE TEMP VIEW big_nations AS "
+              "SELECT * FROM nation WHERE n_nationkey >= 10")
+    assert spark.table("big_nations").count() == 15
+
+    spark.sql("DROP TABLE IF EXISTS ddl_demo")
+    spark.sql("CREATE TABLE ddl_demo(id INT) USING parquet")
+    try:
+        spark.sql("INSERT INTO ddl_demo VALUES (1), (2)")
+        spark.sql("ALTER TABLE ddl_demo ADD COLUMNS (tag STRING)")
+        cols = [r.col_name for r in spark.sql("DESCRIBE ddl_demo").collect()]
+        assert "tag" in cols
+        ddl = spark.sql("SHOW CREATE TABLE ddl_demo").collect()[0][0]
+        assert "ddl_demo" in ddl and "parquet" in ddl.lower()
+        spark.sql("CACHE TABLE ddl_demo")
+        assert spark.catalog.isCached("ddl_demo")
+        spark.sql("UNCACHE TABLE ddl_demo")
+        assert not spark.catalog.isCached("ddl_demo")
+        spark.sql("TRUNCATE TABLE ddl_demo")
+        assert spark.table("ddl_demo").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_demo")
