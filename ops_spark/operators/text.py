@@ -574,7 +574,7 @@ def chunk_documents(
     def _chunks(tk: Column) -> Column:
         n = F.size(tk)
         k_max = F.floor((n - 1) / stride).cast("int")
-        return F.transform(
+        made = F.transform(
             F.sequence(F.lit(0), k_max),
             lambda k: F.struct(
                 k.cast("int").alias("chunk_id"),
@@ -585,6 +585,13 @@ def chunk_documents(
                 .cast("bigint")
                 .alias("n_chunk_tokens"),
             ),
+        )
+        # empty doc guard: sequence(0, -1) would DESCEND to [0, -1] and
+        # fabricate chunks — emit none instead
+        return F.when(n >= 1, made).otherwise(
+            F.array().cast(
+                "array<struct<chunk_id:int,chunk_text:string,n_chunk_tokens:bigint>>"
+            )
         )
 
     bound = F.transform(F.array(toks), _chunks)[0]
