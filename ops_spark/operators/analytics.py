@@ -47,6 +47,10 @@ def scd2_merge(
     single shuffle by key (plus the union's no-op), so it scales as a
     plain join. Null-safe comparison (eqNullSafe) so NULL→value and
     value→NULL transitions count as changes.
+
+    Contract: ``updates`` is a SNAPSHOT — at most one row per business
+    key (dedupe an event stream to latest-per-key first; multiple update
+    rows for one key would fan out through the join).
     """
     open_rows = current.filter(F.col(end_col).isNull())
     closed_rows = current.filter(F.col(end_col).isNotNull())

@@ -444,3 +444,32 @@ def sql_agg_filter_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "sql_ordered_set_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                      * 100.0 + 0.5) AS BIGINT) AS median_e2,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="Ordered-set aggregates (SQL:2003 WITHIN GROUP syntax, "
+    "Spark 4.0): percentile_cont interpolates (floor-e2 quantized — the "
+    "lerp arithmetic is engine-deterministic but emitted as micro-units "
+    "for hash safety) and percentile_disc returns an actual data value, "
+    "exact on both engines.",
+    tags=("sql", "aggregate", "percentile"),
+)
+def sql_ordered_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                          * 100.0 + 0.5) AS BIGINT) AS median_e2,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
