@@ -555,3 +555,42 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.floor(z * 100.0 + 0.5).cast("bigint").alias("zscore_e2"),
     )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus, avg(o_totalprice) AS mu
+      FROM orders GROUP BY o_orderstatus
+    ), mom AS (
+      SELECT o.o_orderstatus,
+             avg(pow(o.o_totalprice - m.mu, 2)) AS m2,
+             avg(pow(o.o_totalprice - m.mu, 3)) AS m3,
+             avg(pow(o.o_totalprice - m.mu, 4)) AS m4
+      FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+      GROUP BY o.o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(floor(m3 / pow(m2, 1.5) * 10000.0 + 0.5) AS BIGINT) AS skew_e4,
+           CAST(floor((m4 / (m2 * m2) - 3.0) * 10000.0 + 0.5) AS BIGINT) AS kurt_e4
+    FROM mom
+    """,
+    description="skewness/kurtosis declarative aggregates (reference "
+    "CentralMomentAgg.scala — SURVEY §2.4 row): Spark computes POPULATION "
+    "moments (m3/m2^1.5, m4/m2²-3), while DuckDB's built-ins are "
+    "sample-adjusted, so the oracle recomputes Spark's definition from "
+    "explicit two-pass moments; floor-e4 units absorb streaming-vs-two-"
+    "pass ulp drift.",
+    tags=("aggregate", "stats"),
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.floor(F.skewness("o_totalprice") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("skew_e4"),
+        F.floor(F.kurtosis("o_totalprice") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("kurt_e4"),
+    )

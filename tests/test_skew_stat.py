@@ -673,3 +673,43 @@ def test_partition_metadata_functions(spark, tmp_path):
     assert {r.pid for r in rows} <= set(range(8))
     assert all(r.src.endswith(".parquet") and "files" in r.src for r in rows)
     assert len({r.src for r in rows}) == 4  # one file per writing task
+
+
+def test_misc_scalar_functions_golden(spark):
+    """crc32 / uuid / assert_true / raise_error (SURVEY §2.8 misc row):
+    crc32 against its published value for 'spark'; uuid format +
+    per-row uniqueness; assert_true raises on violation."""
+    import re
+
+    import pytest
+
+    r = spark.sql(
+        "SELECT crc32('spark') AS c, uuid() AS u1, uuid() AS u2, "
+        "assert_true(1 < 2) AS ok"
+    ).head()
+    import zlib
+
+    assert r.c == zlib.crc32(b"spark")  # 2635321133
+    assert re.fullmatch(r"[0-9a-f-]{36}", r.u1) and r.u1 != r.u2
+    assert r.ok is None  # assert_true returns NULL on success
+    with pytest.raises(Exception, match="not true|ASSERT"):
+        spark.sql("SELECT assert_true(1 > 2)").collect()
+    with pytest.raises(Exception, match="boom"):
+        spark.sql("SELECT raise_error('boom')").collect()
+
+
+def test_console_sink_smoke(spark, tmp_path):
+    """Console streaming sink (SURVEY §2.1 sink list): plans and runs a
+    bounded stream to completion (output goes to driver stdout)."""
+    src = str(tmp_path / "csrc")
+    spark.range(5).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long")
+        .parquet(src)
+        .writeStream.format("console")
+        .option("numRows", 3)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert q.lastProgress is not None
