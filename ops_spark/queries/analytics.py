@@ -189,3 +189,57 @@ def an_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 500.0).cast("int"),
     )
     return o.select("o_orderkey", z.alias("zval"))
+
+
+@register(
+    "an_quality_checks",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n FROM orders),
+    v1 AS (SELECT count(*) AS v FROM orders WHERE o_custkey IS NULL),
+    v2 AS (SELECT count(*) AS v FROM orders
+           WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000),
+    v3 AS (SELECT count(*) AS v FROM orders
+           WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')),
+    v4 AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v
+           FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                 HAVING count(*) > 1)),
+    v5 AS (SELECT count(*) AS v FROM orders o
+           WHERE o.o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+    SELECT * FROM (
+      SELECT 'not_null(o_custkey)' AS rule, v1.v AS violations, t.n AS n_rows,
+             v1.v = 0 AS passed FROM v1, t
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0,1000000)', v2.v, t.n, v2.v = 0 FROM v2, t
+      UNION ALL
+      SELECT 'one_of(o_orderstatus)', v3.v, t.n, v3.v = 0 FROM v3, t
+      UNION ALL
+      SELECT 'unique(o_orderkey)', v4.v, t.n, v4.v = 0 FROM v4, t
+      UNION ALL
+      SELECT 'foreign_key(o_custkey)', v5.v, t.n, v5.v = 0 FROM v5, t
+    )
+    """,
+    description="Deequ-lite data-quality report (operators/quality.py): "
+    "five constraints — null check, range, domain, key uniqueness, and "
+    "referential integrity against customer — where every row-level rule "
+    "rides ONE aggregation pass over one scan; uniqueness adds one "
+    "groupBy, the FK check one anti join. The rule names are fixed "
+    "strings, so the report is oracle-hashable.",
+    tags=("analytics", "quality", "custom-operator"),
+)
+def an_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators import quality as Qc
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return Qc.check_constraints(
+        o,
+        row_rules=[
+            Qc.not_null("o_custkey"),
+            Qc.in_range("o_totalprice", 0, 1000000),
+            Qc.one_of("o_orderstatus", ["F", "O", "P"]),
+        ],
+        unique=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", cust, "c_custkey")],
+    )

@@ -880,3 +880,36 @@ def test_incremental_dedup_survivors_and_index(spark):
     survivors, updated = incremental_exact_dedup(batch, index, ["text"], "doc_id")
     assert sorted(r.doc_id for r in survivors.collect()) == [11, 13]
     assert updated.distinct().count() == 4  # 2 historical + 2 new digests
+
+
+def test_quality_checks_catch_planted_violations(spark):
+    from ops_spark.operators import quality as Qc
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", 100),
+            (2, -5.0, "B", 100),  # range violation
+            (2, 20.0, "Z", None),  # dup key + bad domain + null fk
+            (4, None, "A", 999),  # null value + orphan fk
+        ],
+        "id long, amount double, status string, cust long",
+    )
+    dim = spark.createDataFrame([(100,)], "k long")
+    rep = {
+        r.rule: (r.violations, r.passed)
+        for r in Qc.check_constraints(
+            df,
+            row_rules=[
+                Qc.not_null("amount"),
+                Qc.in_range("amount", 0, 100),
+                Qc.one_of("status", ["A", "B"]),
+            ],
+            unique=[["id"]],
+            foreign_keys=[("cust", dim, "k")],
+        ).collect()
+    }
+    assert rep["not_null(amount)"] == (1, False)
+    assert rep["in_range(amount,0,100)"] == (2, False)  # -5 and NULL
+    assert rep["one_of(status)"] == (1, False)
+    assert rep["unique(id)"] == (1, False)  # one extra occurrence of id=2
+    assert rep["foreign_key(cust)"] == (1, False)  # 999 orphan; NULL exempt
