@@ -713,3 +713,52 @@ def test_console_sink_smoke(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert q.lastProgress is not None
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5): dedup state is GC'd by
+    the watermark, so duplicates arriving within the window collapse but
+    state does not grow unboundedly (the production streaming dedup —
+    plain dropDuplicates keeps keys forever)."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ddw_src")
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, datetime(2024, 1, 1, 10, 0, 30)),  # dup within 10-min watermark
+        (2, datetime(2024, 1, 1, 10, 1, 0)),
+    ]
+    spark.createDataFrame(rows, "k long, ts timestamp").write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+        .writeStream.format("memory")
+        .queryName("ddw_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.table("ddw_sink").collect())
+    assert got == [1, 2]
+
+
+def test_streaming_union_of_sources(spark, tmp_path):
+    """Union of two independent streaming sources into one query — each
+    side keeps its own offset tracking in the shared checkpoint."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(0, 5).selectExpr("id AS v").write.parquet(a)
+    spark.range(100, 103).selectExpr("id AS v").write.parquet(b)
+    sa = spark.readStream.schema("v long").parquet(a)
+    sb = spark.readStream.schema("v long").parquet(b)
+    q = (
+        sa.unionByName(sb)
+        .writeStream.format("memory")
+        .queryName("union_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.v for r in spark.table("union_sink").collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
