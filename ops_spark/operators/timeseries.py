@@ -169,3 +169,29 @@ def gap_fill(
         F.col("prev_v").alias("locf"),
         F.floor(linear * 10000.0 + 0.5).cast("bigint").alias("linear_e4"),
     )
+
+
+def merge_rollups(a: DataFrame, b: DataFrame, dims: list[str] | None = None) -> DataFrame:
+    """Merge two time_rollup outputs into one — the incremental-maintenance
+    half of the continuous-aggregate story: yesterday's materialized
+    rollup + today's partition's rollup = the updated rollup, WITHOUT
+    rescanning history. Valid because every kept column is a merge-safe
+    partial (sum of sums, min of mins, max of maxes, count of counts);
+    avg re-derives at the end. One union + one groupBy on the bucket keys.
+    """
+    dims = list(dims or [])
+    keys = ["resolution", "bucket", *dims]
+    merged = (
+        a.select(*keys, *_PARTIALS)
+        .unionByName(b.select(*keys, *_PARTIALS))
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    return merged.select(
+        *keys, *_PARTIALS, (F.col("total") / F.col("cnt")).alias("avg")
+    )

@@ -243,3 +243,51 @@ def an_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=[["o_orderkey"]],
         foreign_keys=[("o_custkey", cust, "c_custkey")],
     )
+
+
+@register(
+    "an_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts AS touch_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT p.event_id, p.user_id, t.touch_type,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(t.touch_ts)) AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN t
+      ON p.user_id = t.user_id AND p.ts >= t.touch_ts
+    """,
+    description="Last-touch marketing attribution: each purchase joins the "
+    "most recent prior view/click per user via the as-of operator "
+    "(operators/asof.py — union + ONE per-user window pass, an equi-join's "
+    "shuffle, no nested loop). The oracle is DuckDB's native ASOF LEFT "
+    "JOIN — two independent as-of implementations agreeing. gap uses "
+    "floor-epoch seconds (unix_timestamp truncates; a bare BIGINT cast in "
+    "the oracle would round).",
+    tags=("analytics", "attribution", "asof", "custom-operator"),
+)
+def an_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = asof_join(purchases, touches, on="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        "touch_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )

@@ -913,3 +913,34 @@ def test_quality_checks_catch_planted_violations(spark):
     assert rep["one_of(status)"] == (1, False)
     assert rep["unique(id)"] == (1, False)  # one extra occurrence of id=2
     assert rep["foreign_key(cust)"] == (1, False)  # 999 orphan; NULL exempt
+
+
+def test_merge_rollups_equals_full_recompute(spark, sf_dir):
+    """Incremental maintenance: rollup(old) ⊕ rollup(new increment) must
+    equal rollup(everything) — the merge-safe-partials contract that lets
+    a 100 TB continuous aggregate update from one day's data."""
+    from ops_spark.io import load_table
+    from ops_spark.operators.timeseries import merge_rollups, time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.dayofmonth("ts") <= 20)
+    inc = ev.filter(F.dayofmonth("ts") > 20)
+    merged = merge_rollups(
+        time_rollup(old, "ts", "value", ["hour", "day"], dims=["event_type"]),
+        time_rollup(inc, "ts", "value", ["hour", "day"], dims=["event_type"]),
+        dims=["event_type"],
+    )
+    full = time_rollup(ev, "ts", "value", ["hour", "day"], dims=["event_type"])
+
+    def canon(df):
+        return {
+            (r.resolution, r.bucket, r.event_type): (
+                r.cnt,
+                round(r.total, 4),
+                round(r.vmin, 4),
+                round(r.vmax, 4),
+            )
+            for r in df.collect()
+        }
+
+    assert canon(merged) == canon(full)
