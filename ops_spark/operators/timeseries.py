@@ -195,3 +195,57 @@ def merge_rollups(a: DataFrame, b: DataFrame, dims: list[str] | None = None) -> 
     return merged.select(
         *keys, *_PARTIALS, (F.col("total") / F.col("cnt")).alias("avg")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (recursive form
+    s_t = alpha*x_t + (1-alpha)*s_{t-1}, s_0 = x_0 — pandas
+    ewm(adjust=False) semantics), as a JVM higher-order fold.
+
+    EWMA's recursion makes it inexpressible as a frame-window aggregate;
+    instead each key's (ts, value) pairs are collected into one sorted
+    array and folded — valid at scale WHEN per-key series fit in memory
+    (same bound every stateful-streaming EWMA carries; shard long series
+    by time range first). One shuffle on the key.
+    """
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
+    )
+
+    def fold(arr: Column) -> Column:
+        acc0 = F.struct(
+            F.array().cast("array<double>").alias("out"),
+            F.lit(None).cast("double").alias("s"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            s = F.when(
+                acc["s"].isNull(), x["v"].cast("double")
+            ).otherwise(alpha * x["v"] + (1.0 - alpha) * acc["s"])
+            return F.struct(
+                F.concat(acc["out"], F.array(s)).alias("out"), s.alias("s")
+            )
+
+        return F.aggregate(arr, acc0, step, lambda acc: acc["out"])
+
+    from pyspark.sql import Column  # noqa: F401 (type for closures)
+
+    folded = df.groupBy(key_col).agg(pairs.alias("__pairs"))
+    exploded = folded.select(
+        key_col,
+        F.posexplode(F.arrays_zip(F.col("__pairs"), fold(F.col("__pairs")))).alias(
+            "i", "z"
+        ),
+    )
+    return exploded.select(
+        key_col,
+        F.col("z.__pairs.t").alias(ts_col),
+        F.col("z.__pairs.v").alias(value_col),
+        F.col("z.1").alias("ewma"),
+    )

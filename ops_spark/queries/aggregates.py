@@ -594,3 +594,24 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kurt_e4"),
     )
+
+
+@register(
+    "x_ts_ewma",
+    oracle=None,  # the EWMA recursion has no clean single-statement SQL
+    # form; semantics are pinned against pandas ewm(adjust=False) in
+    # tests/test_operators.py::test_ewma_matches_pandas
+    description="Per-user EWMA of event values (operators/timeseries.py:"
+    "ewma): the recursive smoother as a JVM higher-order fold over each "
+    "key's time-sorted series — one shuffle on the key; per-key series "
+    "bound documented (shard long series by time range).",
+    tags=("timeseries", "window", "custom-operator"),
+)
+def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    return out.select(
+        "user_id", "ts", "value", F.round("ewma", 6).alias("ewma")
+    )

@@ -291,3 +291,64 @@ def an_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+@register(
+    "an_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM u GROUP BY variant
+    ), w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+      CAST(floor(
+        (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (1.0 / n0 + 1.0 / n1))
+        * 10000.0 + 0.5) AS BIGINT) AS z_e4
+    FROM w
+    """,
+    description="A/B experiment readout: users split by id parity, "
+    "conversion = any purchase, pooled two-proportion z statistic in "
+    "floor-e4 units (+,*,/,sqrt only — IEEE-deterministic). Two "
+    "aggregations + a 1-row pivot; at any scale the heavy work is the "
+    "per-user conversion rollup, map-side combinable.",
+    tags=("analytics", "experiment"),
+)
+def an_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    v = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.floor(z * 10000.0 + 0.5).cast("bigint").alias("z_e4"),
+    )

@@ -944,3 +944,23 @@ def test_merge_rollups_equals_full_recompute(spark, sf_dir):
         }
 
     assert canon(merged) == canon(full)
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from ops_spark.operators.timeseries import ewma
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, d), float(v))
+        for d, v in [(1, 10.0), (2, 20.0), (3, 5.0), (4, 40.0)]
+    ] + [(2, datetime(2024, 1, 1), 7.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {
+        (r.k, r.ts.day): r.ewma for r in ewma(df, "k", "ts", "v", alpha=0.3).collect()
+    }
+    ref = pd.Series([10.0, 20.0, 5.0, 40.0]).ewm(alpha=0.3, adjust=False).mean()
+    for day, want in zip([1, 2, 3, 4], ref):
+        assert got[(1, day)] == pytest.approx(want, rel=1e-12)
+    assert got[(2, 1)] == 7.0
