@@ -352,3 +352,77 @@ def an_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0", "c0", "n1", "c1",
         F.floor(z * 10000.0 + 0.5).cast("bigint").alias("z_e4"),
     )
+
+
+@register(
+    "an_spatial_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (('0x' || substr(md5(c_custkey || ':lat'), 1, 6))::BIGINT % 12000)
+               / 100.0 - 60.0 AS lat,
+             (('0x' || substr(md5(c_custkey || ':lon'), 1, 6))::BIGINT % 36000)
+               / 100.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(floor(
+        sqrt(
+          ((b.lon - a.lon)
+           * (1.0 - (((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))) / 2.0
+                  + (((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))) / 24.0)
+           * 111.32) * ((b.lon - a.lon)
+           * (1.0 - (((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * (((a.lat + b.lat) / 2.0) * (3.141592653589793 / 180.0))) / 2.0
+                  + (((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))
+                     * ((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))) / 24.0)
+           * 111.32)
+          + ((b.lat - a.lat) * 111.32) * ((b.lat - a.lat) * 111.32)
+        ) * 1000000.0 + 0.5) AS BIGINT) AS dist_e6
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE sqrt(
+        pow((b.lon - a.lon)
+            * (1.0 - pow((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0), 2) / 2.0
+                   + pow((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0), 4) / 24.0)
+            * 111.32, 2)
+        + pow((b.lat - a.lat) * 111.32, 2)) <= 200.0
+    """,
+    description="Spatial self-join within 200 km (operators/geo.py): grid "
+    "blocking with cell edge >= radius guarantees every qualifying pair "
+    "shares one of 9 probed cells — recall exactly 1, verified because "
+    "the ORACLE is the brute-force all-pairs filter with the same "
+    "sqrt-only equirectangular distance (Taylor cos — no libm trig). "
+    "Candidates are density-bounded equi joins, never |df|².",
+    tags=("analytics", "spatial", "custom-operator"),
+)
+def an_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.geo import spatial_self_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("c_custkey"), F.lit(":lat"))), 1, 6),
+                16, 10,
+            ).cast("bigint") % 12000 / 100.0 - 60.0
+        ).alias("lat"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("c_custkey"), F.lit(":lon"))), 1, 6),
+                16, 10,
+            ).cast("bigint") % 36000 / 100.0 - 180.0
+        ).alias("lon"),
+    )
+    out = spatial_self_pairs(pts, "id", "lat", "lon", radius_km=200.0)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("dist_km") * 1000000.0 + 0.5).cast("bigint").alias("dist_e6"),
+    )

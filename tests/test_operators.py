@@ -964,3 +964,27 @@ def test_ewma_matches_pandas(spark):
     for day, want in zip([1, 2, 3, 4], ref):
         assert got[(1, day)] == pytest.approx(want, rel=1e-12)
     assert got[(2, 1)] == 7.0
+
+
+def test_spatial_pairs_high_latitude_recall(spark):
+    """The cos(lat) trap: at lat 59, 200 km spans ~2x more longitude
+    degrees than at the equator. Points 3.4 lon-degrees apart at lat 59
+    are within 200 km and MUST pair (a latitude-scaled cell edge would
+    put them 2 cells apart and lose them)."""
+    from ops_spark.operators.geo import equirect_km, spatial_self_pairs
+
+    pts = [
+        (1, 59.0, 10.0),
+        (2, 59.0, 13.3),  # ~190 km away at this latitude
+        (3, 59.0, 30.0),  # far
+        (4, 0.0, 10.0),  # equator, far from all
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r.id_a, r.id_b) for r in
+           spatial_self_pairs(df, "id", "lat", "lon", 200.0).collect()}
+    assert got == {(1, 2)}
+    d = df.filter("id = 1").crossJoin(
+        df.filter("id = 2").selectExpr("lat AS lat2", "lon AS lon2")
+    ).select(equirect_km(F.col("lat"), F.col("lon"),
+                         F.col("lat2"), F.col("lon2")).alias("d")).head().d
+    assert 150 < d < 200
