@@ -162,3 +162,46 @@ def test_gap_fill_linear_matches_numpy_interp(spark, series):
     ref = np.interp(range(min(xs), max(xs) + 1), xs, [vals[x] for x in xs])
     for day, expect in zip(range(min(xs), max(xs) + 1), ref):
         assert got[day] == int(np.floor(expect * 10000.0 + 0.5)), (day, series)
+
+
+_SCD_CUR = st.lists(
+    st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=8, unique_by=lambda t: t[0],
+)
+_SCD_UPD = st.lists(
+    st.tuples(st.integers(0, 12), st.sampled_from(["a", "b", "c", "d"])),
+    min_size=0, max_size=10, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(cur=_SCD_CUR, upd=_SCD_UPD)
+def test_scd2_merge_matches_reference(spark, cur, upd):
+    """scd2_merge vs a dict-based reference over random snapshots: every
+    key's open row reflects the latest value, changed rows close at the
+    update stamp, history rows pass through untouched."""
+    from ops_spark.operators.analytics import scd2_merge
+
+    cur_rows = [(k, v, "2020", None) for k, v in cur]
+    upd_rows = [(k, v, "2024") for k, v in upd]
+    cur_df = spark.createDataFrame(
+        cur_rows, "k long, val string, valid_from string, valid_to string"
+    )
+    upd_df = spark.createDataFrame(upd_rows, "k long, val string, update_ts string")
+    got = {
+        (r.k, r.val, r.valid_from): r.valid_to
+        for r in scd2_merge(cur_df, upd_df, ["k"], ["val"], "update_ts").collect()
+    }
+
+    want = {}
+    cur_d, upd_d = dict(cur), dict(upd)
+    for k, v in cur_d.items():
+        if k in upd_d and upd_d[k] != v:
+            want[(k, v, "2020")] = "2024"  # closed
+            want[(k, upd_d[k], "2024")] = None  # new version
+        else:
+            want[(k, v, "2020")] = None  # unchanged (or identical update)
+    for k, v in upd_d.items():
+        if k not in cur_d:
+            want[(k, v, "2024")] = None  # brand-new key
+    assert got == want
