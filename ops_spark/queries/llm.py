@@ -1508,3 +1508,80 @@ def llm_corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_dups"),
         )
     )
+
+
+@register(
+    "llm_pipeline_full",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             len(regexp_extract_all(text, '[0-9]')) AS digits
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, t, len(t) AS ntok, nc, punct, digits,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','is'],
+                                                   lower(x)))) AS nstop
+      FROM s
+    ), f AS (  -- stage 1: linear quality filter
+      SELECT doc_id, text, t, ntok
+      FROM (SELECT *,
+              round(CASE WHEN ntok > 0 THEN CAST(nc AS DOUBLE)/ntok ELSE 0.0 END, 4) AS f_avg,
+              round(CASE WHEN ntok > 0 THEN CAST(nstop AS DOUBLE)/ntok ELSE 0.0 END, 4) AS f_stop,
+              round(CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE)/nc ELSE 0.0 END, 4) AS f_punct,
+              round(CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END, 4) AS f_digit
+            FROM m)
+      WHERE (-1.2 + (CAST(least(ntok, 100) AS DOUBLE) / 100.0) * 1.5
+             + f_avg * 0.35 + f_stop * 4.0
+             + f_punct * (-6.0) + f_digit * (-3.0)) > 0
+    ), d AS (  -- stage 2: exact dedup, lowest id survives
+      SELECT doc_id, text, t, ntok FROM f
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sset FROM d
+    ), ev AS (  -- stage 3: decontaminate vs the eval slice
+      SELECT DISTINCT unnest({_SQL_SHINGLES}) AS g
+      FROM (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 97 = 0)
+    ), dirty AS (
+      SELECT DISTINCT s2.doc_id
+      FROM (SELECT doc_id, unnest(sset) AS g FROM sh) s2 JOIN ev USING (g)
+      WHERE s2.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id,
+           CAST(d.ntok AS BIGINT) AS n_tokens,
+           CASE WHEN (('0x' || substr(md5(d.doc_id || ':split-v1'), 1, 6))::BIGINT
+                      % 100) < 80 THEN 'train'
+                WHEN (('0x' || substr(md5(d.doc_id || ':split-v1'), 1, 6))::BIGINT
+                      % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM d
+    LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+    WHERE dirty.doc_id IS NULL AND d.doc_id % 97 <> 0
+    """,
+    description="The full pretraining intake pipeline as ONE oracle-checked "
+    "chain: model-based quality filter → exact dedup (lowest id per md5) → "
+    "benchmark decontamination (3-gram overlap vs the doc_id%97 eval "
+    "slice) → deterministic split assignment. Every stage reuses an "
+    "individually-verified operator; the oracle replays all four in CTEs. "
+    "Plan: zero-shuffle filter, one digest window, one broadcast probe + "
+    "doc groupBy, zero-shuffle split — four stages, two shuffles.",
+    tags=("llm", "pipeline", "flagship"),
+)
+def llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept = T.quality_logit(docs).filter(F.col("keep")).select("doc_id", "text")
+    deduped = D.exact_dedup(kept, ["text"], "doc_id")
+    train = deduped.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = D.contamination(train, eval_df)
+    clean = train.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    out = T.split_assign(clean)
+    return out.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        "split",
+    )
