@@ -426,3 +426,47 @@ def an_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.floor(F.col("dist_km") * 1000000.0 + 0.5).cast("bigint").alias("dist_e6"),
     )
+
+
+@register(
+    "an_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(c) AS BIGINT) AS min_rows,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           CAST(floor(avg(c) * 100.0 + 0.5) AS BIGINT) AS avg_rows_e2,
+           CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_rows,
+           CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_rows,
+           CAST(floor(CAST(max(c) AS DOUBLE) / avg(c) * 100.0 + 0.5) AS BIGINT)
+             AS skew_factor_e2
+    FROM per_key
+    """,
+    description="Join-key skew diagnostic for lineitem.l_suppkey: per-key "
+    "row-count distribution (min/max/avg/p50/p99) plus max/avg skew "
+    "factor — the pre-flight report that decides broadcast vs salting vs "
+    "AQE skew-split before a 100 TB join. Two aggregations (per-key count "
+    "is map-side combinable; the summary is 1 row). percentile_disc picks "
+    "actual data values, exact on both engines.",
+    tags=("analytics", "skew", "diagnostics"),
+)
+def an_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("c"))
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.min("c").cast("bigint").alias("min_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.floor(F.avg("c") * 100.0 + 0.5).cast("bigint").alias("avg_rows_e2"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("p50_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("p99_rows"),
+        F.floor(F.max("c").cast("double") / F.avg("c") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("skew_factor_e2"),
+    )

@@ -1092,3 +1092,36 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.price").alias("price"),
         F.col("s.yr").alias("yr"),
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                  ELSE [n_nationkey, n_regionkey] END AS arr
+      FROM nation
+    )
+    SELECT n_nationkey, CAST(NULL AS BIGINT) AS v FROM src WHERE arr IS NULL
+    UNION ALL
+    SELECT n_nationkey, unnest(arr) AS v FROM src WHERE arr IS NOT NULL
+    """,
+    description="explode_outer generator (GenerateExec outer=true): rows "
+    "with NULL/empty arrays survive with NULL output instead of vanishing "
+    "— the LEFT JOIN of generators. Oracle is the portable two-branch "
+    "UNION (DuckDB's unnest drops NULL-array rows like inner explode).",
+    tags=("function", "generator"),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    src = n.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit(None)).otherwise(
+            F.array(
+                F.col("n_nationkey").cast("bigint"),
+                F.col("n_regionkey").cast("bigint"),
+            )
+        ).alias("arr"),
+    )
+    return src.select("n_nationkey", F.explode_outer("arr").alias("v"))
