@@ -1125,3 +1125,28 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arr"),
     )
     return src.select("n_nationkey", F.explode_outer("arr").alias("v"))
+
+
+@register(
+    "fn_bround",
+    oracle="""
+    SELECT o_orderkey,
+           round_even(o_totalprice / 1000.0, 1) AS banker,
+           round(o_totalprice / 1000.0, 1) AS half_up
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    description="bround (banker's/half-even rounding, DuckDB round_even) "
+    "vs plain round side by side — the two rounding modes whose halfway "
+    "disagreement motivates this repo's floor-e encoding elsewhere. "
+    "Here the inputs are /1000 quotients whose binary doubles never land "
+    "exactly on a .05 boundary, so both modes are engine-stable.",
+    tags=("function", "math"),
+)
+def fn_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    q = F.col("o_totalprice") / 1000.0
+    return o.select(
+        "o_orderkey",
+        F.bround(q, 1).alias("banker"),
+        F.round(q, 1).alias("half_up"),
+    )

@@ -927,3 +927,23 @@ def test_sql_ddl_battery(spark, sf_dir):
         assert spark.table("ddl_demo").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_demo")
+
+
+def test_char_varchar_semantics(spark):
+    """CHAR(n)/VARCHAR(n) length semantics (Spark 3.1+): CHAR pads reads
+    to n, VARCHAR(n) rejects overflow on write."""
+    import pytest
+
+    spark.sql("DROP TABLE IF EXISTS cv_demo")
+    spark.sql(
+        "CREATE TABLE cv_demo(c CHAR(5), v VARCHAR(3)) USING parquet"
+    )
+    try:
+        spark.sql("INSERT INTO cv_demo VALUES ('ab', 'xyz')")
+        r = spark.table("cv_demo").head()
+        assert r.c == "ab   "  # CHAR right-pads to declared length
+        assert r.v == "xyz"
+        with pytest.raises(Exception, match="EXCEED_LIMIT_LENGTH|length"):
+            spark.sql("INSERT INTO cv_demo VALUES ('ok', 'toolong')")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cv_demo")
