@@ -399,3 +399,38 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(big, ignorenulls=True).over(w).alias("first_big"),
         F.last("o_totalprice").over(w2).alias("last_price"),
     )
+
+
+@register(
+    "set_union_by_name_missing",
+    oracle="""
+    SELECT n_nationkey AS id, n_name AS name, CAST(n_regionkey AS BIGINT) AS region,
+           CAST(NULL AS VARCHAR) AS segment
+    FROM nation
+    UNION ALL
+    SELECT c_custkey AS id, c_name AS name, CAST(NULL AS BIGINT) AS region,
+           c_mktsegment AS segment
+    FROM customer WHERE c_custkey <= 100
+    """,
+    description="unionByName(allowMissingColumns=True): position-"
+    "independent union where each side's missing columns fill with NULL — "
+    "the schema-evolution-safe union (positional UNION silently "
+    "misaligns). Oracle is the explicit padded UNION ALL.",
+    tags=("set", "union"),
+)
+def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("bigint").alias("region"),
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return n.unionByName(c, allowMissingColumns=True)
