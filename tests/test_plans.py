@@ -479,3 +479,13 @@ def test_quality_checks_row_rules_one_scan(spark, sf_dir):
     )
     txt = agg_df._jdf.queryExecution().executedPlan().toString()
     assert txt.count("Scan parquet") == 1
+
+
+def test_pipeline_full_exchange_budget(spark, sf_dir):
+    # The 4-stage intake pipeline must stay cheap: quality filter and
+    # split are zero-shuffle, dedup is one digest window, decontamination
+    # one broadcast probe + one doc groupBy — a handful of exchanges,
+    # and never a cartesian/nested-loop stage.
+    p = _plan(spark, sf_dir, "llm_pipeline_full")
+    assert p.n_cartesian == 0 and p.n_nested_loop_joins == 0
+    assert p.n_shuffle_exchanges <= 5, p.text
