@@ -163,16 +163,26 @@ def numeric_histogram(
     expression + one groupBy — the profiling primitive for 100 TB numeric
     columns (df.stat's approxQuantile complements it for quantiles).
 
-    Bucket = floor((v - lo)/width) + 1, clamped — identical arithmetic is
-    reproducible in any engine (width_bucket() exists in Spark 3.5+, but
-    the explicit formula keeps the oracle contract exact).
+    Bucket = least(floor((v - lo)/width) + 1, nbins) — the least() clamp
+    keeps fp-rounding of width from pushing in-range values into the
+    overflow bucket; identical arithmetic is reproducible in any engine
+    (width_bucket() exists in Spark 3.5+, but the explicit formula keeps
+    the oracle contract exact).
     """
     width = (hi - lo) / nbins
     v = F.col(value_col)
     bucket = (
         F.when(v < lo, F.lit(0))
         .when(v >= hi, F.lit(nbins + 1))
-        .otherwise((F.floor((v - F.lit(lo)) / F.lit(width)) + 1).cast("int"))
+        # least(): when width = (hi-lo)/nbins rounds DOWN in floating
+        # point, a value just below hi can floor to nbins — clamp it into
+        # the top in-range bucket instead of the overflow bucket.
+        .otherwise(
+            F.least(
+                (F.floor((v - F.lit(lo)) / F.lit(width)) + 1).cast("int"),
+                F.lit(nbins),
+            )
+        )
     )
     return (
         df.select(bucket.alias("bucket"), v.alias("v"))

@@ -8,9 +8,11 @@ rebuilds the capability on public primitives:
 
 - positions come from ``xxhash64(value, seed_i) % m`` — JVM-side codegen,
   deterministic across runs/partitions (no PYTHONHASHSEED involvement);
-- the build aggregates DISTINCT set-bit positions, so the data that reaches
-  the driver is bounded by the filter's own size (m bits), never by the
-  input row count — the same contract as collecting the filter itself;
+- the build aggregates positions into 64-bit bitmap words cluster-side
+  (group by word index, ``bit_or`` of the bit masks — partial-aggregable,
+  so map-side combine runs before the one shuffle), and the driver
+  receives at most m/64 longs — the filter's own bitmap, never row- or
+  set-bit-count-proportional driver traffic;
 - membership is a pure Column expression: codegen'd bit tests against a
   literal word array for small filters, or an Arrow-batched numpy bit test
   against a broadcast bitmap for large ones (hashing stays JVM-side in both
@@ -116,6 +118,23 @@ class BloomSketch:
         return _test(pos_arr)
 
 
+def _word_bitmap_df(src: DataFrame, k: int, m: int) -> DataFrame:
+    """(word index, 64-bit OR of that word's set bits) — ONE hash
+    aggregation (partial bit_or map-side, final after the single shuffle),
+    no distinct/Expand stage. Exposed for the plan-shape test."""
+    return (
+        src.select(F.explode(F.array(*_positions(F.col("v"), k, m))).alias("p"))
+        .select(
+            F.floor(F.col("p") / 64).cast("long").alias("w"),
+            # shiftleft's Python wrapper wants a literal shift; the SQL
+            # expression form accepts a column.
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
 def bloom_build(
     df: DataFrame,
     col: str,
@@ -126,21 +145,18 @@ def bloom_build(
     BloomFilter.putLong). ``expected_items`` defaults to a count(distinct)
     pass — pass it explicitly to skip that job.
 
-    Scale: the cluster computes and dedups bit positions (one shuffle of
-    ≤ m ints); the driver receives only set bits — bounded by the filter
-    size, independent of row count."""
+    Scale: the cluster folds bit positions into bitmap WORDS (bit_or per
+    word index — map-side combine, then one shuffle of ≤ m/64 groups); the
+    driver receives at most m/64 longs, the same bytes the bitmap itself
+    occupies. (Collecting set-bit positions as rows — the previous shape —
+    costs ~100 B per set bit in driver Row objects: tens of GB for a 1e9-item
+    filter versus the m/8 bytes collected here.)"""
     c = F.col(col)
     src = df.select(c.alias("v")).filter(c.isNotNull())
     if expected_items is None:
         expected_items = src.select(F.count_distinct("v")).head()[0] or 1
     m, k = optimal_m_k(expected_items, fpp)
-    pos_rows = (
-        src.select(F.explode(F.array(*_positions(F.col("v"), k, m))).alias("p"))
-        .distinct()
-        .collect()
-    )
     words = np.zeros(m // 64, dtype=np.uint64)
-    for r in pos_rows:
-        p = r.p
-        words[p // 64] |= np.uint64(1) << np.uint64(p % 64)
+    for r in _word_bitmap_df(src, k, m).collect():
+        words[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
     return BloomSketch(m=m, k=k, words=words)

@@ -453,9 +453,10 @@ def embedding_cosine_pairs(
     n_chunks: int = 8,
 ) -> DataFrame:
     """EXACT embedding near-dup pairs: all (id_a < id_b) with cosine ≥ t.
+    Ids must be (castable to) bigint — the output schema is long ids.
 
     All-pairs, evaluated as distributed blocked GEMM: rows hash to
-    ``n_chunks`` chunks by id, every unordered chunk pair (ca ≤ cb) becomes
+    ``n_chunks`` chunks by pmod(xxhash64(id)), every unordered chunk pair (ca ≤ cb) becomes
     one cogroup, and each cogroup scores its block with a single numpy
     A·Bᵀ — P(P+1)/2 BLAS calls totalling N²·dim flops. Replication factor
     is P+1 per row (each row joins P+1 block pairs), shuffle volume
@@ -474,9 +475,14 @@ def embedding_cosine_pairs(
     """
     P = n_chunks
     v = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        (F.col(id_col) % P).cast("int").alias("c"),
+        # pmod(xxhash64): non-negative chunk for ANY bigint id (Spark's %
+        # keeps the dividend's sign, so a bare `id % P` sends negative ids
+        # to negative chunks where the sequence() explodes descend and the
+        # pairs silently vanish), and hash-chunking stays uniform even
+        # when ids are clustered (all-even ids, id ranges, ...).
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(P)).cast("int").alias("c"),
     )
     # A row with chunk c is the A side of block pairs (c, cb≥c) and the B
     # side of (ca≤c, c); the diagonal block sees it on both sides and the

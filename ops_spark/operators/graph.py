@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ops_spark.operators.blocks import (
+    adopt_tracking,
+    free_checkpoint,
+    tracked_local_checkpoint,
+)
+
 
 def connected_components(
     edges: DataFrame,
@@ -36,12 +42,11 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
-    labels = verts.withColumn("comp", F.col("id")).localCheckpoint()
-    sym = (
+    labels = tracked_local_checkpoint(verts.withColumn("comp", F.col("id")))
+    sym = tracked_local_checkpoint(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     for it in range(max_iterations):
         # each vertex adopts min(own label, neighbors' labels)
@@ -65,7 +70,7 @@ def connected_components(
         jump = propagated.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
-        new_labels = (
+        new_labels = tracked_local_checkpoint(  # cut lineage per round
             propagated.join(jump, propagated.comp == jump.jid, "left")
             .select(
                 "id",
@@ -73,7 +78,6 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()  # cut lineage: plan must not grow per round
         )
         # convergence probe every second round: with pointer jumping the
         # label tree collapses in O(log n) rounds, so the probe (a full
@@ -88,16 +92,17 @@ def connected_components(
                 .count()
             )
             if changed == 0:
-                labels.unpersist()
-                sym.unpersist()
-                return new_labels.select("id", "comp")
+                free_checkpoint(labels)
+                free_checkpoint(sym)
+                return adopt_tracking(new_labels, new_labels.select("id", "comp"))
         # new_labels is materialized (eager checkpoint): the superseded
-        # round's blocks can go — otherwise every round of every iterative
-        # query stays pinned in executor memory for the session's lifetime.
-        labels.unpersist()
+        # round's RDD blocks can go — released via the JVM RDD handle
+        # (DataFrame.unpersist alone would leave localCheckpoint blocks
+        # pinned for the session's lifetime).
+        free_checkpoint(labels)
         labels = new_labels
-    sym.unpersist()
-    return labels.select("id", "comp")
+    free_checkpoint(sym)
+    return adopt_tracking(labels, labels.select("id", "comp"))
 
 
 def pagerank(
@@ -119,15 +124,14 @@ def pagerank(
     deterministic and oracle-expressible as unrolled SQL.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    nodes = tracked_local_checkpoint(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    graph = e.join(deg, "src").localCheckpoint()  # (src, dst, out_deg)
+    graph = tracked_local_checkpoint(e.join(deg, "src"))  # (src, dst, out_deg)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
@@ -137,7 +141,7 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         prev = ranks
-        ranks = (
+        ranks = tracked_local_checkpoint(
             nodes.join(contribs, nodes.id == contribs.dst, "left")
             .select(
                 "id",
@@ -146,14 +150,13 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
         if i > 0:  # round 0's prev is the un-checkpointed seed
-            prev.unpersist()
-    # the returned ranks checkpoint has truncated lineage, so its inputs'
-    # pinned blocks are no longer needed
-    nodes.unpersist()
-    graph.unpersist()
+            free_checkpoint(prev)
+    # the returned ranks checkpoint has truncated lineage (materialized
+    # eagerly), so its inputs' pinned RDD blocks are no longer needed
+    free_checkpoint(nodes)
+    free_checkpoint(graph)
     return ranks
 
 

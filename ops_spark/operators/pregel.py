@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ops_spark.operators.blocks import free_checkpoint, tracked_local_checkpoint
+
 MSG = "_msg"
 
 
@@ -68,16 +70,20 @@ def pregel(
     if unknown:
         raise ValueError(f"update targets unknown state columns: {sorted(unknown)}")
 
-    state = vertices.select(F.col(id_col).alias("id"), *state_cols).localCheckpoint()
-    e = edges.select(
-        F.col(src).alias("edge_src"),
-        F.col(dst).alias("edge_dst"),
-        *[
-            F.col(c).alias(f"edge_{c}")
-            for c in edges.columns
-            if c not in (src, dst)
-        ],
-    ).localCheckpoint()
+    state = tracked_local_checkpoint(
+        vertices.select(F.col(id_col).alias("id"), *state_cols)
+    )
+    e = tracked_local_checkpoint(
+        edges.select(
+            F.col(src).alias("edge_src"),
+            F.col(dst).alias("edge_dst"),
+            *[
+                F.col(c).alias(f"edge_{c}")
+                for c in edges.columns
+                if c not in (src, dst)
+            ],
+        )
+    )
 
     for it in range(max_iter):
         src_state = state.select(
@@ -108,13 +114,11 @@ def pregel(
             .groupBy("id")
             .agg(agg.alias(MSG))
         )
-        new_state = (
-            state.join(inbox, "id", "left")
-            .select(
+        new_state = tracked_local_checkpoint(
+            state.join(inbox, "id", "left").select(
                 "id",
                 *[update.get(c, F.col(c)).alias(c) for c in state_cols],
             )
-            .localCheckpoint()
         )
         if check_every and (it + 1) % check_every == 0:
             changed = (
@@ -129,12 +133,14 @@ def pregel(
                 .count()
             )
             if changed == 0:
-                state.unpersist()
-                e.unpersist()
+                free_checkpoint(state)
+                free_checkpoint(e)
                 return new_state
         # new_state is materialized (eager checkpoint); drop the superseded
-        # round's pinned blocks so long loops don't accrete executor memory.
-        state.unpersist()
+        # round's pinned RDD blocks (via the JVM handle — plain
+        # DataFrame.unpersist leaves localCheckpoint blocks pinned) so long
+        # loops don't accrete executor memory.
+        free_checkpoint(state)
         state = new_state
-    e.unpersist()
+    free_checkpoint(e)
     return state

@@ -423,7 +423,9 @@ def bpe_merges(
     """
     import pandas as pd
 
-    words = (
+    from ops_spark.operators.blocks import free_checkpoint, tracked_local_checkpoint
+
+    words = tracked_local_checkpoint(  # cut lineage; the loop re-reads this k times
         df.select(F.explode(tokens(F.col(text_col), lowercase=True)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -432,7 +434,6 @@ def bpe_merges(
             F.filter(F.split(F.col("w"), ""), lambda x: x != "").alias("sym"),
             F.col("freq"),
         )
-        .localCheckpoint()  # cut lineage; the loop re-reads this k times
     )
     out = []
     for rank in range(1, n_merges + 1):
@@ -469,11 +470,15 @@ def bpe_merges(
             }
         )
         prev = words
-        words = words.select(
-            _apply_merge(F.col("sym"), top["l"], top["r"]).alias("sym"), "freq"
-        ).localCheckpoint()
-        prev.unpersist()  # superseded round: don't pin k copies of the vocab
-    words.unpersist()  # result is the driver-side merge table, not `words`
+        words = tracked_local_checkpoint(
+            words.select(
+                _apply_merge(F.col("sym"), top["l"], top["r"]).alias("sym"), "freq"
+            )
+        )
+        # superseded round: free its RDD blocks so the loop doesn't pin k
+        # copies of the vocab (DataFrame.unpersist alone can't drop them)
+        free_checkpoint(prev)
+    free_checkpoint(words)  # result is the driver-side merge table, not `words`
     return pd.DataFrame(out)
 
 

@@ -149,7 +149,7 @@ def an_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN value < 0.0 THEN 0
                 WHEN value >= 500.0 THEN 26
-                ELSE CAST(floor(value / 20.0) AS INT) + 1 END AS bucket,
+                ELSE LEAST(CAST(floor(value / 20.0) AS INT) + 1, 25) END AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            min(value) AS vmin, max(value) AS vmax
     FROM events GROUP BY 1

@@ -96,3 +96,49 @@ def test_register_java_udaf(spark, tmp_path):
         "SELECT sum2x_jvm(id) AS r FROM (SELECT id FROM range(5) DISTRIBUTE BY id % 4)"
     ).head()
     assert got.r == 20  # (0+1+2+3+4) * 2
+
+
+TYPED_AGG_SRC = """
+import org.apache.spark.sql.Encoder;
+import org.apache.spark.sql.Encoders;
+import org.apache.spark.sql.expressions.Aggregator;
+
+public class SumSquaresAgg extends Aggregator<Long, Long, Long> {
+    @Override public Long zero() { return 0L; }
+    @Override public Long reduce(Long b, Long a) { return b + (a == null ? 0L : a * a); }
+    @Override public Long merge(Long b1, Long b2) { return b1 + b2; }
+    @Override public Long finish(Long b) { return b; }
+    @Override public Encoder<Long> bufferEncoder() { return Encoders.LONG(); }
+    @Override public Encoder<Long> outputEncoder() { return Encoders.LONG(); }
+}
+"""
+
+
+@needs_jdk
+def test_register_typed_aggregator(spark, tmp_path):
+    """The TYPED Aggregator path (reference: sql/core/.../expressions/
+    Aggregator.scala, udaf.scala:32): compile an
+    org.apache.spark.sql.expressions.Aggregator subclass, wrap it with
+    functions.udaf(agg, Encoders.LONG()) — the Spark-3+ replacement for the
+    deprecated UserDefinedAggregateFunction — and register it for SQL use.
+    registerJavaUDAF only accepts the legacy UDAF class, so the typed path
+    goes through the JVM functions.udaf + UDFRegistration.register, exactly
+    as a Scala/Java user would."""
+    jar = _compile_jar(tmp_path, "SumSquaresAgg", TYPED_AGG_SRC)
+    spark.sql(f"ADD JAR {jar}")  # ships the class to executors too
+    jvm = spark._jvm
+    loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    agg = loader.loadClass("SumSquaresAgg").newInstance()
+    judf = jvm.org.apache.spark.sql.functions.udaf(
+        agg, jvm.org.apache.spark.sql.Encoders.LONG()
+    )
+    spark._jsparkSession.udf().register("sumsq_jvm", judf)
+    # DISTRIBUTE BY forces partial buffers -> merge across partitions.
+    got = spark.sql(
+        "SELECT sumsq_jvm(id) AS r FROM (SELECT id FROM range(5) DISTRIBUTE BY id % 3)"
+    ).head()
+    assert got.r == 30  # 0+1+4+9+16
+    # null inputs hit the reduce null branch, not a crash
+    assert spark.sql(
+        "SELECT sumsq_jvm(CAST(NULL AS BIGINT)) AS r FROM range(1)"
+    ).head().r == 0

@@ -988,3 +988,77 @@ def test_spatial_pairs_high_latitude_recall(spark):
     ).select(equirect_km(F.col("lat"), F.col("lon"),
                          F.col("lat2"), F.col("lon2")).alias("d")).head().d
     assert 150 < d < 200
+
+
+def test_iterative_loops_free_superseded_checkpoint_blocks(spark):
+    """DataFrame.unpersist() does NOT free localCheckpoint RDD blocks (it
+    only uncaches CacheManager entries), so the iterative loops release
+    superseded rounds at the RDD level via blocks.free_checkpoint. A long
+    chain graph forces many rounds; afterwards only the RETURNED round's
+    checkpoint may remain pinned."""
+    from ops_spark.operators.blocks import _persistent_ids, free_checkpoint
+    from ops_spark.operators.graph import connected_components
+
+    base = _persistent_ids(spark)
+    # chain 0-1-2-...-19: needs several pointer-jump rounds to converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges, max_iterations=12)
+    assert {r.comp for r in cc.collect()} == {0}
+    leaked = _persistent_ids(spark) - base
+    # one round's checkpoint = one RDD; allow the returned round only
+    assert len(leaked) <= 1, f"superseded checkpoint RDDs leaked: {leaked}"
+    free_checkpoint(cc)
+    assert len(_persistent_ids(spark) - base) == 0
+
+
+def test_embedding_cosine_pairs_handles_negative_ids(spark):
+    """pmod(xxhash64(id)) chunking: negative bigint ids must produce the
+    same pair set as a brute-force scan (a bare `id % P` sends them to
+    negative chunks where the block explodes emit nothing — silent recall
+    loss, not an error)."""
+    import numpy as np
+
+    from ops_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = {i: rng.normal(size=8) for i in range(-6, 7)}
+    vecs[-5] = vecs[4] + 0.001 * rng.normal(size=8)  # planted near-dup
+    vecs[-2] = vecs[-6] + 0.001 * rng.normal(size=8)  # both ids negative
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(df, threshold=0.95, n_chunks=4).collect()
+    }
+    want = set()
+    ids = sorted(vecs)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                va, vb = vecs[a], vecs[b]
+                cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                if cos >= 0.95:
+                    want.add((a, b))
+    assert (-6, -2) in want and (-5, 4) in want  # the planted pairs
+    assert got == want
+
+
+def test_numeric_histogram_clamps_fp_edge_into_top_bucket(spark):
+    """width = (hi-lo)/nbins can round DOWN in fp; then a value just below
+    hi floors to nbins and (without the least() clamp) lands in the
+    overflow bucket nbins+1 despite being in-range."""
+    import math
+
+    from ops_spark.operators.analytics import numeric_histogram
+
+    hi, nbins = 485.97910379315636, 13
+    v = math.nextafter(hi, -math.inf)
+    assert v < hi and math.floor(v / (hi / nbins)) + 1 == nbins + 1  # the trap
+    df = spark.createDataFrame([(v,), (hi,), (-1.0,)], "value double")
+    got = {r.bucket: r.n for r in
+           numeric_histogram(df, "value", 0.0, hi, nbins).collect()}
+    assert got == {nbins: 1, nbins + 1: 1, 0: 1}

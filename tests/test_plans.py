@@ -489,3 +489,38 @@ def test_pipeline_full_exchange_budget(spark, sf_dir):
     p = _plan(spark, sf_dir, "llm_pipeline_full")
     assert p.n_cartesian == 0 and p.n_nested_loop_joins == 0
     assert p.n_shuffle_exchanges <= 5, p.text
+
+
+def test_quality_checks_unique_rules_ride_same_scan(spark, sf_dir):
+    # Uniqueness rules are count_distinct(struct(keys)) riding the SAME
+    # aggregation as the row rules: one scan of the fact table no matter
+    # how many unique/row rules are checked (multi-distinct plans through
+    # Expand, still one read).
+    from ops_spark.io import load_table
+    from ops_spark.operators import quality as Qc
+
+    o = load_table(spark, sf_dir, "orders")
+    agg_df = Qc._report_agg(
+        o,
+        row_rules=[Qc.not_null("o_custkey"), Qc.in_range("o_totalprice", 0, 1e6)],
+        unique=[["o_orderkey"], ["o_custkey", "o_orderdate"]],
+    )
+    txt = agg_df._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("Scan parquet") == 1, txt
+
+
+def test_bloom_build_is_one_aggregation_no_distinct(spark):
+    # The bloom build folds positions into bitmap words with ONE partial →
+    # final bit_or aggregation: no distinct stage, no Expand, driver
+    # receives ≤ m/64 longs.
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.bloom import _word_bitmap_df, optimal_m_k
+
+    src = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    m, k = optimal_m_k(1000, 0.03)
+    df = _word_bitmap_df(src, k, m)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("HashAggregate") == 2, txt  # partial + final, nothing else
+    assert "Expand" not in txt
+    assert df.count() <= m // 64
