@@ -210,9 +210,11 @@ def ewma(
 
     EWMA's recursion makes it inexpressible as a frame-window aggregate;
     instead each key's (ts, value) pairs are collected into one sorted
-    array and folded — valid at scale WHEN per-key series fit in memory
-    (same bound every stateful-streaming EWMA carries; shard long series
-    by time range first). One shuffle on the key.
+    array and folded — valid at scale WHEN per-key series fit in memory:
+    per-task footprint is O(max series length) doubles, so ~10M points
+    per key ≈ 160 MB in one aggregation buffer. One shuffle on the key.
+    For series beyond that bound use ``ewma_chunked`` (segment-then-carry:
+    bounded memory, ~4 shuffles).
     """
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
@@ -248,4 +250,118 @@ def ewma(
         F.col("z.__pairs.t").alias(ts_col),
         F.col("z.__pairs.v").alias(value_col),
         F.col("z.1").alias("ewma"),
+    )
+
+
+def ewma_chunked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    segment_len: int = 4096,
+) -> DataFrame:
+    """``ewma`` with a BOUNDED per-task memory footprint: the plain
+    operator collects each key's full series into one array (per-key
+    memory = series length), which a 100 TB table with years of per-key
+    history can exceed. This variant is the segment-then-carry form:
+
+    1. row_number window assigns each row a per-key position; positions
+       chunk into segments of ``segment_len``.
+    2. Per (key, segment): fold the segment with ZERO incoming state,
+       giving partial values p_i. EWMA's recursion is affine in the
+       incoming state, so the true value is p_i + carry·(1-alpha)^(i+1).
+    3. Per key: fold the (tiny) segment summaries (A = (1-alpha)^len,
+       e = last partial) in segment order to get each segment's incoming
+       carry: carry_0 = 0, carry_{k+1} = e_k + carry_k·A_k.
+    4. Join carries back and emit p_i + carry·(1-alpha)^(i+1).
+
+    Per-task memory is max(segment_len, n_segments) instead of the full
+    series (pick segment_len ≈ sqrt(max series length) to balance).
+    Costs ~4 shuffles vs the plain operator's 1 — use it when series
+    genuinely exceed executor memory, not as the default. Identical
+    results to ``ewma`` (same fold arithmetic, re-associated; exact in
+    exact arithmetic, ~1 ulp in floats)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.floor((F.row_number().over(w) - 1) / segment_len).alias("__seg"),
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("__t").alias("t"), F.col("__v").alias("v")))
+    )
+    per_seg = base.groupBy("__k", "__seg").agg(pairs.alias("__pairs"))
+
+    def zero_carry_fold(arr):
+        # seg 0 keeps the s_0 = x_0 seeding of pandas ewm(adjust=False);
+        # later segments fold the full alpha-blend from state 0 so the
+        # incoming carry can be applied affinely afterwards.
+        acc0 = F.struct(
+            F.array().cast("array<double>").alias("out"),
+            F.lit(None).cast("double").alias("s"),
+        )
+
+        def step(acc, x):
+            seeded = F.when(F.col("__seg") == 0, x["v"]).otherwise(
+                alpha * x["v"]
+            )
+            s = F.when(acc["s"].isNull(), seeded).otherwise(
+                alpha * x["v"] + (1.0 - alpha) * acc["s"]
+            )
+            return F.struct(
+                F.concat(acc["out"], F.array(s)).alias("out"), s.alias("s")
+            )
+
+        return F.aggregate(arr, acc0, step, lambda acc: acc["out"])
+
+    folded = per_seg.select(
+        "__k",
+        "__seg",
+        "__pairs",
+        zero_carry_fold(F.col("__pairs")).alias("__p"),
+    )
+    summaries = folded.select(
+        "__k",
+        "__seg",
+        F.pow(F.lit(1.0 - alpha), F.size("__p")).alias("__A"),
+        F.element_at("__p", -1).alias("__e"),
+    )
+    # per-key carry recursion over the SUMMARIES (n_segments items, not n)
+    seg_fold = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__seg").alias("g"), "__A", "__e"))
+        ),
+        F.struct(
+            F.array().cast("array<double>").alias("carries"),
+            F.lit(0.0).alias("c"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["carries"], F.array(acc["c"])).alias("carries"),
+            (x["__e"] + acc["c"] * x["__A"]).alias("c"),
+        ),
+        lambda acc: acc["carries"],
+    )
+    carries = (
+        summaries.groupBy("__k")
+        .agg(seg_fold.alias("__carries"))
+        .select("__k", F.posexplode("__carries").alias("__seg", "__carry"))
+    )
+    joined = folded.join(carries, ["__k", "__seg"])
+    exploded = joined.select(
+        "__k",
+        "__carry",
+        F.posexplode(F.arrays_zip(F.col("__pairs"), F.col("__p"))).alias("i", "z"),
+    )
+    return exploded.select(
+        F.col("__k").alias(key_col),
+        F.col("z.__pairs.t").alias(ts_col),
+        F.col("z.__pairs.v").alias(value_col),
+        (
+            F.col("z.__p")
+            + F.col("__carry") * F.pow(F.lit(1.0 - alpha), F.col("i") + 1)
+        ).alias("ewma"),
     )

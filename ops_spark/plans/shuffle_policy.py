@@ -209,6 +209,8 @@ def stage_shuffle_metrics(spark: SparkSession) -> list[dict]:
                     "shuffle_read_records": s.shuffleReadRecords(),
                     "shuffle_write_bytes": s.shuffleWriteBytes(),
                     "shuffle_write_records": s.shuffleWriteRecords(),
+                    "memory_bytes_spilled": s.memoryBytesSpilled(),
+                    "disk_bytes_spilled": s.diskBytesSpilled(),
                 }
             )
         return out

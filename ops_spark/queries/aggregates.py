@@ -615,3 +615,27 @@ def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "ts", "value", F.round("ewma", 6).alias("ewma")
     )
+
+
+@register(
+    "x_ts_ewma_chunked",
+    oracle=None,  # same non-SQL recursion as x_ts_ewma; equivalence to the
+    # single-array fold is pinned in
+    # tests/test_operators.py::test_ewma_chunked_matches_plain_ewma
+    description="Per-user EWMA via the segment-then-carry form "
+    "(operators/timeseries.py:ewma_chunked): bounded per-task memory "
+    "max(segment_len, n_segments) instead of the full series — the shape "
+    "for multi-year per-key histories at 100 TB. EWMA's recursion is "
+    "affine in the incoming state, so segments fold with zero carry and a "
+    "tiny per-key fold over segment summaries reconstructs exact values.",
+    tags=("timeseries", "window", "custom-operator", "scale"),
+)
+def x_ts_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.timeseries import ewma_chunked
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    # segment_len far below real series lengths so the carry path executes
+    out = ewma_chunked(ev, "user_id", "ts", "value", alpha=0.3, segment_len=16)
+    return out.select(
+        "user_id", "ts", "value", F.round("ewma", 6).alias("ewma")
+    )

@@ -1,0 +1,320 @@
+"""Scale-stress harness: prove the flagship plans past the sf0.1 fixtures.
+
+Everything in the test suite runs at <= 600k rows / ~17 MB; this script
+derives a ~100x dataset (60M-row lineitem) plus a zipf-skewed join-key
+variant into a scratch dir and executes the operators whose 100 TB story
+most needs evidence:
+
+1. AQE skew-join probe - a fact-fact join where ~30% of rows share one
+   key; asserts the FINAL adaptive plan actually split the skewed
+   partitions (``skew=true`` in the executed SortMergeJoin).
+2. Flagship queries at the derived scale: minhash LSH dedup, sign-LSH
+   embedding dedup, the full intake pipeline, connected components,
+   time-series gap fill.
+3. Spill probe (subprocess): the same 60M-row sort/agg under a 2g heap
+   and ``spark.memory.fraction=0.2``; asserts disk spill metrics > 0 -
+   i.e. the operators complete under memory pressure instead of OOMing.
+
+Run:  python scripts/scale_stress.py [--mult 100] [--derive-only]
+Env:  OPS_SCALE_DIR (default /tmp/ops_scale/sf10) - scratch output;
+      SPARK_GRAFT_CPUS for parallelism.
+Writes BENCH_SCALE.json next to the repo's bench outputs; SCALE.md's
+BENCH_SCALE section records the numbers.
+
+The derivation replicates each table K times with consistently re-keyed
+ids (key*K + replica for every PK/FK in the multiplied closure), so join
+fan-outs and per-key series lengths match the original - the dataset is
+K independent copies interleaved, not one giant hot key. Document text gets a
+per-replica suffix so replicas are NEAR-duplicates (the realistic dedup
+workload - clusters of ~K near-dups stress LSH bucketing and transitive
+closure exactly where skew lives).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_SF = "/root/testdata/sf0.1"
+
+# per-table replication multiplier (relative to --mult=100 baseline; the
+# doc/embedding family scales 4x lighter: quadratic-ish candidate work)
+REL = {
+    "region": 0,  # copied as-is (dims referenced by un-multiplied keys)
+    "nation": 0,
+    "customer": 1.0,
+    "supplier": 1.0,
+    "part": 1.0,
+    "orders": 1.0,
+    "lineitem": 1.0,
+    "events": 1.0,
+    "documents": 0.25,
+    "embeddings": 0.25,
+}
+
+# columns rewritten key -> key*K + replica (PK and every FK that points at
+# a multiplied table; nationkey columns stay - region/nation aren't grown)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+FLAGSHIPS = [
+    "llm_minhash_lsh_dedup",
+    "x_llm_embedding_dedup_lsh",
+    "llm_pipeline_full",
+    "graph_connected_components",
+    "ts_gap_fill",
+]
+
+
+def derive(spark, out_dir: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, rel in REL.items():
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        t0 = time.perf_counter()
+        df = spark.read.parquet(os.path.join(SRC_SF, f"{name}.parquet"))
+        k = max(1, int(mult * rel)) if rel else 1
+        n_files = max(4, min(64, k))
+        if rel:
+            # spread the source BEFORE exploding: the k-fold multiplication
+            # must run across n_files tasks, not the source's 2-3 row groups
+            df = df.repartition(n_files)
+            rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep")
+            df = df.select("*", rep)
+            for c in KEY_COLS.get(name, []):
+                df = df.withColumn(c, F.col(c) * k + F.col("__rep"))
+            if name == "documents":
+                # replicas become NEAR-duplicates, not byte-identical ones:
+                # the honest (and harder) dedup workload.
+                df = df.withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(" zz"), F.col("__rep").cast("string")),
+                ).withColumn("n_chars", F.length("text"))
+            df = df.drop("__rep")
+        df.write.mode("overwrite").parquet(dst)
+        print(
+            f"derive {name}: x{k} -> {dst} "
+            f"({time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+
+
+def skew_probe(spark, out_dir: str) -> dict:
+    """Fact-fact join with a zipf-ish hot key; returns plan evidence that
+    AQE's skew-join split engaged on the final executed plan."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(out_dir, "lineitem.parquet"))
+    n_keys = li.count()  # ~1 row/key on each side outside the hot key
+    # ~30% of rows collapse onto key 1; the rest spread over n_keys keys.
+    # The payload carries an 8-byte high-entropy column (hash of the row
+    # key) alongside the price. This matters: AQE's skew detection is
+    # BYTE-based (MapStatus sizes are post-compression), and a hot
+    # partition whose join key is constant LZ4-compresses ~4-5x better
+    # than its neighbors — with a narrow (key, double) row the measured
+    # 19.3M-row hot partition reported 29 MB vs the 15 MB median and AQE
+    # (correctly, by its own metric) declined to split. Real fact rows
+    # carry high-entropy payloads, so the probe models that; the
+    # compressible-hot-key caveat is documented in SCALE.md.
+    skewed = li.select(
+        F.when(F.pmod(F.xxhash64("l_orderkey"), F.lit(10)) < 3, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("l_orderkey", F.lit(7)), F.lit(n_keys)))
+        .alias("k"),
+        F.col("l_extendedprice").alias("x"),
+        F.xxhash64("l_orderkey", F.lit(99)).alias("h"),
+    )
+    # plain projection, NOT an aggregate: OptimizeSkewedJoin pattern-matches
+    # SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an agg between the
+    # join and its shuffle stage makes the join ineligible for splitting.
+    other = li.select(
+        F.pmod(F.xxhash64("l_orderkey", F.lit(13)), F.lit(n_keys)).alias("k"),
+        F.col("l_quantity").alias("y"),
+    )
+    # Global (not per-key) aggregate downstream: OptimizeSkewedJoin skips
+    # joins whose output partitioning is REQUIRED by a downstream operator
+    # (splitting the partition would force a re-shuffle, which AQE refuses
+    # unless forceOptimizeSkewedJoin). A partial-then-global sum imposes no
+    # distribution requirement, so the probe exercises the real decision.
+    joined = (
+        skewed.hint("merge")  # keep it a SortMergeJoin so skew-split applies
+        .join(other, "k")
+        .agg(F.sum(F.col("x") + F.col("y") + F.col("h")).alias("s"))
+    )
+    # Size-proportional thresholds: the default 256 MB skewedPartition
+    # threshold is calibrated for multi-GB cluster shuffles; the PROPERTY
+    # under test is "AQE detects and splits the hot partition", so pin
+    # thresholds the hot key will exceed at this dataset size while the
+    # median partition stays under.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    try:
+        t0 = time.perf_counter()
+        # collect() (not count()) so the inspected QueryExecution is the
+        # one that ran; the result is one row per distinct key (~100k).
+        n = len(joined.collect())
+        wall = time.perf_counter() - t0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return {
+        "rows": n,
+        "wall_sec": round(wall, 2),
+        "final_plan_is_adaptive": "isFinalPlan=true" in plan,
+        "skew_split_engaged": "skew=true" in plan,
+    }
+
+
+def run_flagships(spark, out_dir: str) -> dict:
+    import ops_spark.queries as q
+
+    q.load_all()
+    timings = {}
+    for name in FLAGSHIPS:
+        t0 = time.perf_counter()
+        n = q.get_query(name).builder(spark, out_dir).count()
+        timings[name] = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "rows": n,
+        }
+        print(f"flagship {name}: {timings[name]}", file=sys.stderr)
+        try:  # same between-query hygiene as bench.py
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.rdd().unpersist(False)
+        except Exception as exc:  # noqa: BLE001
+            print(f"cleanup skipped: {exc}", file=sys.stderr)
+    return timings
+
+
+SPILL_SCRIPT = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from ops_spark.session import get_session
+from ops_spark.plans.shuffle_policy import stage_shuffle_metrics
+spark = get_session(app_name="spill_probe", cores=8,
+                    extra_confs={{"spark.memory.fraction": "0.2"}})
+from pyspark.sql import functions as F
+li = spark.read.parquet(os.path.join({out_dir!r}, "lineitem.parquet"))
+# wide sort: every column rides the shuffle, guaranteeing the external
+# sorter exceeds the shrunken execution pool
+n = (li.repartition(8)
+       .sortWithinPartitions("l_orderkey", "l_partkey", "l_shipdate")
+       .groupBy("l_orderkey").agg(F.count("*").alias("c"))
+       .filter("c > 0").count())
+spilled = sum(s["disk_bytes_spilled"] for s in stage_shuffle_metrics(spark))
+mem_spilled = sum(s["memory_bytes_spilled"] for s in stage_shuffle_metrics(spark))
+print(json.dumps({{"rows": n, "disk_bytes_spilled": spilled,
+                   "memory_bytes_spilled": mem_spilled}}))
+spark.stop()
+"""
+
+
+def spill_probe(out_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+    out = subprocess.run(
+        [sys.executable, "-c", SPILL_SCRIPT.format(repo=REPO, out_dir=out_dir)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env=env,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        return {"error": out.stderr[-1500:]}
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument("--out", default=os.environ.get("OPS_SCALE_DIR", "/tmp/ops_scale/sf10"))
+    ap.add_argument("--derive-only", action="store_true")
+    ap.add_argument("--skip-spill", action="store_true")
+    ap.add_argument("--tpch", action="store_true", help="also run Q01-Q22 at the derived scale")
+    args = ap.parse_args()
+
+    from ops_spark.session import get_session
+
+    spark = get_session(app_name="scale_stress")
+    report: dict = {"mult": args.mult, "out_dir": args.out}
+    t0 = time.perf_counter()
+    derive(spark, args.out, args.mult)
+    report["derive_sec"] = round(time.perf_counter() - t0, 1)
+    if not args.derive_only:
+        report["skew_probe"] = skew_probe(spark, args.out)
+        report["flagships"] = run_flagships(spark, args.out)
+        if args.tpch:
+            report["tpch"] = run_tpch(spark, args.out)
+        if not args.skip_spill:
+            report["spill_probe"] = spill_probe(args.out)
+    spark.stop()
+    line = json.dumps(report, indent=1, sort_keys=True)
+    print(line)
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as fh:
+        fh.write(line + "\n")
+    ok = (
+        args.derive_only
+        or (
+            report["skew_probe"]["skew_split_engaged"]
+            and (args.skip_spill or report["spill_probe"].get("disk_bytes_spilled", 0) > 0)
+        )
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
+
+
+def run_tpch(spark, out_dir: str) -> dict:
+    """The headline TPC-H battery at the derived scale (60M-row lineitem
+    at --mult 100 ≈ TPC-H SF 10): the direct 'would the plans hold at
+    100×' check for the relational tier. Invoked via --tpch."""
+    import ops_spark.queries as q
+
+    q.load_all()
+    timings = {}
+    for name in sorted(n for n in q.all_queries() if n.startswith("Q")):
+        t0 = time.perf_counter()
+        n = q.get_query(name).builder(spark, out_dir).count()
+        timings[name] = {"wall_sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(f"tpch {name}: {timings[name]}", file=sys.stderr)
+        try:
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.rdd().unpersist(False)
+        except Exception as exc:  # noqa: BLE001
+            print(f"cleanup skipped: {exc}", file=sys.stderr)
+    return timings

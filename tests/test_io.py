@@ -947,3 +947,71 @@ def test_char_varchar_semantics(spark):
             spark.sql("INSERT INTO cv_demo VALUES ('ok', 'toolong')")
     finally:
         spark.sql("DROP TABLE IF EXISTS cv_demo")
+
+
+def test_hive_serde_metastore_depth(tmp_path):
+    """HiveQL SerDe depth on a local Derby metastore (reference: sql/hive/
+    — HiveExternalCatalog, HiveSerDe): CREATE TABLE ... STORED AS through
+    the Hive path (PARQUET + delimited TEXTFILE SerDe), dynamic-partition
+    INSERT OVERWRITE, SHOW PARTITIONS, and an EXTERNAL LOCATION table
+    whose files survive DROP TABLE. Runs in a subprocess because
+    spark.sql.catalogImplementation=hive is fixed at SharedState creation
+    and the session-scoped test fixture uses the in-memory catalog."""
+    import subprocess
+    import sys
+
+    script = rf"""
+import os
+base = {str(tmp_path)!r}
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[2]').appName('hive_serde')
+    .config('spark.sql.catalogImplementation', 'hive')
+    .config('spark.sql.warehouse.dir', os.path.join(base, 'wh'))
+    .config('javax.jdo.option.ConnectionURL',
+            'jdbc:derby:;databaseName=' + os.path.join(base, 'ms') + ';create=true')
+    .config('spark.driver.extraJavaOptions',
+            '-Dderby.system.home=' + os.path.join(base, 'derby'))
+    .config('spark.ui.enabled', 'false')
+    .config('spark.sql.shuffle.partitions', '4')
+    .enableHiveSupport().getOrCreate())
+assert spark.conf.get('spark.sql.catalogImplementation') == 'hive'
+
+# Hive-format partitioned table + dynamic-partition INSERT OVERWRITE
+spark.sql('CREATE TABLE pt (v STRING) PARTITIONED BY (k INT) STORED AS PARQUET')
+spark.conf.set('hive.exec.dynamic.partition.mode', 'nonstrict')
+spark.sql('INSERT OVERWRITE TABLE pt PARTITION(k) '
+          'SELECT CAST(id AS STRING) v, CAST(id % 3 AS INT) k FROM range(9)')
+assert sorted(r[0] for r in spark.sql('SHOW PARTITIONS pt').collect()) == \
+    ['k=0', 'k=1', 'k=2'], 'dynamic partitions missing'
+assert spark.table('pt').count() == 9
+# per-partition overwrite: only k=0 is replaced, k=1/k=2 untouched
+spark.sql("INSERT OVERWRITE TABLE pt PARTITION(k=0) VALUES ('only')")
+assert spark.table('pt').count() == 7
+assert spark.table('pt').filter('k = 0').count() == 1
+
+# delimited-text SerDe table (LazySimpleSerDe — a genuinely Hive-only path)
+spark.sql("CREATE TABLE t_text (id INT, s STRING) ROW FORMAT DELIMITED "
+          "FIELDS TERMINATED BY ',' STORED AS TEXTFILE")
+spark.sql("INSERT INTO t_text VALUES (1, 'a'), (2, 'b')")
+assert spark.table('t_text').count() == 2
+desc = '\n'.join(str(r) for r in spark.sql('DESCRIBE FORMATTED t_text').collect())
+assert 'LazySimpleSerDe' in desc, desc
+
+# EXTERNAL LOCATION table: metadata-only drop, files survive
+loc = os.path.join(base, 'ext')
+spark.range(5).selectExpr('CAST(id AS INT) AS id').write.parquet(loc)
+spark.sql("CREATE EXTERNAL TABLE ext_t (id INT) STORED AS PARQUET LOCATION '" + loc + "'")
+assert spark.table('ext_t').count() == 5
+spark.sql('DROP TABLE ext_t')
+assert any(f.endswith('.parquet') for f in os.listdir(loc)), 'DROP removed external files'
+spark.stop()
+print('HIVE_SERDE_OK')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert "HIVE_SERDE_OK" in out.stdout, out.stderr[-3000:]

@@ -1062,3 +1062,30 @@ def test_numeric_histogram_clamps_fp_edge_into_top_bucket(spark):
     got = {r.bucket: r.n for r in
            numeric_histogram(df, "value", 0.0, hi, nbins).collect()}
     assert got == {nbins: 1, nbins + 1: 1, 0: 1}
+
+
+def test_ewma_chunked_matches_plain_ewma(spark):
+    """Segment-then-carry EWMA (bounded per-task memory) must reproduce
+    the single-array fold: the recursion is affine in the incoming state,
+    so re-associating it over segments is exact up to fp round-off."""
+    import random
+
+    from ops_spark.operators.timeseries import ewma, ewma_chunked
+
+    random.seed(11)
+    rows = [
+        (k, i, random.uniform(-50, 50))
+        for k in ["a", "b"]
+        for i in range(103)  # not a multiple of segment_len: ragged tail
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    plain = {
+        (r.k, r.t): r.ewma for r in ewma(df, "k", "t", "v", alpha=0.42).collect()
+    }
+    chunked = {
+        (r.k, r.t): r.ewma
+        for r in ewma_chunked(df, "k", "t", "v", alpha=0.42, segment_len=7).collect()
+    }
+    assert plain.keys() == chunked.keys()
+    for key, v in plain.items():
+        assert abs(v - chunked[key]) < 1e-9, (key, v, chunked[key])

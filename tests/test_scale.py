@@ -1,0 +1,72 @@
+"""Scale-posture assertions that execute (not just plan-check) AQE's
+runtime defenses: skew-join splitting and spill accounting. The full-size
+versions (60M-row derived dataset, 2g-heap spill probe) live in
+scripts/scale_stress.py + BENCH_SCALE.json; these are the always-on
+miniatures that keep the mechanisms pinned in CI-sized runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """A genuinely skewed SMJ must come out of AQE with the hot partition
+    SPLIT (skew=true on the executed join). Guards the probe design too:
+    the join's shuffle stages must feed the SMJ directly — e.g. an
+    aggregate between shuffle and join silently disqualifies the join
+    from OptimizeSkewedJoin, which is exactly the kind of regression this
+    test exists to catch."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    try:
+        # 40% of 2M rows on key 0, the rest uniform over 10k keys
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 4, F.lit(0))
+            .otherwise(F.col("id") % 10_000)
+            .alias("k"),
+            F.col("id").alias("x"),
+        )
+        right = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("y")
+        )
+        j = (
+            left.hint("merge")  # pin SMJ: broadcast would dodge the skew path
+            .join(right, "k")
+            .agg(F.sum(F.col("x") + F.col("y")).alias("s"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_stage_metrics_expose_spill_counters(spark):
+    """stage_shuffle_metrics must carry memory/disk spill bytes — the
+    counters the scale-stress spill probe (scripts/scale_stress.py)
+    asserts on under a shrunken heap."""
+    from ops_spark.plans.shuffle_policy import stage_shuffle_metrics
+
+    spark.range(10_000).groupBy((F.col("id") % 7).alias("g")).count().collect()
+    stages = stage_shuffle_metrics(spark)
+    assert stages, "status store returned no stages"
+    for s in stages[:3]:
+        assert "memory_bytes_spilled" in s and "disk_bytes_spilled" in s
+        assert s["memory_bytes_spilled"] >= 0 and s["disk_bytes_spilled"] >= 0
