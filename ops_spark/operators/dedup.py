@@ -673,11 +673,16 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    min_shared: int = 1,
 ) -> DataFrame:
-    """Benchmark decontamination: flag training docs sharing any word
-    n-gram with an evaluation set (the train/test-overlap check every
+    """Benchmark decontamination: flag training docs sharing ≥min_shared
+    word n-grams with an evaluation set (the train/test-overlap check every
     pretraining pipeline runs before training; same shape as GPT-3's
-    13-gram and Dolma's paragraph-overlap decontam passes).
+    13-gram and Dolma's paragraph-overlap decontam passes — GPT-3 style is
+    n=13, min_shared=1; a common-vocabulary-tolerant pass is small n with
+    min_shared>1, which matters on corpora where a short-gram eval set
+    saturates the shingle vocabulary and any-overlap would flag everything;
+    the 100x stress run demonstrates exactly that saturation).
 
     Returns one row per training doc: ``n_shared`` distinct shingles also
     present in the eval set, and a ``contaminated`` flag.
@@ -709,7 +714,7 @@ def contamination(
         .select(
             F.col(id_col),
             F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
         )
     )
 

@@ -1008,6 +1008,43 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_decontaminate_strict",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+    ), ev AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n
+      FROM tr t JOIN ev e ON t.g = e.g GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
+           coalesce(h.n, 0) >= 5 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    description="Thresholded decontamination (operators/dedup.py:"
+    "contamination min_shared=5): a doc is contaminated only when ≥5 "
+    "distinct eval 3-grams co-occur — the common-vocabulary-tolerant pass "
+    "for corpora where any-overlap saturates (the 100x stress run showed "
+    "an eval slice covering the whole 3-gram vocabulary, flagging 100% of "
+    "docs). Same broadcast-probe plan as llm_decontaminate; only the "
+    "flag predicate changes.",
+    tags=("llm", "decontam"),
+)
+def llm_decontaminate_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.contamination(train, eval_df, min_shared=5)
+
+
+@register(
     "llm_duplicate_spans",
     oracle=f"""
     WITH toks AS (
