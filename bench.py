@@ -54,16 +54,12 @@ def main() -> None:
         print(f"bench: python-source warmup skipped: {exc}", file=sys.stderr)
 
     def release_session_memory() -> None:
-        """Drop blocks the finished query left pinned (cache_scan's cached
-        table, iterative operators' final localCheckpoint) — outside the
-        timed window, so each query is measured against a lean session
-        instead of inheriting the previous 170 queries' residue."""
-        try:
-            spark.catalog.clearCache()
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.rdd().unpersist(False)
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench: cleanup skipped: {exc}", file=sys.stderr)
+        """Between-query hygiene (shared helper): outside the timed
+        window, so each query is measured against a lean session instead
+        of inheriting the previous 200 queries' residue."""
+        from ops_spark.session import release_query_memory
+
+        release_query_memory(spark)
 
     def run_once(name: str) -> float:
         query = q.get_query(name)

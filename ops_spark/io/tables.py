@@ -66,11 +66,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     views already point at the same fixture dir."""
     key = "spark.ops_spark.viewsFor"
     try:
-        # the sentinel tableExists guards against the marker going stale:
-        # if later code dropped/clobbered a fixture view in this session,
-        # re-register rather than silently serving a missing view.
-        if spark.conf.get(key, None) == sf_dir and spark.catalog.tableExists(
-            TABLES[0]
+        # the tableExists sweep guards against the marker going stale:
+        # if later code dropped ANY fixture view in this session,
+        # re-register rather than silently serving a missing view. Ten
+        # catalog lookups are py4j round trips only — no parquet footers.
+        if spark.conf.get(key, None) == sf_dir and all(
+            spark.catalog.tableExists(t) for t in TABLES
         ):
             return
     except Exception:  # noqa: BLE001 — conf read denied: fall through

@@ -474,6 +474,18 @@ def embedding_cosine_pairs(
     by sign-LSH bucket instead of all chunk pairs.
     """
     P = n_chunks
+    from pyspark.sql import types as T_
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T_.ByteType, T_.ShortType, T_.IntegerType, T_.LongType)
+    ):
+        # fail fast: a lossy cast (string ids -> null) would silently emit
+        # garbage null-id pairs instead of an actionable error.
+        raise TypeError(
+            f"embedding_cosine_pairs requires an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()}"
+        )
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -284,7 +284,11 @@ def ewma_chunked(
     exact arithmetic, ~1 ulp in floats)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # order by (ts, value) — the SAME total order array_sort(struct(t,v))
+    # gives the plain operator — so duplicate timestamps straddling a
+    # segment boundary land deterministically and both variants fold the
+    # tied rows in the same order.
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
     base = df.select(
         F.col(key_col).alias("__k"),
         F.col(ts_col).alias("__t"),

@@ -150,6 +150,24 @@ def get_session(
     return spark
 
 
+def release_query_memory(spark: SparkSession, quiet: bool = False) -> None:
+    """Drop blocks a finished query left pinned (cached tables, iterative
+    operators' final localCheckpoint) — the between-query hygiene shared
+    by bench.py and the scale harnesses, so every query is measured
+    against a lean session instead of inheriting its predecessors'
+    residue. RDD-level unpersist is the only call that actually frees
+    localCheckpoint blocks (see operators/blocks.py)."""
+    import sys
+
+    try:
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.rdd().unpersist(False)
+    except Exception as exc:  # noqa: BLE001
+        if not quiet:
+            print(f"session cleanup skipped: {exc}", file=sys.stderr)
+
+
 def stop_session() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -42,6 +42,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from ops_spark.session import release_query_memory  # noqa: E402
+
 SRC_SF = "/root/testdata/sf0.1"
 
 # per-table replication multiplier (relative to --mult=100 baseline; the
@@ -85,13 +87,21 @@ def derive(spark, out_dir: str, mult: int) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    # per-table multiplier manifest: a _SUCCESS marker alone would let a
+    # re-run with a different --mult silently reuse the stale dataset and
+    # record wrong evidence (mult=10 attached to 100x timings).
+    manifest_path = os.path.join(out_dir, "derive_manifest.json")
+    manifest: dict = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
     for name, rel in REL.items():
         dst = os.path.join(out_dir, f"{name}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        k = max(1, int(mult * rel)) if rel else 1
+        if os.path.exists(os.path.join(dst, "_SUCCESS")) and manifest.get(name) == k:
             continue
         t0 = time.perf_counter()
         df = spark.read.parquet(os.path.join(SRC_SF, f"{name}.parquet"))
-        k = max(1, int(mult * rel)) if rel else 1
         n_files = max(4, min(64, k))
         if rel:
             # spread the source BEFORE exploding: the k-fold multiplication
@@ -110,6 +120,9 @@ def derive(spark, out_dir: str, mult: int) -> None:
                 ).withColumn("n_chars", F.length("text"))
             df = df.drop("__rep")
         df.write.mode("overwrite").parquet(dst)
+        manifest[name] = k
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
         print(
             f"derive {name}: x{k} -> {dst} "
             f"({time.perf_counter() - t0:.1f}s)",
@@ -177,7 +190,7 @@ def skew_probe(spark, out_dir: str) -> dict:
     try:
         t0 = time.perf_counter()
         # collect() (not count()) so the inspected QueryExecution is the
-        # one that ran; the result is one row per distinct key (~100k).
+        # one that ran; the global agg returns exactly 1 row.
         n = len(joined.collect())
         wall = time.perf_counter() - t0
         plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -208,12 +221,7 @@ def run_flagships(spark, out_dir: str) -> dict:
             "rows": n,
         }
         print(f"flagship {name}: {timings[name]}", file=sys.stderr)
-        try:  # same between-query hygiene as bench.py
-            spark.catalog.clearCache()
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.rdd().unpersist(False)
-        except Exception as exc:  # noqa: BLE001
-            print(f"cleanup skipped: {exc}", file=sys.stderr)
+        release_query_memory(spark)  # shared between-query hygiene
     return timings
 
 
@@ -256,6 +264,23 @@ def spill_probe(out_dir: str) -> dict:
     return json.loads(line[-1])
 
 
+def run_tpch(spark, out_dir: str) -> dict:
+    """The headline TPC-H battery at the derived scale (60M-row lineitem
+    at --mult 100 ≈ TPC-H SF 10): the direct 'would the plans hold at
+    100×' check for the relational tier. Invoked via --tpch."""
+    import ops_spark.queries as q
+
+    q.load_all()
+    timings = {}
+    for name in sorted(n for n in q.all_queries() if n.startswith("Q")):
+        t0 = time.perf_counter()
+        n = q.get_query(name).builder(spark, out_dir).count()
+        timings[name] = {"wall_sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(f"tpch {name}: {timings[name]}", file=sys.stderr)
+        release_query_memory(spark)  # shared between-query hygiene
+    return timings
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
@@ -296,25 +321,3 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-
-
-def run_tpch(spark, out_dir: str) -> dict:
-    """The headline TPC-H battery at the derived scale (60M-row lineitem
-    at --mult 100 ≈ TPC-H SF 10): the direct 'would the plans hold at
-    100×' check for the relational tier. Invoked via --tpch."""
-    import ops_spark.queries as q
-
-    q.load_all()
-    timings = {}
-    for name in sorted(n for n in q.all_queries() if n.startswith("Q")):
-        t0 = time.perf_counter()
-        n = q.get_query(name).builder(spark, out_dir).count()
-        timings[name] = {"wall_sec": round(time.perf_counter() - t0, 2), "rows": n}
-        print(f"tpch {name}: {timings[name]}", file=sys.stderr)
-        try:
-            spark.catalog.clearCache()
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.rdd().unpersist(False)
-        except Exception as exc:  # noqa: BLE001
-            print(f"cleanup skipped: {exc}", file=sys.stderr)
-    return timings

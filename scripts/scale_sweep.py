@@ -49,14 +49,23 @@ def main() -> None:
         prefixes = tuple(p for p in args.only.split(",") if p)
         names = [n for n in names if n.startswith(prefixes)]
 
+    from ops_spark.session import release_query_memory
+
     results: dict[str, dict] = {}
     for name in names:
         timed_out = threading.Event()
+        group = f"sweep:{name}"
+        # Per-query JOB GROUP so a timer firing just as a query finishes
+        # can only cancel ITS OWN query's jobs — cancelAllJobs() from a
+        # late-bound closure could cancel the NEXT query and misreport a
+        # healthy query as a timeout (Timer.cancel cannot stop an
+        # already-running callback).
+        sc.setJobGroup(group, f"scale sweep {name}", interruptOnCancel=True)
 
-        def cancel() -> None:
-            timed_out.set()
+        def cancel(ev=timed_out, grp=group) -> None:
+            ev.set()
             try:
-                sc.cancelAllJobs()
+                sc.cancelJobGroup(grp)
             except Exception:  # noqa: BLE001
                 pass
 
@@ -72,15 +81,11 @@ def main() -> None:
             status = "timeout" if timed_out.is_set() else f"error: {str(exc)[:160]}"
         finally:
             watchdog.cancel()
+            sc.setLocalProperty("spark.jobGroup.id", None)  # clear group
         wall = round(time.perf_counter() - t0, 2)
         results[name] = {"wall_sec": wall, "rows": n, "status": status}
         print(f"sweep {name}: {results[name]}", file=sys.stderr)
-        try:  # bench-style hygiene between queries
-            spark.catalog.clearCache()
-            for jrdd in sc._jsc.getPersistentRDDs().values():
-                jrdd.rdd().unpersist(False)
-        except Exception:  # noqa: BLE001
-            pass
+        release_query_memory(spark, quiet=True)  # bench-style hygiene
 
     ok = sum(1 for r in results.values() if r["status"] == "ok")
     summary = {

@@ -1078,12 +1078,17 @@ def test_ewma_chunked_matches_plain_ewma(spark):
         for k in ["a", "b"]
         for i in range(103)  # not a multiple of segment_len: ragged tail
     ]
+    # duplicate timestamps straddling a segment boundary: both variants
+    # must fold ties in the SAME (t, v) order (chunked orders its
+    # row_number window by (ts, value) to match array_sort(struct(t,v)))
+    rows += [("a", 6, 9.0), ("a", 6, 1.0), ("a", 7, 4.0), ("a", 7, 2.0)]
     df = spark.createDataFrame(rows, "k string, t long, v double")
     plain = {
-        (r.k, r.t): r.ewma for r in ewma(df, "k", "t", "v", alpha=0.42).collect()
+        (r.k, r.t, r.v): r.ewma
+        for r in ewma(df, "k", "t", "v", alpha=0.42).collect()
     }
     chunked = {
-        (r.k, r.t): r.ewma
+        (r.k, r.t, r.v): r.ewma
         for r in ewma_chunked(df, "k", "t", "v", alpha=0.42, segment_len=7).collect()
     }
     assert plain.keys() == chunked.keys()
