@@ -288,6 +288,7 @@ def main() -> None:
     ap.add_argument("--derive-only", action="store_true")
     ap.add_argument("--skip-spill", action="store_true")
     ap.add_argument("--tpch", action="store_true", help="also run Q01-Q22 at the derived scale")
+    ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH_SCALE.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     args = ap.parse_args()
 
     from ops_spark.session import get_session
@@ -307,7 +308,7 @@ def main() -> None:
     spark.stop()
     line = json.dumps(report, indent=1, sort_keys=True)
     print(line)
-    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as fh:
+    with open(args.json_out, "w") as fh:
         fh.write(line + "\n")
     ok = (
         args.derive_only

@@ -35,6 +35,7 @@ def main() -> None:
     ap.add_argument("--out", default=os.environ.get("OPS_SCALE_DIR", "/tmp/ops_scale/sf10"))
     ap.add_argument("--budget", type=float, default=180.0)
     ap.add_argument("--only", default="", help="comma-separated name prefixes")
+    ap.add_argument("--json-out", default=os.path.join(REPO, "SCALE_SWEEP.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     args = ap.parse_args()
 
     import ops_spark.queries as q
@@ -101,7 +102,7 @@ def main() -> None:
         "queries": results,
     }
     line = json.dumps(summary, indent=1, sort_keys=True)
-    with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as fh:
+    with open(args.json_out, "w") as fh:
         fh.write(line + "\n")
     print(line)
     spark.stop()
