@@ -406,40 +406,62 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index.
 
     The exact counterpart (and ground truth) of the MinHash-LSH path:
-    explode (id, shingle) postings → self-equi-join on shingle →
-    co-occurrence count per pair → J = co / (|A| + |B| - co). Any pair with
-    J ≥ threshold > 0 shares a shingle, so this finds ALL qualifying pairs
-    with equi-joins only — no all-pairs stage, no length blocking. Pair
-    volume is Σ_shingle C(df, 2): bounded in practice because shingle
-    document-frequency is bounded; truly hot shingles (boilerplate) belong
-    to exact_dedup's domain first.
+    explode (id, n_sh, shingle) postings → self-equi-join on shingle with
+    the AllPairs LENGTH FILTER (J ≤ min/max set size, so J ≥ t requires
+    t·|B| ≤ |A| ≤ |B|/t — size-incompatible pairs are pruned inside the
+    join before they ever reach the aggregate; exactness is untouched) →
+    co-occurrence count per pair → J = co / (|A| + |B| - co). Any pair
+    with J ≥ threshold > 0 shares a shingle, so this finds ALL qualifying
+    pairs with equi-joins only — no all-pairs stage. Pair volume is
+    Σ_shingle C(df, 2) over size-compatible docs: bounded in practice
+    because shingle document-frequency is bounded; truly hot shingles
+    (boilerplate) belong to exact_dedup's domain first, and K-deep
+    NEAR-dup clusters (equal sizes, all pairs true) keep their inherent
+    Θ(K²·|doc|) verification cost — the measured ~11 min at 125k docs ×
+    25-deep clusters in SCALE.md, vs minhash's 28 s.
     """
     src = spread(df)
-    # Shingle ONCE and materialize: the index feeds three consumers (sizes
-    # + both join sides), and nothing in Catalyst reuses a non-identical
-    # subplan — without the checkpoint the interpreted shingling HOF runs
-    # 3x over every document (measured 9.5s -> ~4s at sf0.1). Postings are
-    # (id, 3-gram) rows: far smaller than the corpus at real scale.
-    postings = src.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(tokens(text_col), n)).alias("s"),
+    # Shingle ONCE: the array materializes in a projection BELOW the
+    # Generate (explode), so size() and the explode read the same computed
+    # array instead of re-running the interpreted shingling HOF (which
+    # CollapseProject cannot merge across Generate). The checkpoint stops
+    # the self-join from recomputing the whole subplan per side
+    # (measured 9.5s -> ~4s at sf0.1). Carrying n_sh on each posting row
+    # (+8 bytes) is what lets the join prune by size AND saves the two
+    # per-side size joins the previous formulation needed afterwards.
+    with_arr = src.select(
+        F.col(id_col).alias("id"), shingles(tokens(text_col), n).alias("__arr")
+    )
+    postings = with_arr.select(
+        "id",
+        # shingles() emits distinct grams per doc: set size == array size.
+        F.size("__arr").alias("n_sh"),
+        F.explode("__arr").alias("s"),
     ).localCheckpoint()
-    # shingles() emits distinct grams per doc, so set size == posting count.
-    sizes = postings.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = postings.select(F.col("id").alias("id_a"), "s")
-    b = postings.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    a = postings.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = postings.select(
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    t = float(threshold)
     co = (
-        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            # length filter: J ≤ min(|A|,|B|)/max(|A|,|B|)
+            & (F.col("n_a") >= t * F.col("n_b"))
+            & (F.col("n_b") >= t * F.col("n_a")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("co"))
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("co").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("co"))
     return (
-        co.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        co.withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

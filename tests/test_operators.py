@@ -1094,3 +1094,35 @@ def test_ewma_chunked_matches_plain_ewma(spark):
     assert plain.keys() == chunked.keys()
     for key, v in plain.items():
         assert abs(v - chunked[key]) < 1e-9, (key, v, chunked[key])
+
+
+def test_quality_unique_formula_matches_groupby_with_nulls(spark):
+    """The single-pass uniqueness formula (count(*) -
+    count_distinct(struct(keys))) must equal the groupBy definition
+    sum(c-1) — including NULL keys: struct() makes all-null tuples a
+    countable group, which is exactly how groupBy treats them."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators import quality as Qc
+
+    random.seed(3)
+    rows = [
+        (random.choice([None, 1, 2, 3]), random.choice([None, "x", "y"]))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a int, b string")
+    rep = {
+        r.rule: r.violations
+        for r in Qc.check_constraints(df, unique=[["a"], ["a", "b"]]).collect()
+    }
+    for cols in (["a"], ["a", "b"]):
+        brute = (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.sum(F.col("c") - 1))
+            .collect()[0][0]
+        ) or 0
+        assert rep[f"unique({','.join(cols)})"] == brute, cols
