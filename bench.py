@@ -78,11 +78,15 @@ def main() -> None:
     # sample can dominate a round's narrative. Re-run the headline TPC-H
     # battery and keep the per-query MIN of the two samples (the run least
     # polluted by external load — variance here is noise, never the query).
+    # Every min-of-2 query is recorded in `samples` (name -> 2) so
+    # downstream comparisons can tell steady-state numbers from single-shot.
+    samples: dict[str, int] = {name: 1 for name in names}
     for name in names:
         if name.startswith("Q") and timings[name] >= 0:
             second = run_once(name)
             if second >= 0:
                 timings[name] = min(timings[name], second)
+                samples[name] = 2
     # Same treatment for the 10 slowest non-battery queries: their first
     # run carries whole-stage-codegen compile (~3-6 s on the heaviest
     # expressions) plus whatever the box was doing — exactly the noise
@@ -97,6 +101,7 @@ def main() -> None:
         second = run_once(name)
         if second >= 0:
             timings[name] = min(timings[name], second)
+            samples[name] = 2
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -130,6 +135,7 @@ def main() -> None:
     # shuffle report and family rollups survive.
     full = dict(payload)
     full["queries"] = timings
+    full["min_of_2"] = sorted(n for n, s in samples.items() if s == 2)
 
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:  # last-resort degrade: drop detail, keep the gate

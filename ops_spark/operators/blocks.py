@@ -64,6 +64,13 @@ def free_checkpoint(df: DataFrame) -> None:
     No-op (beyond the stock uncache) for untracked DataFrames. Uses
     ``RDD.unpersist(blocking=False)`` on the JVM handle — the only call
     that actually drops localCheckpoint blocks.
+
+    CONSUME BEFORE FREEING: DataFrames returned by the iterative operators
+    (connected_components, pagerank, …) carry adopted tracking ids for a
+    checkpoint that IS their data — localCheckpoint truncates lineage, so
+    calling free_checkpoint on such a result before collecting/writing it
+    makes it unrecomputable. Free only after the result is consumed (or
+    was re-checkpointed downstream).
     """
     ids = getattr(df, _ATTR, None)
     if not ids:

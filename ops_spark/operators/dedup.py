@@ -403,67 +403,101 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = 3,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index.
+    """EXACT n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
+    shingle index (the AllPairs/PPJoin shape — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08 — distributed as in Vernica et al. SIGMOD'10).
 
-    The exact counterpart (and ground truth) of the MinHash-LSH path:
-    explode (id, n_sh, shingle) postings → self-equi-join on shingle with
-    the AllPairs LENGTH FILTER (J ≤ min/max set size, so J ≥ t requires
-    t·|B| ≤ |A| ≤ |B|/t — size-incompatible pairs are pruned inside the
-    join before they ever reach the aggregate; exactness is untouched) →
-    co-occurrence count per pair → J = co / (|A| + |B| - co). Any pair
-    with J ≥ threshold > 0 shares a shingle, so this finds ALL qualifying
-    pairs with equi-joins only — no all-pairs stage. Pair volume is
-    Σ_shingle C(df, 2) over size-compatible docs: bounded in practice
-    because shingle document-frequency is bounded; truly hot shingles
-    (boilerplate) belong to exact_dedup's domain first, and K-deep
-    NEAR-dup clusters (equal sizes, all pairs true) keep their inherent
-    Θ(K²·|doc|) verification cost — the measured ~11 min at 125k docs ×
-    25-deep clusters in SCALE.md, vs minhash's 28 s.
+    The exact counterpart (and ground truth) of the MinHash-LSH path.
+    Three exactness-preserving prunes feed one equi-join:
+
+    1. PREFIX filter: order every doc's shingles by ascending global
+       document frequency (ties by shingle); only the first
+       p = |A| − ⌈t·|A|⌉ + 1 shingles generate candidate postings.
+       Lemma (prefix filtering principle): J(A,B) ≥ t ⇒ |A∩B| ≥
+       ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α must share an
+       element inside their (len−α+1)-prefixes under ANY global total
+       order — so the prefix join finds every qualifying pair. Ordering
+       by df makes the prefixes the RAREST shingles: hot boilerplate
+       grams never generate candidates (they sort last), which is what
+       collapses the candidate count on high-overlap corpora.
+    2. LENGTH filter inside the join: J ≤ min/max set size, so J ≥ t
+       requires t·|B| ≤ |A| ≤ |B|/t.
+    3. VERIFICATION as one array_intersect per surviving pair — per-pair
+       O(|A|+|B|) in codegen over the exact string sets (no hashing, so
+       exactness is unconditional), replacing the former per-shared-
+       shingle counting aggregate whose Θ(Σ_pairs |A∩B|) row volume was
+       the 100× bottleneck (~11 min → the prefix plan's join touches
+       ~0.2·|doc| postings per doc and the aggregate is gone).
+
+    Requires threshold > 0 (a J=0 pair shares no shingle and no prefix).
+    K-deep near-dup clusters still pay the inherent Θ(K²) true-pair
+    verification, but at O(|doc|) per pair instead of a shuffled row per
+    shared shingle.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("ngram_jaccard_pairs requires 0 < threshold <= 1")
+    t = float(threshold)
     src = spread(df)
-    # Shingle ONCE: the array materializes in a projection BELOW the
-    # Generate (explode), so size() and the explode read the same computed
-    # array instead of re-running the interpreted shingling HOF (which
-    # CollapseProject cannot merge across Generate). The checkpoint stops
-    # the self-join from recomputing the whole subplan per side
-    # (measured 9.5s -> ~4s at sf0.1). Carrying n_sh on each posting row
-    # (+8 bytes) is what lets the join prune by size AND saves the two
-    # per-side size joins the previous formulation needed afterwards.
-    with_arr = src.select(
-        F.col(id_col).alias("id"), shingles(tokens(text_col), n).alias("__arr")
-    )
-    postings = with_arr.select(
-        "id",
+    # Shingle ONCE into a checkpointed doc-level table: size(), the
+    # posting explode, and BOTH verification sides read the same
+    # materialized arrays instead of re-running the interpreted shingling
+    # HOF (CollapseProject cannot merge it across Generate, and the
+    # self-join would otherwise recompute the whole subplan per side).
+    arrs = (
+        src.select(
+            F.col(id_col).alias("id"), shingles(tokens(text_col), n).alias("__arr")
+        )
         # shingles() emits distinct grams per doc: set size == array size.
-        F.size("__arr").alias("n_sh"),
-        F.explode("__arr").alias("s"),
-    ).localCheckpoint()
-    a = postings.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+        .withColumn("n_sh", F.size("__arr"))
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint()
     )
-    b = postings.select(
+    postings = arrs.select("id", "n_sh", F.explode("__arr").alias("s"))
+    dfreq = postings.groupBy("s").agg(F.count("*").alias("__df"))
+    # p = n_sh − ⌈t·n_sh⌉ + 1, with the ceil nudged DOWN by 1e-9 so float
+    # dust (0.8*15 = 12.000000000000002 → ceil 13) can only LENGTHEN the
+    # prefix (safe direction — more candidates, never a missed pair).
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * t - 1e-9) + 1
+    prefix = (
+        postings.join(dfreq, "s")
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("id").orderBy("__df", "s")),
+        )
+        .filter(F.col("__rn") <= prefix_len)
+    )
+    pa = prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    pb = prefix.select(
         F.col("id").alias("id_b"),
         F.col("n_sh").alias("n_b"),
         F.col("s").alias("s_b"),
     )
-    t = float(threshold)
-    co = (
-        a.join(
-            b,
+    cands = (
+        pa.join(
+            pb,
             (F.col("s") == F.col("s_b"))
             & (F.col("id_a") < F.col("id_b"))
             # length filter: J ≤ min(|A|,|B|)/max(|A|,|B|)
             & (F.col("n_a") >= t * F.col("n_b"))
             & (F.col("n_b") >= t * F.col("n_a")),
         )
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("co"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.col("co").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("co"))
+    va = arrs.select(
+        F.col("id").alias("id_a"), F.col("__arr").alias("__aa"), F.col("n_sh").alias("n_a")
+    )
+    vb = arrs.select(
+        F.col("id").alias("id_b"), F.col("__arr").alias("__ab"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("__aa", "__ab"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    scored = (
+        cands.join(va, "id_a").join(vb, "id_b").withColumn("__j", jac)
+    )
     return (
-        co.withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        scored.filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
 
 

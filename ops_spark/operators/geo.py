@@ -110,3 +110,73 @@ def spatial_self_pairs(
         .select("id_a", "id_b", "dist_km")
         .distinct()  # a pair can share several probed cells
     )
+
+
+def spatial_neighbor_counts(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    min_cos_lat: float = 0.5,
+) -> DataFrame:
+    """Per-point COUNT of neighbors within ``radius_km`` — the bounded-
+    output mode of the spatial self-join: output is one row per point
+    (|df| rows), never the quadratic pair set, so a 100 TB caller who
+    only wants density never materializes pairs they would immediately
+    re-aggregate (SCALE.md: 328M pair rows at 10M events). Pairs exist
+    only transiently inside the density-bounded candidate join; the
+    count aggregation is map-side combinable. Points with no neighbor
+    report 0 (left join back onto the point set)."""
+    pairs = spatial_self_pairs(
+        df, id_col, lat_col, lon_col, radius_km, min_cos_lat
+    )
+    both = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    counts = both.groupBy("id").agg(F.count("*").alias("n_neighbors"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+        )
+    )
+
+
+def spatial_topk_neighbors(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    k: int = 5,
+    min_cos_lat: float = 0.5,
+) -> DataFrame:
+    """Per-point K NEAREST neighbors within ``radius_km`` — the other
+    bounded-output mode: ≤ k rows per point regardless of local density.
+    The symmetric pair set is windowed per point (partition key = the
+    point id, so partitions are its neighbor list, bounded by density ×
+    radius) and rank ≤ k kept; ties break deterministically by
+    (dist_km, neighbor). Output: (id, neighbor, dist_km, rank)."""
+    pairs = spatial_self_pairs(
+        df, id_col, lat_col, lon_col, radius_km, min_cos_lat
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor"), "dist_km"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor"), "dist_km"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("dist_km", "neighbor")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "neighbor", "dist_km", F.col("rank").cast("int").alias("rank")
+        )
+    )

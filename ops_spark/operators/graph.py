@@ -37,17 +37,25 @@ def connected_components(
 
     edges: undirected pair list. Terminates early when labels stop changing.
     """
+    # Materialize the edge input ONCE: verts and sym both derive from it,
+    # and without this an expensive upstream plan (e.g. the prefix-filtered
+    # exact-Jaccard pair join feeding transitive dedup) would be evaluated
+    # twice — once per eager checkpoint below (measured: the 100× pair plan
+    # costs ~54 s per evaluation; this halved llm_transitive_dedup).
+    ein = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
     verts = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        ein.select(F.col("u").alias("id"))
+        .union(ein.select(F.col("v").alias("id")))
         .distinct()
     )
     labels = tracked_local_checkpoint(verts.withColumn("comp", F.col("id")))
     sym = tracked_local_checkpoint(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        ein.union(ein.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
+    free_checkpoint(ein)  # labels/sym materialized eagerly above
     for it in range(max_iterations):
         # each vertex adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -123,6 +131,11 @@ def pagerank(
     Fixed iteration count (not convergence-tested) keeps the result
     deterministic and oracle-expressible as unrolled SQL.
     """
+    if iterations < 1:
+        # iterations=0 would return the lazy, un-checkpointed seed derived
+        # from `nodes`, whose blocks the free_checkpoint below releases —
+        # evaluating that result later would fail (truncated lineage).
+        raise ValueError("pagerank requires iterations >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = tracked_local_checkpoint(
         e.select(F.col("src").alias("id"))

@@ -203,6 +203,7 @@ def ewma(
     ts_col: str,
     value_col: str,
     alpha: float = 0.3,
+    max_series_len: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average (recursive form
     s_t = alpha*x_t + (1-alpha)*s_{t-1}, s_0 = x_0 — pandas
@@ -213,9 +214,33 @@ def ewma(
     array and folded — valid at scale WHEN per-key series fit in memory:
     per-task footprint is O(max series length) doubles, so ~10M points
     per key ≈ 160 MB in one aggregation buffer. One shuffle on the key.
-    For series beyond that bound use ``ewma_chunked`` (segment-then-carry:
-    bounded memory, ~4 shuffles).
+
+    AUTO-DISPATCH: when any key's series exceeds ``max_series_len``
+    (default 1M points ≈ 16 MB/fold buffer), the call transparently runs
+    ``ewma_chunked`` (segment-then-carry: bounded per-task memory, ~4
+    shuffles, identical results) with segment_len ≈ √longest. The probe
+    is one map-side-combinable groupBy(key).count() — a (key, count)
+    shuffle, cheap next to the operator's own collect — so a naive
+    caller at 100 TB can no longer land on the per-key-memory-bound
+    path. Pass ``max_series_len=None`` to skip the probe and force the
+    single-shuffle collect-fold.
     """
+    if max_series_len is not None:
+        longest = (
+            df.groupBy(key_col)
+            .agg(F.count("*").alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+        ) or 0
+        if longest > max_series_len:
+            return ewma_chunked(
+                df,
+                key_col,
+                ts_col,
+                value_col,
+                alpha,
+                segment_len=max(4096, int(longest**0.5) + 1),
+            )
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v")))
     )

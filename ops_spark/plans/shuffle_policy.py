@@ -196,23 +196,35 @@ def stage_shuffle_metrics(spark: SparkSession) -> list[dict]:
         out = []
         for i in range(stages.size()):
             s = stages.apply(i)
-            out.append(
-                {
-                    "stage_id": s.stageId(),
-                    "name": str(s.name()).split("\n")[0][:120],
-                    "status": str(s.status()),
-                    "num_tasks": s.numTasks(),
-                    "executor_run_time_ms": s.executorRunTime(),
-                    "input_bytes": s.inputBytes(),
-                    "output_bytes": s.outputBytes(),
-                    "shuffle_read_bytes": s.shuffleReadBytes(),
-                    "shuffle_read_records": s.shuffleReadRecords(),
-                    "shuffle_write_bytes": s.shuffleWriteBytes(),
-                    "shuffle_write_records": s.shuffleWriteRecords(),
-                    "memory_bytes_spilled": s.memoryBytesSpilled(),
-                    "disk_bytes_spilled": s.diskBytesSpilled(),
-                }
-            )
+            row = {
+                "stage_id": s.stageId(),
+                "name": str(s.name()).split("\n")[0][:120],
+                "status": str(s.status()),
+                "num_tasks": s.numTasks(),
+                "executor_run_time_ms": s.executorRunTime(),
+                "input_bytes": s.inputBytes(),
+                "output_bytes": s.outputBytes(),
+                "shuffle_read_bytes": s.shuffleReadBytes(),
+                "shuffle_read_records": s.shuffleReadRecords(),
+                "shuffle_write_bytes": s.shuffleWriteBytes(),
+                "shuffle_write_records": s.shuffleWriteRecords(),
+                "memory_bytes_spilled": s.memoryBytesSpilled(),
+                "disk_bytes_spilled": s.diskBytesSpilled(),
+            }
+            try:
+                # Remote-vs-local fetch split: the evidence that a shuffle
+                # actually crossed executor JVMs (local[...] never has
+                # remote reads; local-cluster / real clusters do). Guarded
+                # separately — these v1 StageData fields are newer than the
+                # base set.
+                row["shuffle_remote_bytes_read"] = s.shuffleRemoteBytesRead()
+                row["shuffle_local_bytes_read"] = s.shuffleLocalBytesRead()
+                row["shuffle_remote_blocks_fetched"] = s.shuffleRemoteBlocksFetched()
+                row["shuffle_local_blocks_fetched"] = s.shuffleLocalBlocksFetched()
+                row["shuffle_fetch_wait_time_ms"] = s.shuffleFetchWaitTime()
+            except Exception:  # noqa: BLE001 — older API shape
+                pass
+            out.append(row)
         return out
     except Exception:  # noqa: BLE001
         return []
@@ -221,10 +233,21 @@ def stage_shuffle_metrics(spark: SparkSession) -> list[dict]:
 def shuffle_report(spark: SparkSession) -> dict:
     """Aggregate shuffle totals for the session (bench-harness companion)."""
     stages = stage_shuffle_metrics(spark)
-    return {
+    out = {
         "n_stages": len(stages),
         "shuffle_read_bytes": sum(s["shuffle_read_bytes"] for s in stages),
         "shuffle_write_bytes": sum(s["shuffle_write_bytes"] for s in stages),
         "executor_run_time_ms": sum(s["executor_run_time_ms"] for s in stages),
         "input_bytes": sum(s["input_bytes"] for s in stages),
     }
+    if any("shuffle_remote_bytes_read" in s for s in stages):
+        out["shuffle_remote_bytes_read"] = sum(
+            s.get("shuffle_remote_bytes_read", 0) for s in stages
+        )
+        out["shuffle_local_bytes_read"] = sum(
+            s.get("shuffle_local_bytes_read", 0) for s in stages
+        )
+        out["shuffle_remote_blocks_fetched"] = sum(
+            s.get("shuffle_remote_blocks_fetched", 0) for s in stages
+        )
+    return out

@@ -405,7 +405,18 @@ def an_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ops_spark.operators.geo import spatial_self_pairs
 
     cust = _t(spark, sf_dir, "customer")
-    pts = cust.select(
+    out = spatial_self_pairs(_spatial_pts(cust), "id", "lat", "lon", radius_km=200.0)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("dist_km") * 1000000.0 + 0.5).cast("bigint").alias("dist_e6"),
+    )
+
+
+def _spatial_pts(cust: DataFrame) -> DataFrame:
+    """Deterministic synthetic (id, lat, lon) points hashed from custkeys
+    (shared by the an_spatial_join / geo_* query family)."""
+    return cust.select(
         F.col("c_custkey").alias("id"),
         (
             F.conv(
@@ -420,11 +431,96 @@ def an_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint") % 36000 / 100.0 - 180.0
         ).alias("lon"),
     )
-    out = spatial_self_pairs(pts, "id", "lat", "lon", radius_km=200.0)
+
+
+# The exact arithmetic shape of operators/geo.equirect_km (Taylor cos with
+# explicit multiplications, sqrt-only) so DuckDB reproduces Spark's doubles
+# bit-for-bit — pow() would round differently.
+_M = "((a.lat + b.lat) / 2.0 * (3.141592653589793 / 180.0))"
+_COS = f"(1.0 - ({_M} * {_M}) / 2.0 + ({_M} * {_M} * {_M} * {_M}) / 24.0)"
+_DX = f"((b.lon - a.lon) * {_COS} * 111.32)"
+_DY = "((b.lat - a.lat) * 111.32)"
+_DIST = f"sqrt({_DX} * {_DX} + {_DY} * {_DY})"
+_PTS_SQL = """
+    SELECT c_custkey AS id,
+           (('0x' || substr(md5(c_custkey || ':lat'), 1, 6))::BIGINT % 12000)
+             / 100.0 - 60.0 AS lat,
+           (('0x' || substr(md5(c_custkey || ':lon'), 1, 6))::BIGINT % 36000)
+             / 100.0 - 180.0 AS lon
+    FROM customer
+"""
+
+
+@register(
+    "geo_radius_count",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    d AS (
+      SELECT a.id AS id, b.id AS neighbor
+      FROM pts a JOIN pts b ON a.id <> b.id
+      WHERE {_DIST} <= 200.0
+    ),
+    c AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY id)
+    SELECT p.id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_neighbors
+    FROM pts p LEFT JOIN c ON p.id = c.id
+    """,
+    description="Per-point neighbor COUNT within 200 km — the bounded-"
+    "output mode of the spatial join (operators/geo.py:"
+    "spatial_neighbor_counts): one row per point instead of the "
+    "quadratic pair set (328M pair rows at 10M events in SCALE.md), for "
+    "callers who want density, not pairs. Pairs exist only transiently "
+    "inside the density-bounded grid-blocked candidate join; the count "
+    "aggregation is map-side combinable. Oracle = brute-force all-pairs "
+    "count with the identical sqrt-only Taylor distance.",
+    tags=("analytics", "spatial", "custom-operator"),
+)
+def geo_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.geo import spatial_neighbor_counts
+
+    cust = _t(spark, sf_dir, "customer")
+    return spatial_neighbor_counts(
+        _spatial_pts(cust), "id", "lat", "lon", radius_km=200.0
+    )
+
+
+@register(
+    "geo_radius_topk",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    d AS (
+      SELECT a.id AS id, b.id AS neighbor, {_DIST} AS dist
+      FROM pts a JOIN pts b ON a.id <> b.id
+      WHERE {_DIST} <= 200.0
+    ),
+    r AS (
+      SELECT id, neighbor,
+             CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_e6,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY dist, neighbor)
+                  AS INT) AS rank
+      FROM d
+    )
+    SELECT id, neighbor, dist_e6, rank FROM r WHERE rank <= 5
+    """,
+    description="Per-point 5 nearest neighbors within 200 km — the top-k "
+    "bounded-output mode (operators/geo.py:spatial_topk_neighbors): ≤ k "
+    "rows per point regardless of local density, ranked by (distance, "
+    "neighbor id) inside a per-point window whose partitions are one "
+    "point's neighbor list (density-bounded, never global). Oracle = "
+    "brute-force all-pairs ranked with the identical distance arithmetic.",
+    tags=("analytics", "spatial", "custom-operator"),
+)
+def geo_radius_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.geo import spatial_topk_neighbors
+
+    cust = _t(spark, sf_dir, "customer")
+    out = spatial_topk_neighbors(
+        _spatial_pts(cust), "id", "lat", "lon", radius_km=200.0, k=5
+    )
     return out.select(
-        "id_a",
-        "id_b",
+        "id",
+        "neighbor",
         F.floor(F.col("dist_km") * 1000000.0 + 0.5).cast("bigint").alias("dist_e6"),
+        "rank",
     )
 
 

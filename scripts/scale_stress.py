@@ -225,6 +225,125 @@ def run_flagships(spark, out_dir: str) -> dict:
     return timings
 
 
+def zipf_probe(spark, out_dir: str) -> dict:
+    """Genuine zipf-skewed-key runs of the flagship LLM/window operators —
+    not the synthetic fact-fact skew_probe join, but the operators
+    themselves under the hot keys a real corpus produces:
+
+    1. minhash LSH dedup where 10% of ALL documents (≈12.5k at 100×) form
+       ONE giant near-dup cluster sharing one boilerplate shingle set —
+       the `max_bucket` cap is what stands between this and C(12.5k,2) ≈
+       78M candidate pairs PER BAND. Asserts: the capped run's candidate
+       count stays density-bounded, the dedup completes inside budget,
+       and the hot docs are NOT deduped by LSH (they fall to
+       exact_dedup's domain — the cap's documented contract).
+    2. sessionization with one hot user holding ~30% of 10M events (a 3M-
+       row window partition — the worst case for per-key windows, which
+       AQE cannot split; the evidence is completion without OOM, in
+       bounded wall).
+    3. connected components on a 1M-edge STAR (every edge incident to one
+       vertex): the hottest possible groupBy key in label propagation;
+       map-side partial min-aggregation is what keeps the hot vertex from
+       serializing the round. Asserts single component, correct size.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ops_spark.operators.dedup import minhash_lsh_candidates, minhash_lsh_dedup
+    from ops_spark.operators.graph import connected_components
+
+    report: dict = {}
+
+    # --- 1. one giant near-dup cluster (hot boilerplate shingles) -------
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    base = " ".join(f"boiler{i}" for i in range(60))
+    hot = F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0
+    zdocs = docs.withColumn(
+        "text",
+        F.when(
+            hot, F.concat(F.lit(base + " tail"), F.col("doc_id").cast("string"))
+        ).otherwise(F.col("text")),
+    )
+    n_docs = docs.count()
+    n_hot = zdocs.filter(hot).count()
+    t0 = time.perf_counter()
+    n_cands = minhash_lsh_candidates(zdocs, max_bucket=1000).count()
+    cand_wall = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_surv = minhash_lsh_dedup(zdocs, max_bucket=1000).count()
+    dedup_wall = round(time.perf_counter() - t0, 2)
+    release_query_memory(spark, quiet=True)
+    hot_pairs_uncapped = n_hot * (n_hot - 1) // 2
+    report["minhash_hot_cluster"] = {
+        "n_docs": n_docs,
+        "n_hot": n_hot,
+        "hot_pairs_if_uncapped": hot_pairs_uncapped,
+        "n_candidates_capped": n_cands,
+        "candidates_wall_sec": cand_wall,
+        "dedup_wall_sec": dedup_wall,
+        "n_survivors": n_surv,
+        # the cap must have kept candidate volume far below the hot
+        # cluster's quadratic pair count
+        "cap_engaged": n_cands < hot_pairs_uncapped // 10,
+    }
+
+    # --- 2. hot-user sessionization (3M-row window partition) -----------
+    ev = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
+    zev = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    t0 = time.perf_counter()
+    n_sessions = (
+        zev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .count()
+    )
+    sess_wall = round(time.perf_counter() - t0, 2)
+    n_hot_events = zev.filter(F.col("user_id") == 1).count()
+    release_query_memory(spark, quiet=True)
+    report["sessionize_hot_user"] = {
+        "n_events": ev.count(),
+        "hot_user_events": n_hot_events,
+        "n_sessions": n_sessions,
+        "wall_sec": sess_wall,
+    }
+
+    # --- 3. star-graph connected components (hottest groupBy key) -------
+    star = spark.range(1, 1_000_001).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    t0 = time.perf_counter()
+    labels = connected_components(star)
+    n_comp = labels.select("comp").distinct().count()
+    n_members = labels.count()
+    star_wall = round(time.perf_counter() - t0, 2)
+    release_query_memory(spark, quiet=True)
+    report["cc_star_graph"] = {
+        "n_edges": 1_000_000,
+        "n_components": n_comp,
+        "n_vertices_labeled": n_members,
+        "wall_sec": star_wall,
+        "correct": n_comp == 1 and n_members == 1_000_001,
+    }
+    return report
+
+
 SPILL_SCRIPT = r"""
 import json, os, sys
 sys.path.insert(0, {repo!r})
@@ -335,6 +454,8 @@ def main() -> None:
     ap.add_argument("--skip-spill", action="store_true")
     ap.add_argument("--tpch", action="store_true", help="also run Q01-Q22 at the derived scale")
     ap.add_argument("--streaming", action="store_true", help="rate-source throughput probe (500k rows/s windowed agg)")
+    ap.add_argument("--zipf", action="store_true", help="zipf-skewed-key flagship runs (hot near-dup cluster, hot user, star graph)")
+    ap.add_argument("--zipf-only", action="store_true", help="run ONLY the zipf probe (plus derive if needed)")
     ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH_SCALE.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     args = ap.parse_args()
 
@@ -345,6 +466,14 @@ def main() -> None:
     t0 = time.perf_counter()
     derive(spark, args.out, args.mult)
     report["derive_sec"] = round(time.perf_counter() - t0, 1)
+    if args.zipf_only:
+        report["zipf_probe"] = zipf_probe(spark, args.out)
+        spark.stop()
+        line = json.dumps(report, indent=1, sort_keys=True)
+        print(line)
+        with open(args.json_out, "w") as fh:
+            fh.write(line + "\n")
+        sys.exit(0)
     if not args.derive_only:
         report["skew_probe"] = skew_probe(spark, args.out)
         report["flagships"] = run_flagships(spark, args.out)
@@ -352,6 +481,8 @@ def main() -> None:
             report["tpch"] = run_tpch(spark, args.out)
         if args.streaming:
             report["streaming_probe"] = streaming_probe(spark)
+        if args.zipf:
+            report["zipf_probe"] = zipf_probe(spark, args.out)
         if not args.skip_spill:
             report["spill_probe"] = spill_probe(args.out)
     spark.stop()

@@ -12,9 +12,17 @@ query cannot wedge the sweep — breaches are REPORTED, not hidden, since
 "needs the approximate tier at this scale" (e.g. exact n-gram Jaccard
 on 25-deep near-dup clusters) is itself a documented result.
 
+Round 5 adds CORRECTNESS at scale, not just completion: flagship queries
+get a ``verified`` field — either a full DuckDB-oracle value-hash compare
+against the derived parquet (small-output queries, the same gate the
+driver runs at sf0.01) or engine-independent invariants (exact Jaccard
+sampled re-verification + LSH⊆exact containment, transitive-dedup "no
+pair survives whole", spatial count/pair algebra, gap-fill row-count
+algebra, CC label idempotence via the recursive-CTE oracle).
+
 Run:  python scripts/scale_sweep.py [--out /tmp/ops_scale/sf10]
-      [--budget 180] [--only prefix1,prefix2]
-Writes SCALE_SWEEP.json (per-query wall/rows/status).
+      [--budget 180] [--only prefix1,prefix2] [--no-verify]
+Writes SCALE_SWEEP.json (per-query wall/rows/status + verified).
 """
 
 from __future__ import annotations
@@ -30,12 +38,182 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+# ---- flagship verification -------------------------------------------------
+# Small-output queries re-checked with the FULL driver-style DuckDB oracle
+# compare at the derived scale (value-hash equality, not just row counts).
+ORACLE_VERIFY = [
+    "Q01_pricing_summary",
+    "Q06_forecast_revenue",
+    "Q18_large_volume_customer",
+    "agg_stats",
+    "an_funnel",
+    "dedup_drop_duplicates",
+    "graph_connected_components",  # recursive-CTE closure = label idempotence
+    "llm_token_count",
+]
+
+
+def _v_oracle(name):
+    def run(spark, sf_dir):
+        import ops_spark.queries as q
+        from ops_spark.conformance import compare
+
+        r = compare(spark, q.get_query(name), sf_dir)
+        return bool(r.ok), f"duckdb-oracle {r.detail} rows={r.spark_rows}"
+
+    return run
+
+
+def _v_jaccard_pairs(spark, sf_dir):
+    """Sampled exact re-verification: recompute J for 200 output pairs via
+    the independent per-pair Column path (jaccard_shingles over the two
+    raw texts — different code path from the posting join) and require
+    agreement to the rounding grain plus J >= threshold."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.operators.dedup import jaccard_shingles, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    # deterministic pseudo-random 200: hash-order, not head-of-partition
+    sample = pairs.orderBy(F.xxhash64("id_a", "id_b")).limit(200)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    checked = (
+        sample.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__jv", jaccard_shingles(F.col("__ta"), F.col("__tb")))
+    )
+    bad = checked.filter(
+        (F.abs(F.col("__jv") - F.col("jaccard")) > 5e-7) | (F.col("__jv") < 0.8)
+    ).count()
+    n = checked.count()
+    return bad == 0 and n > 0, f"sampled-reverify n={n} mismatches={bad}"
+
+
+def _v_jaccard_completeness(spark, sf_dir):
+    """LSH ⊆ exact containment: every LSH candidate pair that exact
+    verification confirms (J >= t) MUST appear in the prefix-filtered
+    exact pair set — the direct guard on the prefix filter's
+    exactness-preserving claim (a dropped true pair shows up here)."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.operators.dedup import (
+        jaccard_shingles,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    lsh_true = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__j", jaccard_shingles(F.col("__ta"), F.col("__tb")))
+        .filter(F.col("__j") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    n_lsh = lsh_true.count()
+    missing = lsh_true.join(exact, ["id_a", "id_b"], "left_anti").count()
+    n_exact = exact.count()
+    recall = round(n_lsh / n_exact, 4) if n_exact else 1.0
+    return (
+        missing == 0,
+        f"lsh_true={n_lsh} exact={n_exact} missing_from_exact={missing} "
+        f"lsh_recall={recall}",
+    )
+
+
+def _v_transitive(spark, sf_dir):
+    """No qualifying pair may have BOTH endpoints surviving (any pair links
+    its endpoints into one component, which keeps exactly one), and every
+    dropped doc must touch >= 1 pair."""
+    import ops_spark.queries as q
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = q.get_query("llm_transitive_dedup").builder(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint()
+    sa = surv.select(F.col("doc_id").alias("id_a"))
+    sb = surv.select(F.col("doc_id").alias("id_b"))
+    both = pairs.join(sa, "id_a").join(sb, "id_b").count()
+    verts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    orphan_drops = (
+        docs.select("doc_id")
+        .join(surv.select("doc_id"), "doc_id", "left_anti")
+        .join(verts, "doc_id", "left_anti")
+        .count()
+    )
+    return (
+        both == 0 and orphan_drops == 0,
+        f"pairs_with_both_surviving={both} dropped_without_edge={orphan_drops}",
+    )
+
+
+def _v_spatial(spark, sf_dir):
+    """Cross-operator algebra: Σ per-point neighbor counts == 2 × pairs."""
+    import ops_spark.queries as q
+    from pyspark.sql import functions as F
+
+    n_pairs = q.get_query("an_spatial_join").builder(spark, sf_dir).count()
+    s = (
+        q.get_query("geo_radius_count")
+        .builder(spark, sf_dir)
+        .agg(F.sum("n_neighbors"))
+        .first()[0]
+        or 0
+    )
+    return s == 2 * n_pairs, f"sum_counts={s} pairs={n_pairs}"
+
+
+def _v_gap_fill(spark, sf_dir):
+    """Row-count algebra: output rows == Σ_users (span_days + 1), spans
+    computed independently by a plain min/max aggregation."""
+    import ops_spark.queries as q
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+
+    n_out = q.get_query("ts_gap_fill").builder(spark, sf_dir).count()
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    expected = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("b"))
+        .groupBy("user_id")
+        .agg(F.datediff(F.max("b"), F.min("b")).alias("span"))
+        .agg(F.sum(F.col("span") + 1))
+        .first()[0]
+    )
+    return n_out == expected, f"rows={n_out} expected={expected}"
+
+
+INVARIANT_VERIFIERS = {
+    "llm_ngram_jaccard_pairs": _v_jaccard_pairs,
+    "llm_minhash_lsh_dedup": _v_jaccard_completeness,
+    "llm_transitive_dedup": _v_transitive,
+    "an_spatial_join": _v_spatial,
+    "ts_gap_fill": _v_gap_fill,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.environ.get("OPS_SCALE_DIR", "/tmp/ops_scale/sf10"))
     ap.add_argument("--budget", type=float, default=180.0)
     ap.add_argument("--only", default="", help="comma-separated name prefixes")
     ap.add_argument("--json-out", default=os.path.join(REPO, "SCALE_SWEEP.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
+    ap.add_argument("--no-verify", action="store_true", help="skip the flagship verification pass")
     args = ap.parse_args()
 
     import ops_spark.queries as q
@@ -88,8 +266,36 @@ def main() -> None:
         print(f"sweep {name}: {results[name]}", file=sys.stderr)
         release_query_memory(spark, quiet=True)  # bench-style hygiene
 
+    # ---- flagship verification pass (outside the timed windows) --------
+    verifiers = dict(INVARIANT_VERIFIERS)
+    verifiers.update({n: _v_oracle(n) for n in ORACLE_VERIFY})
+    n_verified = 0
+    if not args.no_verify:
+        for name, verify in sorted(verifiers.items()):
+            if name not in results or results[name]["status"] != "ok":
+                continue
+            vt0 = time.perf_counter()
+            try:
+                vok, detail = verify(spark, args.out)
+            except Exception as exc:  # noqa: BLE001
+                vok, detail = False, f"verifier error: {str(exc)[:160]}"
+            results[name]["verified"] = {
+                "ok": vok,
+                "detail": detail,
+                "wall_sec": round(time.perf_counter() - vt0, 2),
+            }
+            n_verified += int(vok)
+            print(f"verify {name}: {results[name]['verified']}", file=sys.stderr)
+            release_query_memory(spark, quiet=True)
+
     ok = sum(1 for r in results.values() if r["status"] == "ok")
     summary = {
+        "n_verified_ok": n_verified,
+        "n_verified_failed": sum(
+            1
+            for r in results.values()
+            if "verified" in r and not r["verified"]["ok"]
+        ),
         "out_dir": args.out,
         "budget_sec": args.budget,
         "n_queries": len(results),

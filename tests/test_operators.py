@@ -966,6 +966,49 @@ def test_ewma_matches_pandas(spark):
     assert got[(2, 1)] == 7.0
 
 
+def test_ewma_auto_dispatches_to_chunked_above_max_series_len(spark):
+    """A series longer than max_series_len must transparently take the
+    segment-then-carry path (bounded per-task memory) AND produce the
+    same values as the forced collect-fold path."""
+    from ops_spark.operators import timeseries as TS
+
+    n = 50
+    df = spark.range(n).selectExpr(
+        "1 AS k", "CAST(id AS double) AS t", "CAST(id % 7 AS double) AS v"
+    )
+    dispatched = {}
+    orig = TS.ewma_chunked
+
+    def spy(*args, **kwargs):
+        dispatched["segment_len"] = kwargs.get("segment_len")
+        return orig(*args, **kwargs)
+
+    TS.ewma_chunked = spy
+    try:
+        auto = TS.ewma(df, "k", "t", "v", alpha=0.4, max_series_len=10)
+        got = {(r.k, r.t): r.ewma for r in auto.collect()}
+    finally:
+        TS.ewma_chunked = orig
+    # dispatch happened, with the documented sqrt-sized segments
+    assert dispatched["segment_len"] == max(4096, int(n**0.5) + 1)
+    plain = {
+        (r.k, r.t): r.ewma
+        for r in TS.ewma(df, "k", "t", "v", alpha=0.4, max_series_len=None).collect()
+    }
+    assert got.keys() == plain.keys()
+    for key in plain:
+        assert got[key] == pytest.approx(plain[key], rel=1e-9)
+    # short series below the bound must NOT dispatch to the chunked path
+    dispatched.clear()
+    TS.ewma_chunked = spy
+    try:
+        short = TS.ewma(df.limit(5), "k", "t", "v", alpha=0.4, max_series_len=10)
+        assert short.count() == 5
+    finally:
+        TS.ewma_chunked = orig
+    assert dispatched == {}
+
+
 def test_spatial_pairs_high_latitude_recall(spark):
     """The cos(lat) trap: at lat 59, 200 km spans ~2x more longitude
     degrees than at the equator. Points 3.4 lon-degrees apart at lat 59
