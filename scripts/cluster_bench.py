@@ -198,6 +198,9 @@ def main() -> None:
         surviving.get(k) == v for k, v in policy.confs().items()
     )
     report["policy_readback"] = surviving
+    # run a small job first: executors register lazily, so counting at
+    # session start reports 0
+    spark.range(10_000).repartition(16).count()
     n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
     report["n_executors"] = n_exec
     report["phases"]["local_cluster"] = run_battery(

@@ -488,6 +488,10 @@ def main() -> None:
     spark.stop()
     line = json.dumps(report, indent=1, sort_keys=True)
     print(line)
+    if args.derive_only:
+        # a derive-only run produced no probe evidence — writing the stub
+        # report would clobber the committed BENCH_SCALE.json
+        sys.exit(0)
     with open(args.json_out, "w") as fh:
         fh.write(line + "\n")
     ok = (

@@ -85,6 +85,55 @@ def test_ngram_jaccard_pairs_exact(docs):
     assert 0.5 <= ids[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
+    """The PPJoin-style prefix filter must be exactness-preserving: the
+    operator's pair set equals a brute-force all-pairs Jaccard computed in
+    plain Python, on a randomized corpus built to stress the filter —
+    docs at size ratios straddling the length filter, near-threshold
+    overlaps, shared hot boilerplate shingles (high-df, sorted OUT of
+    prefixes), and singleton rare shingles."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = ["the", "quick", "brown", "fox"]  # hot grams in most docs
+    docs = []
+    for i in range(40):
+        n_tok = rng.randint(3, 24)
+        toks = boiler + [rng.choice(vocab) for _ in range(n_tok)]
+        docs.append((i, " ".join(toks)))
+    # planted near-dup family: same base, one token appended/changed
+    base = [rng.choice(vocab) for _ in range(18)]
+    docs.append((100, " ".join(base)))
+    docs.append((101, " ".join(base + ["extra"])))
+    docs.append((102, " ".join(base[:-1] + ["swap"])))
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    t = 0.6
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        a, b = sh(ta), sh(tb)
+        if not a or not b:
+            continue
+        j = len(a & b) / len(a | b)
+        if j >= t:
+            expect[(min(ia, ib), max(ia, ib))] = round(j, 6)
+
+    from ops_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=t).collect()
+    }
+    assert got == expect
+    assert (100, 101) in got and (100, 102) in got  # planted family found
+
+
 def test_cosine_topk_self_is_rank1(spark, sf_dir):
     from ops_spark.io import load_table
     from ops_spark.operators.similarity import cosine_topk
