@@ -61,11 +61,16 @@ def main() -> None:
 
         release_query_memory(spark)
 
+    # consume() (hash-all-columns) instead of count(): count(1) lets
+    # Catalyst prune columns and eliminate a final aggregate-unique left
+    # join, silently zeroing out enrichment-shaped queries' measurements.
+    from ops_spark.conformance import consume
+
     def run_once(name: str) -> float:
         query = q.get_query(name)
         t0 = time.perf_counter()
         try:
-            query.builder(spark, sf_dir).count()
+            consume(query.builder(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the run
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -122,6 +127,7 @@ def main() -> None:
         families[f"{fam}_total"] = round(families.get(f"{fam}_total", 0.0) + t, 4)
     payload = {
         "metric": "total_query_wall_time",
+        "action": "consume_hash_all_columns",  # round 5: was count()
         "value": total,
         "unit": "sec",
         "queries": {**headline, **dict(sorted(families.items()))},

@@ -41,11 +41,53 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark-written table = a DIRECTORY of part files (the derived
+            # 100x datasets); the driver's fixtures are single files.
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
+
+
+def consume(df) -> int:
+    """Fully compute EVERY output column of df and return its row count —
+    the honest measurement action for benchmarks.
+
+    ``df.count()`` compiles count(1) over the plan, so Catalyst prunes all
+    unreferenced columns and ELIMINATES a final left join whose right side
+    is aggregate-unique (row count provably preserved) — the entire body
+    of an enrichment-shaped query (left join from the entity table onto
+    grouped results: neighbor counts, decontamination flags, span
+    coverage) silently vanishes from the measurement (observed at 100×:
+    geo_radius_count 0.24 s via count() vs 267 s computed). Hashing every
+    column into one long defeats pruning and join elimination while
+    adding only ~1 cheap expression per row; map/variant columns (which
+    the hash expression rejects) ride as JSON/strings.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if "map<" in s:
+            cols.append(F.to_json(F.col(f.name)))
+        elif "variant" in s:
+            cols.append(F.col(f.name).cast("string"))
+        else:
+            cols.append(F.col(f.name))
+    try:
+        row = (
+            df.select(F.xxhash64(*cols).alias("__h"))
+            .agg(F.count("__h").alias("n"), F.sum("__h"))
+            .first()
+        )
+        return int(row[0])
+    except Exception:  # noqa: BLE001 — unhashable type surprises: degrade
+        return df.count()
 
 
 def complex_output_columns(sdf) -> list[str]:

@@ -65,6 +65,7 @@ def dir_bytes(path: str) -> int:
 
 def run_battery(spark, names, sf_dir, label):
     import ops_spark.queries as q
+    from ops_spark.conformance import consume
     from ops_spark.plans.shuffle_policy import shuffle_report
     from ops_spark.session import release_query_memory
 
@@ -74,7 +75,7 @@ def run_battery(spark, names, sf_dir, label):
     for name in names:
         qt0 = time.perf_counter()
         try:
-            rows = q.get_query(name).builder(spark, sf_dir).count()
+            rows = consume(q.get_query(name).builder(spark, sf_dir))
             status = "ok"
         except Exception as exc:  # noqa: BLE001
             rows, status = -1, f"error: {str(exc)[:160]}"

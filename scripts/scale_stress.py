@@ -210,12 +210,13 @@ def skew_probe(spark, out_dir: str) -> dict:
 
 def run_flagships(spark, out_dir: str) -> dict:
     import ops_spark.queries as q
+    from ops_spark.conformance import consume
 
     q.load_all()
     timings = {}
     for name in FLAGSHIPS:
         t0 = time.perf_counter()
-        n = q.get_query(name).builder(spark, out_dir).count()
+        n = consume(q.get_query(name).builder(spark, out_dir))
         timings[name] = {
             "wall_sec": round(time.perf_counter() - t0, 2),
             "rows": n,
@@ -388,12 +389,13 @@ def run_tpch(spark, out_dir: str) -> dict:
     at --mult 100 ≈ TPC-H SF 10): the direct 'would the plans hold at
     100×' check for the relational tier. Invoked via --tpch."""
     import ops_spark.queries as q
+    from ops_spark.conformance import consume
 
     q.load_all()
     timings = {}
     for name in sorted(n for n in q.all_queries() if n.startswith("Q")):
         t0 = time.perf_counter()
-        n = q.get_query(name).builder(spark, out_dir).count()
+        n = consume(q.get_query(name).builder(spark, out_dir))
         timings[name] = {"wall_sec": round(time.perf_counter() - t0, 2), "rows": n}
         print(f"tpch {name}: {timings[name]}", file=sys.stderr)
         release_query_memory(spark)  # shared between-query hygiene
@@ -429,20 +431,25 @@ def streaming_probe(spark) -> dict:
     try:
         while time.perf_counter() - t0 < 20:
             time.sleep(1)
-        progress = query.lastProgress
-        rows_per_sec = progress["processedRowsPerSecond"] if progress else 0.0
-        total = sum(
-            p["numInputRows"] for p in query.recentProgress
-        ) if query.recentProgress else 0
-        batches = len(query.recentProgress)
+        # lastProgress alone is fragile: a momentarily-empty final batch
+        # reports processedRowsPerSecond=0.0 even when the stream kept up
+        # all along. Report the distribution over NON-EMPTY batches plus
+        # the unambiguous totals.
+        prog = [p for p in (query.recentProgress or []) if p["numInputRows"] > 0]
+        rates = sorted(p["processedRowsPerSecond"] for p in prog)
+        total = sum(p["numInputRows"] for p in prog)
+        batches = len(query.recentProgress or [])
     finally:
         query.stop()
+    wall = round(time.perf_counter() - t0, 1)
     return {
         "target_rows_per_sec": 500_000,
-        "processed_rows_per_sec_last_batch": round(rows_per_sec, 0),
+        "processed_rows_per_sec_median": round(rates[len(rates) // 2], 0) if rates else 0.0,
+        "processed_rows_per_sec_max": round(rates[-1], 0) if rates else 0.0,
+        "overall_rows_per_sec": round(total / wall, 0) if wall else 0.0,
         "total_rows": total,
         "n_batches": batches,
-        "wall_sec": round(time.perf_counter() - t0, 1),
+        "wall_sec": wall,
     }
 
 

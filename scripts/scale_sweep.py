@@ -58,7 +58,12 @@ def _v_oracle(name):
         import ops_spark.queries as q
         from ops_spark.conformance import compare
 
-        r = compare(spark, q.get_query(name), sf_dir)
+        # float_tol=1e-12 RELATIVE: at 60M rows a double sum's partial/final
+        # tree order differs from DuckDB's sequential fold in the last ulp
+        # (measured: Q01 sum_base_price 460924177654.99 vs .98 — 2e-14
+        # relative). The sf0.01 driver gate stays exact-stringified; the
+        # at-scale check tolerates summation-order ulps and nothing more.
+        r = compare(spark, q.get_query(name), sf_dir, float_tol=1e-12)
         return bool(r.ok), f"duckdb-oracle {r.detail} rows={r.spark_rows}"
 
     return run
@@ -228,6 +233,7 @@ def main() -> None:
         prefixes = tuple(p for p in args.only.split(",") if p)
         names = [n for n in names if n.startswith(prefixes)]
 
+    from ops_spark.conformance import consume
     from ops_spark.session import release_query_memory
 
     results: dict[str, dict] = {}
@@ -253,7 +259,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             watchdog.start()
-            n = q.get_query(name).builder(spark, args.out).count()
+            # consume (hash-all-columns), not count(): count(1) lets the
+            # optimizer prune the whole enrichment join out of the plan
+            n = consume(q.get_query(name).builder(spark, args.out))
             status = "ok"
         except Exception as exc:  # noqa: BLE001
             n = -1

@@ -117,3 +117,42 @@ spark.stop()
     got = json.loads(lines[-1])
     assert got["rows"] == 300_000
     assert got.get("shuffle_remote_bytes_read", 0) > 0, got
+
+
+def test_consume_defeats_count_join_elimination(spark):
+    """count(1) over an enrichment query lets Catalyst drop the final
+    aggregate-unique left join from the plan (row count provably
+    preserved) — so a bench that measures count() measures NOTHING of
+    such a query's body. conformance.consume hashes every output column,
+    which keeps the join in the executed plan. Asserted at plan level."""
+    from ops_spark.conformance import consume
+
+    pts = spark.range(100)
+    grouped = (
+        spark.range(1_000)
+        .select((F.col("id") % 100).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+    )
+    df = pts.join(grouped, "id", "left").select(
+        "id", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    count_plan = (
+        df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in count_plan  # the hazard is real on this Spark
+    hashed = df.select(F.xxhash64("id", "n").alias("h")).groupBy().sum("h")
+    hash_plan = hashed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in hash_plan  # consume's shape keeps the join
+    assert consume(df) == 100
+
+
+def test_consume_handles_map_and_array_outputs(spark):
+    from ops_spark.conformance import consume
+
+    df = spark.range(5).select(
+        "id",
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.array("id", "id").alias("a"),
+    )
+    assert consume(df) == 5
