@@ -735,6 +735,86 @@ def embedding_dedup(
     return df.join(dups.distinct(), id_col, "left_anti")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    kmeans_iters: int = 1,
+    chunk: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then within
+    each cluster drop every vector that has a LOWER-id cluster-mate with
+    cosine ≥ threshold (survivor = canonical representative — the same
+    keep-lowest single-pass semantics as embedding_dedup).
+
+    Where it sits in the dedup family: sign-LSH (embedding_dedup
+    exact=False) targets NEAR-duplicates — per-plane agreement collapses
+    below cos ≈ 0.8, so paraphrase-level redundancy (0.9–0.95 on real
+    encoders) slips through its buckets, while the exact tier is
+    quadratic. Semantic clustering blocks by REGION of embedding space:
+    probe cost Σ_c |c|² ≈ N²/k for balanced clusters (k ≈ √N ⇒ ~N^1.5
+    total work), and the threshold can sit anywhere.
+
+    Documented recall boundary (inherent to SemDeDup, not a defect):
+    pairs straddling a cluster boundary are missed — identical and
+    near-identical vectors always co-cluster (same nearest centroid),
+    so the miss set is confined to pairs near the threshold AND near a
+    boundary; the paper's mitigation (larger k changes granularity, not
+    correctness) applies unchanged.
+
+    Plan shape: centroids are driver-side index metadata (k×dim only,
+    ivf_centroids + optional Lloyd refinement); assignment is one
+    Arrow-batched matmul per batch; per-cluster scoring is one grouped
+    applyInPandas whose chunked GEMM bounds scratch at chunk×|cluster|
+    doubles. One shuffle on cluster id, one anti join — never all-pairs.
+    """
+    from ops_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    cents = ivf_centroids(df, n_clusters, id_col, vec_col)
+    if kmeans_iters:
+        cents = kmeans_refine(df, cents, iters=kmeans_iters, vec_col=vec_col)
+    assign = ivf_assign(cents, nprobe=1)
+    src = spread(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("cell", assign(F.col("v"))[0])
+    id_type = dict(df.dtypes)[id_col]
+
+    def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": pdf["id"].iloc[:0]})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        ids = pdf["id"].to_numpy()
+        dropped: list[np.ndarray] = []
+        for s in range(0, len(V), chunk):
+            e = min(s + chunk, len(V))
+            sims = V[s:e] @ V.T  # (chunk, n)
+            # lower-id mate within threshold: ids are sorted, so column
+            # j < row index i (global) means a lower id
+            hit = sims >= threshold
+            col_idx = np.arange(len(V))[None, :]
+            row_idx = np.arange(s, e)[:, None]
+            hit &= col_idx < row_idx
+            dropped.append(ids[s:e][hit.any(axis=1)])
+        out = np.concatenate(dropped) if dropped else ids[:0]
+        return pd.DataFrame({"id": out})
+
+    losers = (
+        src.groupBy("cell")
+        .applyInPandas(_losers, f"id {id_type}")
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def contamination(
     train: DataFrame,
     eval_df: DataFrame,

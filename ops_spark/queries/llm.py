@@ -508,6 +508,28 @@ def x_llm_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_llm_semantic_dedup",
+    oracle=None,  # k-means cell boundaries depend on float argmax; the
+    # planted-duplicate guarantee (identical vectors always co-cluster and
+    # dedup) is asserted in tests instead
+    # (test_operators.py::test_semantic_dedup_drops_planted_duplicates).
+    description="SemDeDup-style semantic dedup (operators/dedup.py:"
+    "semantic_dedup, Abbas et al. 2023): k-means blocking over the "
+    "embedding space, per-cluster chunked-GEMM cosine scoring, drop every "
+    "vector with a lower-id cluster-mate above threshold. Fills the "
+    "paraphrase-redundancy gap between sign-LSH near-dedup (needs cos "
+    "≥ ~0.8 per-plane agreement) and the quadratic exact tier; probe cost "
+    "~N²/k through one shuffle on cluster id.",
+    tags=("llm", "dedup", "similarity", "semantic"),
+)
+def x_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted_dups(_t(spark, sf_dir, "embeddings"), n_planted=100)
+    return D.semantic_dedup(
+        emb, threshold=0.98, n_clusters=16, kmeans_iters=1
+    ).select("vec_id", "label")
+
+
+@register(
     "x_llm_ivf_topk",
     oracle=None,  # centroid assignment depends on float argmax boundaries;
     # recall vs llm_cosine_topk is asserted in tests instead

@@ -270,6 +270,34 @@ def test_embedding_dedup_lsh_recall(spark, sf_dir):
     assert dups_found == 100
 
 
+def test_semantic_dedup_drops_planted_duplicates(spark, sf_dir):
+    """SemDeDup's structural guarantee: (near-)identical vectors share a
+    nearest centroid, so planted duplicates are ALWAYS co-clustered and
+    dropped; the survivor is the lower id; no non-duplicate Gaussian
+    vector is dropped at threshold 0.98."""
+    from ops_spark.io import load_table
+    from ops_spark.operators.dedup import semantic_dedup
+    from ops_spark.queries.llm import _with_planted_dups
+
+    emb = _with_planted_dups(load_table(spark, sf_dir, "embeddings"), n_planted=50)
+    n = emb.count()
+    out = semantic_dedup(emb, threshold=0.98, n_clusters=8, kmeans_iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    assert len(kept) == n - 50  # exactly the planted copies dropped
+    assert all(v < 1_000_000 for v in kept)  # survivors are the originals
+    # deterministic: same centroids sample + same assignment
+    again = {
+        r.vec_id
+        for r in semantic_dedup(emb, threshold=0.98, n_clusters=8, kmeans_iters=1)
+        .select("vec_id")
+        .collect()
+    }
+    assert again == kept
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from ops_spark.io import load_table
     from ops_spark.operators.similarity import cosine_topk, ivf_topk
