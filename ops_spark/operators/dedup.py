@@ -458,6 +458,9 @@ def ngram_jaccard_pairs(
     # dust (0.8*15 = 12.000000000000002 → ceil 13) can only LENGTHEN the
     # prefix (safe direction — more candidates, never a missed pair).
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * t - 1e-9) + 1
+    # Materialize the prefix postings ONCE: both sides of the candidate
+    # self-join read them, and without the checkpoint the whole df-count +
+    # window subplan executes twice (verified in the executed plan).
     prefix = (
         postings.join(dfreq, "s")
         .withColumn(
@@ -465,6 +468,8 @@ def ngram_jaccard_pairs(
             F.row_number().over(W.partitionBy("id").orderBy("__df", "s")),
         )
         .filter(F.col("__rn") <= prefix_len)
+        .select("id", "n_sh", "s")
+        .localCheckpoint()
     )
     pa = prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
     pb = prefix.select(

@@ -1,23 +1,43 @@
-"""Geospatial-lite operators: grid cells + bucketed spatial joins.
+"""Geospatial-lite operators: banded grid blocking + bounded-output
+spatial joins.
 
 No GIS library exists in the reference or this image; what a pipeline
 needs from Spark is the JOIN SHAPE — all-pairs-within-radius without an
 all-pairs stage. Same blocking pattern as the LSH dedup family:
 
-1. quantize (lat, lon) to a grid whose cell edge >= the search radius,
-2. candidates = pairs sharing a cell OR any of the 8 neighbor cells
-   (equi join on cell id — each left row probes 9 cells),
+1. quantize (lat, lon) to a grid of LATITUDE BANDS: every band is
+   ``radius`` tall in latitude degrees, and each band's longitude cell
+   width is the radius in longitude degrees AT THAT BAND's latitude
+   (wider cells near the poles where lon degrees shrink). A square grid
+   sized for the worst latitude over-probes ~4x at mid latitudes; the
+   banded grid keeps the probed area within ~2x of the true disk
+   everywhere.
+2. candidates = probe-side rows explode to the 9 cells around them
+   (3 rows x 3 cols, the col indices computed in each TARGET band's own
+   width); build-side rows carry their single home cell. An equi join
+   on cell id yields each qualifying ORDERED pair exactly once — the 9
+   probe ids are provably distinct and the build side has one cell, so
+   NO distinct/dedup pass is ever needed on the candidate stream.
 3. verify the exact distance predicate within candidates only.
 
-Every qualifying pair shares at least one probed cell (cell edge >=
-radius guarantees it), so recall is exactly 1.0 — asserted against a
-brute-force oracle. Cost: candidates are bounded by local point density
-x 9 cells, never |df|².
+Recall is exactly 1.0 for data within the ``min_cos_lat`` contract
+(|lat| <= acos(min_cos_lat), default 60°): |dlat| <= radius guarantees
+a row delta of <= 1, and each band's width is sized by the smallest
+Taylor-cos any qualifying pair's MEAN latitude can reach when the build
+point sits in that band (band edge extended by half a band — the probe
+point can pull the mean that far out), so |dlon| <= width(target band)
+and the col delta is <= 1. Asserted against a brute-force oracle.
+
+Longitude does NOT wrap at +/-180: the distance metric itself
+(equirect_km) treats lon as a flat axis, so the blocking agrees with
+the predicate it serves — pairs "across the seam" are not within
+radius under this metric either.
 
 Distances use the equirectangular approximation (sqrt of sum of scaled
 squares — IEEE-deterministic, unlike haversine's trig which differs
 across libms); fine for near-radius queries away from the poles, which
-is the blocking use case.
+is the blocking use case. Grid sizing reuses the same Taylor cos so the
+blocking and the predicate can never disagree.
 """
 
 from __future__ import annotations
@@ -27,11 +47,20 @@ from pyspark.sql import functions as F
 
 # degrees per km at the equator (1/111.32); the approximation's scale
 KM_PER_DEG = 111.32
+_DEG = 3.141592653589793 / 180.0
+
+
+def taylor_cos(rad: Column) -> Column:
+    """cos(x) ~= 1 - x^2/2 + x^4/24 (|err| < 3e-4 for |x| <= 60 deg) —
+    +,*,/-only, so every engine computes the identical double."""
+    x2 = rad * rad
+    return 1.0 - x2 / 2.0 + (x2 * x2) / 24.0
 
 
 def geo_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
-    """Grid-cell id for a (lat, lon) in degrees: row-major index over a
-    global grid with ``cell_deg``-degree edges. Pure codegen arithmetic."""
+    """Row-major cell id over a UNIFORM global grid with ``cell_deg``
+    edges — the simple quantizer for callers bucketing points themselves
+    (the radius joins below use the banded grid instead)."""
     row = F.floor((lat + 90.0) / cell_deg).cast("bigint")
     col = F.floor((lon + 180.0) / cell_deg).cast("bigint")
     n_cols = int(360.0 / cell_deg) + 1
@@ -41,19 +70,100 @@ def geo_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
 def equirect_km(
     lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
 ) -> Column:
-    """Equirectangular distance in km (sqrt-only, engine-deterministic)."""
-    # cos of mean latitude via a 6th-order polynomial? No — radians cos is
-    # libm. Use the flat-grid form scaled at the MEAN latitude of the two
-    # points with the small-angle-safe cos approximation cos(x) ≈
-    # 1 - x²/2 + x⁴/24 (Taylor, |err| < 3e-4 for |lat| <= 60°) so the
-    # whole expression stays +,*,/,sqrt.
-    mean_lat_rad = (lat_a + lat_b) / 2.0 * (3.141592653589793 / 180.0)
-    cos_lat = 1.0 - (mean_lat_rad * mean_lat_rad) / 2.0 + (
-        mean_lat_rad * mean_lat_rad * mean_lat_rad * mean_lat_rad
-    ) / 24.0
+    """Equirectangular distance in km (sqrt-only, engine-deterministic):
+    flat-grid form scaled at the MEAN latitude of the two points with
+    the Taylor cos, so the whole expression stays +,*,/,sqrt."""
+    cos_lat = taylor_cos((lat_a + lat_b) / 2.0 * _DEG)
     dy = (lat_b - lat_a) * KM_PER_DEG
     dx = (lon_b - lon_a) * cos_lat * KM_PER_DEG
     return F.sqrt(dx * dx + dy * dy)
+
+
+def _band_width_deg(
+    row: Column, h: float, radius_km: float, min_cos_lat: float
+) -> Column:
+    """Longitude cell width (degrees) for latitude band ``row``.
+
+    Sized by the smallest Taylor-cos any qualifying pair's mean latitude
+    can reach when the BUILD point sits in this band: the band's worst
+    |edge latitude| extended by h/2, because the probe point may sit up
+    to h (one band) away and pull the mean half that far past the edge.
+    Clamped below at ``min_cos_lat`` — the operator contract bounds data
+    to |lat| <= acos(min_cos_lat), where the clamp provably still covers
+    every pair (taylor_cos(acos(m)) >= m there), and it keeps the width
+    positive where extended polar bands would push Taylor-cos negative.
+    """
+    lo = row * h - 90.0 - h / 2.0
+    hi = row * h + h - 90.0 + h / 2.0
+    worst = F.greatest(F.abs(lo), F.abs(hi))
+    cos_c = F.greatest(taylor_cos(worst * _DEG), F.lit(float(min_cos_lat)))
+    return F.lit(float(radius_km)) / (KM_PER_DEG * cos_c)
+
+
+def _cell_at(
+    lat: Column, lon: Column, dr: int, dc: int,
+    h: float, radius_km: float, min_cos_lat: float, m: int,
+) -> Column:
+    """Cell id at (band of ``lat``) + ``dr``, (col of ``lon`` in the
+    TARGET band's width) + ``dc``. (0, 0) is the home cell. Ids are
+    row * m + col with m > max cols per band, so distinct (row, col)
+    always map to distinct ids — out-of-range probe cols (the lon seam)
+    fall into id slots no home cell occupies and match nothing."""
+    row = F.floor((lat + 90.0) / h).cast("bigint") + dr
+    w = _band_width_deg(row, h, radius_km, min_cos_lat)
+    col = F.floor((lon + 180.0) / w).cast("bigint") + dc
+    return row * m + col
+
+
+def _grid_params(radius_km: float) -> tuple[float, int]:
+    """(band height in lat degrees, row-id multiplier)."""
+    h = radius_km / KM_PER_DEG
+    m = int(360.0 / min(h, 360.0)) + 4
+    return h, m
+
+
+def _sides(
+    left: DataFrame, right: DataFrame,
+    id_col: str, lat_col: str, lon_col: str,
+    radius_km: float, min_cos_lat: float,
+    offsets: list[tuple[int, int]],
+) -> tuple[DataFrame, DataFrame]:
+    """(probe side exploded to ``offsets`` cells, build side on its home
+    cell) — the two inputs of every candidate join below."""
+    h, m = _grid_params(radius_km)
+
+    def cell(dr: int, dc: int) -> Column:
+        return _cell_at(
+            F.col(lat_col), F.col(lon_col), dr, dc,
+            h, radius_km, min_cos_lat, m,
+        )
+
+    probe = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+        F.explode(F.array(*[cell(dr, dc) for dr, dc in offsets])).alias("cell"),
+    )
+    build = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+        cell(0, 0).alias("cell"),
+    )
+    return probe, build
+
+
+_ALL_9 = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+# home + "forward" half of the 8 neighbors: for any cross-cell pair,
+# exactly one endpoint sees the other's home cell in its forward probes.
+_FORWARD_4 = [(0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _dist_filtered(cand: DataFrame, radius_km: float) -> DataFrame:
+    d = equirect_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return cand.withColumn("dist_km", d).filter(F.col("dist_km") <= radius_km)
 
 
 def spatial_self_pairs(
@@ -64,51 +174,68 @@ def spatial_self_pairs(
     radius_km: float,
     min_cos_lat: float = 0.5,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs within ``radius_km``, via grid blocking.
+    """All (id_a < id_b, dist_km) pairs within ``radius_km``.
 
-    Cell edge = radius in LONGITUDE degrees at the worst latitude the
-    data reaches (``min_cos_lat`` = cos of max |lat|, default 0.5 =
-    |lat| <= 60°): longitude degrees shrink by cos(lat), so sizing cells
-    by the latitude scale alone lets a radius span two lon cells near
-    the poles and silently lose pairs. With the corrected edge, any
-    qualifying pair shares one of the 9 probed cells — recall exactly 1.
-    The only wide ops are the explode (9 rows/left point) and the equi
-    join on cell id; density-bounded, never quadratic.
+    Each unordered pair is enumerated EXACTLY once, so there is no
+    distinct/dedup stage anywhere in the plan: same-cell pairs come from
+    a home x home join gated by id_a < id_b; cross-cell pairs from a
+    4-forward-cells x home join — for any cross-cell pair exactly one
+    endpoint's forward probes contain the other's home cell (the reverse
+    offset is backward), and the output is canonicalized to (min, max)
+    id order (dist_km is orientation-symmetric arithmetic). Candidate
+    volume is local density x the probed area (~2x the true disk),
+    never |df|^2.
     """
-    cell_deg = radius_km / (KM_PER_DEG * min_cos_lat)
-    n_cols = int(360.0 / cell_deg) + 1
-    base_row = F.floor((F.col(lat_col) + 90.0) / cell_deg).cast("bigint")
-    base_col = F.floor((F.col(lon_col) + 180.0) / cell_deg).cast("bigint")
-
-    probe_cells = F.array(
-        *[
-            (base_row + dr) * n_cols + (base_col + dc)
-            for dr in (-1, 0, 1)
-            for dc in (-1, 0, 1)
-        ]
+    probe, build = _sides(
+        df, df, id_col, lat_col, lon_col, radius_km, min_cos_lat, _FORWARD_4
     )
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(lat_col).alias("lat_a"),
-        F.col(lon_col).alias("lon_a"),
-        F.explode(probe_cells).alias("cell"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(lat_col).alias("lat_b"),
-        F.col(lon_col).alias("lon_b"),
-        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("cell"),
-    )
-    d = equirect_km(
-        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
-    )
-    return (
-        a.join(b, "cell")
+    home = build
+    same = (
+        home.select(
+            F.col("id_b").alias("id_a"),
+            F.col("lat_b").alias("lat_a"),
+            F.col("lon_b").alias("lon_a"),
+            "cell",
+        )
+        .join(build, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist_km", d)
-        .filter(F.col("dist_km") <= radius_km)
-        .select("id_a", "id_b", "dist_km")
-        .distinct()  # a pair can share several probed cells
+    )
+    cross = probe.join(build, "cell")
+    cand = same.unionByName(cross).drop("cell")
+    return _dist_filtered(cand, radius_km).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "dist_km",
+    )
+
+
+def _symmetric_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    min_cos_lat: float,
+) -> DataFrame:
+    """Ordered (id, neighbor, dist_km) rows: for every ``left`` point,
+    every ``right`` point within radius (excluding itself). ONE join —
+    the probe side explodes all 9 cells, so each ordered pair appears
+    exactly once and no union/distinct/second plan execution is needed
+    (the former formulation unioned two selects over one canonical-pair
+    plan, which executed the whole candidate join twice)."""
+    probe, build = _sides(
+        left, right, id_col, lat_col, lon_col, radius_km, min_cos_lat, _ALL_9
+    )
+    cand = (
+        probe.join(build, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .drop("cell")
+    )
+    return _dist_filtered(cand, radius_km).select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("neighbor"),
+        "dist_km",
     )
 
 
@@ -125,16 +252,14 @@ def spatial_neighbor_counts(
     (|df| rows), never the quadratic pair set, so a 100 TB caller who
     only wants density never materializes pairs they would immediately
     re-aggregate (SCALE.md: 328M pair rows at 10M events). Pairs exist
-    only transiently inside the density-bounded candidate join; the
-    count aggregation is map-side combinable. Points with no neighbor
+    only transiently inside the single density-bounded candidate join;
+    the candidate stream is duplicate-free by construction, so the count
+    is a plain map-side-combinable count(*). Points with no neighbor
     report 0 (left join back onto the point set)."""
-    pairs = spatial_self_pairs(
-        df, id_col, lat_col, lon_col, radius_km, min_cos_lat
+    sym = _symmetric_pairs(
+        df, df, id_col, lat_col, lon_col, radius_km, min_cos_lat
     )
-    both = pairs.select(F.col("id_a").alias("id")).unionAll(
-        pairs.select(F.col("id_b").alias("id"))
-    )
-    counts = both.groupBy("id").agg(F.count("*").alias("n_neighbors"))
+    counts = sym.groupBy("id").agg(F.count("*").alias("n_neighbors"))
     return (
         df.select(F.col(id_col).alias("id"))
         .join(counts, "id", "left")
@@ -153,30 +278,52 @@ def spatial_topk_neighbors(
     radius_km: float,
     k: int = 5,
     min_cos_lat: float = 0.5,
+    prefilter_factor: float = 4.0,
 ) -> DataFrame:
     """Per-point K NEAREST neighbors within ``radius_km`` — the other
-    bounded-output mode: ≤ k rows per point regardless of local density.
-    The symmetric pair set is windowed per point (partition key = the
-    point id, so partitions are its neighbor list, bounded by density ×
-    radius) and rank ≤ k kept; ties break deterministically by
-    (dist_km, neighbor). Output: (id, neighbor, dist_km, rank)."""
-    pairs = spatial_self_pairs(
-        df, id_col, lat_col, lon_col, radius_km, min_cos_lat
-    )
-    sym = pairs.select(
-        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor"), "dist_km"
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor"), "dist_km"
-        )
-    )
+    bounded-output mode: <= k rows per point regardless of density.
+
+    Two-phase, exactness-preserving: phase 1 ranks neighbors within the
+    SHRUNK radius r0 = radius / prefilter_factor. A point with >= k
+    neighbors inside r0 is DONE — its k nearest overall all lie within
+    r0, because anything outside r0 is strictly farther than its k-th
+    in-r0 neighbor, and the (dist, neighbor) tie-break cannot reorder a
+    strictly larger distance. Only underfilled points (fewer than k
+    in-r0 neighbors, including isolated ones) rerun at the full radius,
+    probing the WHOLE point set bipartitely. On dense data this shrinks
+    the ranked pair volume ~prefilter_factor^2-fold (656M -> ~41M rows
+    at the 100x audit scale); on sparse data phase 2 degenerates to the
+    single-pass plan plus a cheap phase-1 probe. Ties break
+    deterministically by (dist_km, neighbor).
+    Output: (id, neighbor, dist_km, rank 1..k)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("dist_km", "neighbor")
-    return (
-        sym.withColumn("rank", F.row_number().over(w))
+    r0 = radius_km / prefilter_factor
+    sym0 = _symmetric_pairs(
+        df, df, id_col, lat_col, lon_col, r0, min_cos_lat
+    )
+    # <= k*|df| rows; checkpointed because both the done-filter and the
+    # kept slice read it (one evaluation of the phase-1 join, not two).
+    ranked0 = (
+        sym0.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("id").alias(id_col), "neighbor", "dist_km", F.col("rank").cast("int").alias("rank")
-        )
+        .localCheckpoint()
+    )
+    have_k = ranked0.filter(F.col("rank") == k).select("id")
+    part1 = ranked0.join(have_k, "id", "left_semi")
+    under = df.join(
+        have_k.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    sym1 = _symmetric_pairs(
+        under, df, id_col, lat_col, lon_col, radius_km, min_cos_lat
+    )
+    part2 = sym1.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return part1.unionByName(part2).select(
+        F.col("id").alias(id_col),
+        "neighbor",
+        "dist_km",
+        F.col("rank").cast("int").alias("rank"),
     )

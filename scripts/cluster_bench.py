@@ -210,6 +210,35 @@ def main() -> None:
     spark.stop()
     time.sleep(2)
 
+    # ---- phase 2b: same topology, STOCK shuffle defaults ----------------
+    # SURVEY §7's parity-claim obligation: show the policy layer earns its
+    # keep by measuring the same shuffle-heavy battery WITHOUT it — Spark
+    # stock defaults (200 shuffle partitions, 10 MB broadcast threshold,
+    # 256 MB skew threshold; AQE itself stays on, it is a Spark default).
+    spark = get_session(
+        app_name="cluster_bench_stock",
+        master=master,
+        cores=total_cores,
+        extra_confs={
+            "spark.executor.memory": f"{args.mem_mb}m",
+            "spark.driver.memory": "8g",
+        },
+    )
+    stock = {
+        "spark.sql.shuffle.partitions": "200",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "268435456",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+    }
+    for k, v in stock.items():
+        spark.conf.set(k, v)
+    report["phases"]["local_cluster_stock"] = run_battery(
+        spark, names, args.sf_dir, "stock"
+    )
+    spark.stop()
+    time.sleep(2)
+
     # ---- phase 3: local-cluster + external shuffle service -------------
     ess_proc, ess_detail = start_ess()
     report["ess"] = {"detail": ess_detail}
@@ -244,6 +273,11 @@ def main() -> None:
     report["remote_shuffle_executed"] = (
         lc["shuffle_delta"].get("shuffle_remote_bytes_read", 0) > 0
     )
+    stock_phase = report["phases"].get("local_cluster_stock")
+    if stock_phase:
+        report["policy_vs_stock_speedup"] = round(
+            stock_phase["wall_sec"] / lc["wall_sec"], 3
+        )
     mismatches = [
         n
         for n in names

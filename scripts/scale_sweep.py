@@ -271,6 +271,13 @@ def main() -> None:
             sc.setLocalProperty("spark.jobGroup.id", None)  # clear group
         wall = round(time.perf_counter() - t0, 2)
         results[name] = {"wall_sec": wall, "rows": n, "status": status}
+        if status == "ok" and wall > args.budget:
+            # cancelJobGroup only kills ACTIVE jobs — a query that crosses
+            # the budget while the driver sits between jobs (AQE stage
+            # boundaries, checkpoint actions) runs to completion. Record
+            # the breach explicitly instead of letting it pass as a green
+            # inside-budget row.
+            results[name]["over_budget"] = True
         print(f"sweep {name}: {results[name]}", file=sys.stderr)
         release_query_memory(spark, quiet=True)  # bench-style hygiene
 
@@ -309,6 +316,7 @@ def main() -> None:
         "n_queries": len(results),
         "n_ok": ok,
         "n_timeout": sum(1 for r in results.values() if r["status"] == "timeout"),
+        "n_over_budget": sum(1 for r in results.values() if r.get("over_budget")),
         "n_error": sum(
             1 for r in results.values() if r["status"].startswith("error")
         ),
