@@ -270,6 +270,49 @@ def spatial_neighbor_counts(
     )
 
 
+def spatial_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    k: int = 1,
+    min_cos_lat: float = 0.5,
+) -> DataFrame:
+    """BIPARTITE k-nearest join: for every ``left`` point, its k nearest
+    ``right`` points within ``radius_km`` — the geo-enrichment shape
+    (events -> nearest hub/store/cell-tower). Both sides share the
+    (id_col, lat_col, lon_col) schema; ids live in one namespace (a
+    right row at the exact position of a left row with the SAME id is
+    treated as itself and excluded — the self-join top-k semantics).
+
+    The probe side explodes to 9 banded-grid cells, the build side
+    carries its single home cell, so each (left, right) candidate
+    appears exactly once — no dedup stage. When ``right`` is a small
+    dimension (hubs, stores), Catalyst broadcasts it and the whole join
+    is shuffle-free: the only wide op left is the per-point top-k
+    window, and its input is already bounded by k' = local right-side
+    density, not |left| x |right|.
+    Output: (id, neighbor, dist_km, rank 1..k)."""
+    from pyspark.sql.window import Window
+
+    sym = _symmetric_pairs(
+        left, right, id_col, lat_col, lon_col, radius_km, min_cos_lat
+    )
+    w = Window.partitionBy("id").orderBy("dist_km", "neighbor")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "neighbor",
+            "dist_km",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def spatial_topk_neighbors(
     df: DataFrame,
     id_col: str,

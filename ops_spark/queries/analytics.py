@@ -484,6 +484,50 @@ def geo_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_nearest_hub",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    hubs AS (SELECT * FROM pts WHERE id % 500 = 0),
+    d AS (
+      SELECT a.id AS id, b.id AS neighbor, {_DIST} AS dist
+      FROM pts a JOIN hubs b ON a.id <> b.id
+      WHERE {_DIST} <= 800.0
+    ),
+    r AS (
+      SELECT id, neighbor,
+             CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_e6,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY dist, neighbor)
+                  AS INT) AS rank
+      FROM d
+    )
+    SELECT id, neighbor, dist_e6, rank FROM r WHERE rank <= 3
+    """,
+    description="BIPARTITE nearest-neighbor enrichment: every point's 3 "
+    "nearest 'hub' points (the 1-in-500 subset) within 800 km "
+    "(operators/geo.py:spatial_nearest_join) — the events-to-nearest-"
+    "store/tower shape. The hub side is a small dimension, so Catalyst "
+    "broadcasts the candidate join and the only wide op is the per-point "
+    "top-k window over hub-density-bounded input. Oracle = brute-force "
+    "point x hub ranking with the identical sqrt-only Taylor distance.",
+    tags=("analytics", "spatial", "custom-operator"),
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.geo import spatial_nearest_join
+
+    pts = _spatial_pts(_t(spark, sf_dir, "customer"))
+    hubs = pts.filter(F.col("id") % 500 == 0)
+    out = spatial_nearest_join(
+        pts, hubs, "id", "lat", "lon", radius_km=800.0, k=3
+    )
+    return out.select(
+        "id",
+        "neighbor",
+        F.floor(F.col("dist_km") * 1000000.0 + 0.5).cast("bigint").alias("dist_e6"),
+        "rank",
+    )
+
+
+@register(
     "geo_radius_topk",
     oracle=f"""
     WITH pts AS ({_PTS_SQL}),

@@ -203,11 +203,36 @@ def _v_gap_fill(spark, sf_dir):
     return n_out == expected, f"rows={n_out} expected={expected}"
 
 
+def _v_topk(spark, sf_dir):
+    """Cross-operator algebra against the independently-computed count
+    query: every point must emit exactly min(n_neighbors, k) top-k rows
+    (k=5) — catches a two-phase kNN that drops, duplicates or pads rows
+    for either the done or the underfilled partition."""
+    import ops_spark.queries as q
+    from pyspark.sql import functions as F
+
+    counts = q.get_query("geo_radius_count").builder(spark, sf_dir)
+    per_pt = (
+        q.get_query("geo_radius_topk")
+        .builder(spark, sf_dir)
+        .groupBy("id")
+        .agg(F.count("*").alias("got"))
+    )
+    joined = counts.join(per_pt, "id", "left").select(
+        F.least(F.col("n_neighbors"), F.lit(5)).alias("want"),
+        F.coalesce("got", F.lit(0)).alias("got"),
+    )
+    bad = joined.filter(F.col("want") != F.col("got")).count()
+    n = joined.count()
+    return bad == 0 and n > 0, f"points={n} topk_count_mismatches={bad}"
+
+
 INVARIANT_VERIFIERS = {
     "llm_ngram_jaccard_pairs": _v_jaccard_pairs,
     "llm_minhash_lsh_dedup": _v_jaccard_completeness,
     "llm_transitive_dedup": _v_transitive,
     "an_spatial_join": _v_spatial,
+    "geo_radius_topk": _v_topk,
     "ts_gap_fill": _v_gap_fill,
 }
 

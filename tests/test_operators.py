@@ -1110,6 +1110,32 @@ def test_spatial_pairs_high_latitude_recall(spark):
     assert 150 < d < 200
 
 
+def test_spatial_nearest_join_bipartite(spark):
+    """Bipartite kNN: per-left-point k nearest RIGHT points within the
+    radius, a right row sharing the left row's id excluded as itself,
+    ties broken by (dist, neighbor) — and with a small right side the
+    candidate join must BROADCAST (the geo-enrichment contract: no
+    shuffle proportional to the big side)."""
+    from ops_spark.operators.geo import spatial_nearest_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 5.0), (3, 50.0, 50.0)],
+        "id long, lat double, lon double",
+    )
+    hubs = spark.createDataFrame(
+        [(1, 0.0, 0.0), (10, 0.0, 1.0), (11, 0.0, 2.0), (12, 0.0, 40.0)],
+        "id long, lat double, lon double",
+    )
+    out = spatial_nearest_join(pts, hubs, "id", "lat", "lon", 1000.0, k=2)
+    got = {(r.id, r.rank): r.neighbor for r in out.collect()}
+    # point 1: hub 1 is itself (excluded); 10 at ~111 km, 11 at ~223 km
+    # point 2: 11 at ~334 km beats 10 at ~445 km beats 1 at ~557 km
+    # point 3: nothing within 1000 km -> no rows
+    assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 11, (2, 2): 10}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_iterative_loops_free_superseded_checkpoint_blocks(spark):
     """DataFrame.unpersist() does NOT free localCheckpoint RDD blocks (it
     only uncaches CacheManager entries), so the iterative loops release
