@@ -299,3 +299,32 @@ def stream_global_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     out = run_bounded(ev.limit(500).select("event_id"), "append")
     return out.agg(F.count("*").alias("n"))
+
+
+@register(
+    "x_stream_lsh_dedup",
+    oracle=None,  # MinHash internals aren't oracle-SQL-expressible; the
+    # streaming==batch-LSH pair-set equality is pytest-pinned instead
+    # (tests/test_streaming_extra.py), and the driver records rows-only.
+    description="STREAMING MinHash-LSH near-dup detection "
+    "(streaming/lsh_dedup.py): per-row signatures via mapInPandas (no "
+    "shuffle), then applyInPandasWithState keyed by (band, bucket) — "
+    "state holds each bucket's signatures and an arriving doc emits a "
+    "candidate pair per stored doc with signature agreement >= 0.8. The "
+    "ingest-time form of llm_minhash_lsh_dedup; pair set pinned equal to "
+    "the batch LSH candidates on the same corpus.",
+    tags=("streaming", "llm", "dedup", "stateful", "pandas-udf"),
+)
+def x_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.streaming import documents_stream
+    from ops_spark.streaming.lsh_dedup import streaming_lsh_dedup
+
+    docs = documents_stream(spark, sf_dir)
+    # bucket-keyed state is high-cardinality (bands x corpus), unlike the
+    # fixture joins' few-key state: more store partitions = more parallel
+    # Python group processing, and the per-store open/commit overhead is
+    # amortized by real work here
+    out = run_bounded(streaming_lsh_dedup(docs), "append", state_partitions=16)
+    # one emission per co-bucketed band -> distinct; agreement is a pure
+    # function of the pair so it never forks a row
+    return out.select("id_a", "id_b", "agreement").distinct()

@@ -190,17 +190,55 @@ _LATE_DAYS = 60
     tags=("tpch", "join", "semi", "anti"),
 )
 def Q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # EXISTS(other supplier) / NOT EXISTS(other LATE supplier) collapse to
+    # per-order distinct-supplier counts: a late lineitem l1 qualifies iff
+    # its order has > 1 distinct suppliers AND exactly 1 distinct LATE
+    # supplier (l1's own supplier is late, so "no OTHER late supplier"
+    # == n_late_suppliers == 1). That turns the former
+    # join + semi-join + anti-join — THREE lineitem-scale shuffles, the
+    # anti side re-running the lineitem x orders join — into ONE
+    # lineitem x orders shuffle whose orderkey partitioning is then
+    # reused exchange-free by both the per-order aggregation and the
+    # join back onto the late rows (AQE coalesces, never re-hashes).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {_LATE_DAYS} DAYS"
     )
-    # l1: late lineitems of finished orders, restricted to the nation's
-    # suppliers. The order join also pins o_orderdate for the anti side.
-    l1 = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
+    from pyspark.sql.window import Window as W
+
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("__late")
+    )
+    # Both counts ride ONE window over the join output (two collect_sets,
+    # same frame -> a single WindowExec): when the orders join runs as a
+    # sort-merge join the output is already l_orderkey-partitioned AND
+    # -sorted, so the window adds NO exchange and NO sort; when orders
+    # broadcasts, the window's one Exchange(l_orderkey) is the only wide
+    # op over lineitem in the whole query. Either way the join subtree
+    # executes once (the former aggregate-and-join-back formulation
+    # evaluated it twice with no exchange reuse).
+    w = W.partitionBy("l_orderkey")
+    lo = lo.withColumn(
+        "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "__n_late",
+        F.size(
+            F.collect_set(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("__late"))
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
         .join(
             F.broadcast(
                 _t(spark, sf_dir, "supplier").join(
@@ -210,27 +248,6 @@ def Q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
-    )
-    late_others = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
-        .select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk"))
-    )
-    # EXISTS → left semi, NOT EXISTS → left anti; both equi on orderkey with
-    # a suppkey<> residual, so they plan as shuffled joins sharing the
-    # l_orderkey partitioning (exchange reuse), never BNLJ.
-    waiting = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
-        "left_semi",
-    ).join(
-        late_others,
-        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
-        "left_anti",
     )
     return waiting.groupBy("s_name").agg(
         F.count("*").cast("bigint").alias("numwait")

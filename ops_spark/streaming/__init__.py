@@ -1,3 +1,7 @@
-from ops_spark.streaming.runner import events_stream, run_bounded
+from ops_spark.streaming.runner import (
+    documents_stream,
+    events_stream,
+    run_bounded,
+)
 
-__all__ = ["events_stream", "run_bounded"]
+__all__ = ["documents_stream", "events_stream", "run_bounded"]

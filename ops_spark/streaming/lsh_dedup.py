@@ -1,0 +1,201 @@
+"""Streaming MinHash-LSH near-duplicate detection.
+
+Batch near-dedup (operators/dedup.py) sees the whole corpus at once; a
+training-data INGEST pipeline wants the duplicate verdict as documents
+ARRIVE. The per-document work is row-local (a MinHash signature is a
+pure function of the text), so the streaming plan shuffles only the
+banded bucket keys:
+
+  docs stream
+    -> mapInPandas: k-element MinHash signature per row      (no shuffle)
+       exploded to `bands` (band, bucket_md5) rows per doc
+    -> applyInPandasWithState keyed by (band, bucket):       (one shuffle)
+         state = (ids, signatures) of every doc seen in this bucket
+         an arriving doc emits (id_a, id_b, agreement) for each stored
+         doc whose full-signature agreement fraction >= sim_threshold
+
+Signature agreement estimates Jaccard (P[sig_i(A)=sig_i(B)] = J(A,B)),
+so thresholding agreement is the streaming stand-in for the batch
+tier's exact shingle verification, which needs both texts side by side
+— callers wanting exactness join the emitted pairs back to a doc store
+and re-verify (operators/dedup.jaccard_shingles).
+
+The emitted PAIR SET is arrival-order independent: whichever of a
+co-bucketed pair arrives first is in state (or earlier in the same
+micro-batch — rows are processed in id order) when the second arrives,
+and state here never expires. That makes streaming-vs-batch equality
+assertable, and tests/test_streaming_extra.py pins:
+streaming pairs == batch `minhash_lsh_candidates` filtered by the same
+signature-agreement threshold, on the same corpus. (The batch tier's
+`max_bucket` degenerate-bucket cap has no streaming equivalent — a
+stream cannot know a bucket's final size; production deployments bound
+state with GroupStateTimeout instead, and should enable the RocksDB
+state store provider when bucket state exceeds executor heap.)
+
+The hash family is IDENTICAL to operators/dedup.py — md5-prefix shingle
+hash (reference ops_hash.cc:61 kin), affine (a*h+b) mod 2^31-1
+permutations from the same `permutation_params`, md5-of-band-slice
+bucket ids — reproduced here in numpy/hashlib and pinned by the
+same-corpus test. Java's `\\s` in F.split is ASCII-only, so the Python
+tokenizer spells out the class instead of using unicode-aware `\\s`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ops_spark._pickle import register_self
+from ops_spark.operators.dedup import _MERSENNE31, permutation_params
+
+register_self(__name__)
+
+# Java regex \s = [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS); Python's
+# \s is unicode-aware — match Spark's F.split(text, r"\s+") exactly.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+PAIR_SCHEMA = "id_a bigint, id_b bigint, agreement double"
+_STATE_SCHEMA = "ids array<bigint>, sigs array<array<bigint>>"
+
+
+def _signature(
+    text: str | None, params: list[tuple[int, int]], n: int
+) -> list[int] | None:
+    """k-element MinHash signature of one document; None if the doc has
+    fewer than n tokens (absent from the batch path too)."""
+    toks = [t for t in _JAVA_WS.split(text or "") if t]
+    if len(toks) < n:
+        return None
+    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    hs = np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh],
+        dtype=np.int64,
+    )
+    return [int(((a * hs + b) % _MERSENNE31).min()) for a, b in params]
+
+
+def banded_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bucket, sig): `bands` rows per doc, entirely row-local
+    (mapInPandas — works identically on batch and streaming frames)."""
+    rows = k // bands
+    params = permutation_params(k, seed)
+    out_schema = f"{id_col} bigint, band int, bucket string, sig array<bigint>"
+    # a micro-batch of one small file is ONE scan partition — without this
+    # the Python hashing runs single-threaded regardless of cores
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids: list = []
+            bnds: list = []
+            buckets: list = []
+            sigs: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sig = _signature(t, params, n)
+                if sig is None:
+                    continue
+                for b in range(bands):
+                    chunk = sig[b * rows : (b + 1) * rows]
+                    ids.append(i)
+                    bnds.append(b)
+                    buckets.append(
+                        hashlib.md5(
+                            ",".join(str(v) for v in chunk).encode()
+                        ).hexdigest()
+                    )
+                    sigs.append(sig)
+            yield pd.DataFrame(
+                {id_col: ids, "band": bnds, "bucket": buckets, "sig": sigs}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def _make_bucket_dedup(sim_threshold: float):
+    def bucket_dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev_ids, prev_sigs = state.get
+            ids = [int(x) for x in prev_ids]
+            mat = [list(map(int, s)) for s in prev_sigs]
+        else:
+            ids, mat = [], []
+        incoming: list[tuple[int, list[int]]] = []
+        for pdf in pdfs:
+            for i, sig in zip(pdf.iloc[:, 0], pdf["sig"]):
+                incoming.append((int(i), list(map(int, sig))))
+        # id order makes the within-batch "who was first" deterministic
+        incoming.sort(key=lambda t: t[0])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_ag: list[float] = []
+        S = np.array(mat, dtype=np.int64) if mat else None
+        for i, sig in incoming:
+            v = np.asarray(sig, dtype=np.int64)
+            if S is not None and len(S):
+                agree = (S == v).mean(axis=1)
+                for j in np.nonzero(agree >= sim_threshold)[0]:
+                    out_a.append(min(ids[j], i))
+                    out_b.append(max(ids[j], i))
+                    out_ag.append(float(agree[j]))
+            ids.append(i)
+            mat.append(sig)
+            S = v[None, :] if S is None or not len(S) else np.vstack([S, v])
+        state.update((ids, mat))
+        if out_a:  # most buckets match nothing — skip the frame entirely
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(out_a, dtype="int64"),
+                    "id_b": pd.Series(out_b, dtype="int64"),
+                    "agreement": pd.Series(out_ag, dtype="float64"),
+                }
+            )
+
+    return bucket_dedup
+
+
+def streaming_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    sim_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from a STREAM of documents.
+
+    Emits (id_a < id_b, agreement) whenever an arriving document's full
+    signature agrees with a previously-seen co-bucketed document on
+    >= sim_threshold of the k MinHash components. A pair co-bucketed in
+    several bands is emitted once per band with the identical agreement
+    — downstream consumers distinct() the bounded output.
+    """
+    banded = banded_signatures(
+        docs, id_col=id_col, text_col=text_col, k=k, bands=bands, n=n, seed=seed
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _make_bucket_dedup(sim_threshold),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -29,8 +29,11 @@ EVENTS_SCHEMA = (
 
 
 def _staged_dir(sf_dir: str, table: str) -> str:
-    """FileStreamSource wants a directory; the fixtures are single files.
-    Stage a directory containing a symlink to the table's parquet."""
+    """FileStreamSource wants a flat directory of data files. The sf
+    fixtures are single parquet FILES; derived datasets (scale_stress)
+    are parquet DIRECTORIES — symlink the part files individually, since
+    the file source does not recurse through a directory symlink (a
+    whole-directory link silently streams ZERO rows)."""
     import hashlib
 
     # Stable digest, not builtin hash() (PYTHONHASHSEED-salted per process):
@@ -41,9 +44,18 @@ def _staged_dir(sf_dir: str, table: str) -> str:
         tempfile.gettempdir(), f"ops_spark_stream_{digest}", table
     )
     os.makedirs(staged, exist_ok=True)
-    link = os.path.join(staged, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        for part in os.listdir(src):
+            if not part.endswith(".parquet"):
+                continue
+            link = os.path.join(staged, part)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, part), link)
+    else:
+        link = os.path.join(staged, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return staged
 
 
@@ -67,6 +79,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks only accept TIMESTAMP (LTZ); NTZ→LTZ is identity under the
     # UTC session timezone, so event-time semantics match the batch oracle.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture as a streaming DataFrame (file source)."""
+    from ops_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(
+        _staged_dir(sf_dir, "documents")
+    )
 
 
 def run_bounded(

@@ -96,6 +96,19 @@ def run_battery(spark, names, sf_dir, label):
     return {"wall_sec": wall, "queries": results, "shuffle_delta": delta}
 
 
+def run_battery_min2(spark, names, sf_dir, label):
+    """Two back-to-back battery runs, keep the faster one — the A/B
+    phases feed a policy-vs-stock RATIO, and this box's wall clock
+    swings enough run-to-run (observed 0.73-1.15 on identical configs)
+    that a single sample per arm is noise. min-of-2 per arm removes
+    cold-start/JIT bias and most of the swing; both walls are recorded
+    so the JSON shows the spread."""
+    runs = [run_battery(spark, names, sf_dir, label) for _ in range(2)]
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best["all_run_walls"] = [r["wall_sec"] for r in runs]
+    return best
+
+
 def start_ess(port: int = 7337):
     """Launch Spark's ExternalShuffleService from the installed jars.
 
@@ -134,6 +147,72 @@ def start_ess(port: int = 7337):
         return None, f"launch failed: {exc}"
 
 
+def run_executor_kill(spark, sf_dir: str) -> dict:
+    """The disaggregated-shuffle payoff, EXECUTED: SIGKILL one executor
+    JVM mid-query and let the standalone master replace it. With the
+    external shuffle service holding the map outputs, the dead
+    executor's shuffle files stay fetchable, so recovery re-runs only
+    the killed executor's in-flight tasks — and the query must complete
+    with EXACTLY the rows the same session computed before the kill.
+
+    Runs llm_minhash_lsh_dedup against ``sf_dir`` (the 100x derived
+    dataset when available — the sf0.1 run is too short to kill
+    mid-flight)."""
+    import threading
+
+    import ops_spark.queries as q
+    from ops_spark.conformance import consume
+    from ops_spark.plans.shuffle_policy import shuffle_report
+    from ops_spark.session import release_query_memory
+
+    name = "llm_minhash_lsh_dedup"
+    expected = consume(q.get_query(name).builder(spark, sf_dir))
+    release_query_memory(spark, quiet=True)
+
+    before = shuffle_report(spark)
+    out: dict = {}
+
+    def run() -> None:
+        try:
+            out["rows"] = consume(q.get_query(name).builder(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            out["error"] = str(exc)[:300]
+
+    t = threading.Thread(target=run)
+    t0 = time.perf_counter()
+    t.start()
+    time.sleep(5.0)  # mid-flight: the first map stages have produced output
+    pids = subprocess.run(
+        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        capture_output=True,
+        text=True,
+    ).stdout.split()
+    killed = None
+    if pids and t.is_alive():
+        killed = int(pids[0])
+        os.kill(killed, 9)
+    t.join(timeout=600)
+    after = shuffle_report(spark)
+    return {
+        "query": name,
+        "sf_dir": sf_dir,
+        "killed_pid": killed,
+        "rows": out.get("rows"),
+        "expected_rows": expected,
+        "recovered": killed is not None and out.get("rows") == expected,
+        "error": out.get("error"),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "fetch_delta": {
+            k: after.get(k, 0) - before.get(k, 0)
+            for k in (
+                "shuffle_remote_bytes_read",
+                "shuffle_local_bytes_read",
+                "shuffle_remote_blocks_fetched",
+            )
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -141,6 +220,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--mem-mb", type=int, default=4096)
     ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH_CLUSTER.json"))
+    ap.add_argument(
+        "--kill-sf-dir",
+        default=os.environ.get("OPS_SCALE_DIR", "/tmp/ops_scale/sf10"),
+        help="dataset for the executor-kill phase (needs a query long "
+        "enough to kill mid-flight; falls back to --sf-dir if absent)",
+    )
     args = ap.parse_args()
 
     import ops_spark.queries as q
@@ -204,7 +289,7 @@ def main() -> None:
     spark.range(10_000).repartition(16).count()
     n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
     report["n_executors"] = n_exec
-    report["phases"]["local_cluster"] = run_battery(
+    report["phases"]["local_cluster"] = run_battery_min2(
         spark, names, args.sf_dir, "local-cluster"
     )
     spark.stop()
@@ -233,7 +318,7 @@ def main() -> None:
     }
     for k, v in stock.items():
         spark.conf.set(k, v)
-    report["phases"]["local_cluster_stock"] = run_battery(
+    report["phases"]["local_cluster_stock"] = run_battery_min2(
         spark, names, args.sf_dir, "stock"
     )
     spark.stop()
@@ -259,6 +344,13 @@ def main() -> None:
                 spark, battery[:6] + EXTRAS, args.sf_dir, "ess"
             )
             report["ess"]["status"] = "ok"
+            # ---- phase 3b: SIGKILL an executor mid-query ---------------
+            kill_dir = (
+                args.kill_sf_dir
+                if os.path.isdir(args.kill_sf_dir)
+                else args.sf_dir
+            )
+            report["executor_kill"] = run_executor_kill(spark, kill_dir)
             spark.stop()
         except Exception as exc:  # noqa: BLE001
             report["ess"]["status"] = f"error: {str(exc)[:200]}"
