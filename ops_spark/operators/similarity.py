@@ -371,3 +371,163 @@ def quantize_int8(
     return df.withColumn(f"{prefix}_scale", scale).withColumn(
         f"{prefix}_scale_micro", F.floor(F.col(f"{prefix}_scale") * 1e6).cast("bigint")
     ).withColumn(f"{prefix}_vec", q)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: (id, neighbor, sim, rank)
+    with each vector's k highest-cosine neighbors among its sign-LSH
+    candidates — the curation primitive downstream clustering/SemDeDup
+    passes consume. Ids must be (castable to) bigint.
+
+    Same multi-table OR-amplified blocking as embedding_dedup's scale
+    tier: n_tables independent plane sets, Hamming-1 multiprobe on the
+    probe side, all tables riding one cogrouped join keyed on
+    (table << nbits) | bucket. Per bucket, one numpy GEMM scores the
+    probe x build block and keeps each probe row's local top-k; the
+    GLOBAL top-k per vector is then a window over the per-bucket
+    winners. That containment is exact, not heuristic: a vector in the
+    global top-k of candidate set C has < k better candidates in ALL of
+    C, hence < k better in any single bucket, hence survives that
+    bucket's local cut. Shuffle volume is the exploded key rows
+    (|df| x n_tables x (nbits+2) x vec bytes), never candidate pairs.
+    """
+    from pyspark.sql import types as T_
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T_.ByteType, T_.ShortType, T_.IntegerType, T_.LongType)
+    ):
+        raise TypeError(
+            f"knn_graph requires an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()}"
+        )
+    buckets = lsh_buckets_batch(
+        [hyperplanes(dim, nbits, seed + t) for t in range(n_tables)]
+    )
+    src = (
+        spread(df)
+        .select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+        .withColumn("__bk", buckets(F.col("__v")))
+    )
+    build_keys, probe_keys = [], []
+    for t in range(n_tables):
+        base = F.col("__bk")[t]
+        tag = F.lit(t << nbits)
+        build_keys.append(tag.bitwiseOR(base))
+        probe_keys.append(tag.bitwiseOR(base))
+        probe_keys.extend(
+            tag.bitwiseOR(base.bitwiseXOR(F.lit(1 << j))) for j in range(nbits)
+        )
+    a = src.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.explode(F.array(*probe_keys)).alias("__key"),
+    )
+    b = src.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.explode(F.array(*build_keys)).alias("__key"),
+    )
+    kk = int(k)
+
+    def _bucket_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="int64"),
+                    "neighbor": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        A = np.vstack(left["__va"].to_numpy()).astype(np.float64)
+        B = np.vstack(right["__vb"].to_numpy()).astype(np.float64)
+        ia = left["id_a"].to_numpy()
+        ib = right["id_b"].to_numpy()
+        S = (A @ B.T) / np.outer(left["__na"].to_numpy(), right["__nb"].to_numpy())
+        S[ia[:, None] == ib[None, :]] = -np.inf  # a vector is not its own neighbor
+        take = min(kk, S.shape[1])
+        # local top-k per probe row (argpartition, then emit unsorted —
+        # the global window does the ordering)
+        idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
+        r = np.repeat(np.arange(len(ia)), take)
+        c = idx.ravel()
+        keep = np.isfinite(S[r, c])
+        return pd.DataFrame(
+            {
+                "id": ia[r[keep]],
+                "neighbor": ib[c[keep]],
+                "sim": S[r[keep], c[keep]],
+            }
+        )
+
+    edges = (
+        a.groupBy("__key")
+        .cogroup(b.groupBy("__key"))
+        .applyInPandas(_bucket_topk, "id long, neighbor long, sim double")
+    )
+    # the same (id, neighbor) pair surfaces from every shared bucket with
+    # the identical sim (same doubles, same GEMM) — collapse before
+    # ranking so duplicates cannot occupy top-k slots
+    uniq = edges.dropDuplicates(["id", "neighbor"])
+    w = W.partitionBy("id").orderBy(F.desc("sim"), "neighbor")
+    return (
+        uniq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            F.col("id").alias(id_col),
+            "neighbor",
+            F.round("sim", 6).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def embedding_clusters(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **knn_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTER ids: connected components over the kNN
+    graph's edges with cosine >= threshold. GROUPS near-dups instead of
+    dropping them (embedding_dedup's complement): downstream curation
+    picks per-cluster representatives, caps cluster contribution, or
+    audits what would be deduped. Vectors with no qualifying edge are
+    singleton clusters of themselves.
+    Output: (id, cluster_id = min id in cluster, cluster_size)."""
+    from ops_spark.operators.graph import connected_components
+
+    edges = knn_graph(df, id_col=id_col, vec_col=vec_col, **knn_kwargs).filter(
+        F.col("sim") >= threshold
+    )
+    cc = connected_components(edges, src=id_col, dst="neighbor")
+    labeled = (
+        spread(df)
+        .select(F.col(id_col).cast("long").alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            "id", F.coalesce("comp", F.col("id")).alias("cluster_id")
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col), "cluster_id", "cluster_size"
+    )

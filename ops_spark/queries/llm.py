@@ -530,6 +530,42 @@ def x_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_llm_knn_graph",
+    oracle=None,  # sign-LSH bucket boundaries aren't reproducible across
+    # float parsers; recall vs the brute-force graph is asserted in tests
+    # (test_operators.py::test_knn_graph_recall_and_cluster_invariants).
+    description="Approximate k-nearest-neighbor GRAPH over the embedding "
+    "corpus (operators/similarity.py:knn_graph): multi-table sign-LSH "
+    "candidates, per-bucket GEMM local top-k (provably containing the "
+    "global top-k), window merge — the curation primitive clustering and "
+    "SemDeDup passes consume. Shuffle volume is exploded key rows, never "
+    "candidate pairs.",
+    tags=("llm", "similarity", "ann", "graph"),
+)
+def x_llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5, nbits=8, n_tables=4, dim=64, seed=42)
+
+
+@register(
+    "x_llm_embedding_clusters",
+    oracle=None,  # LSH-recall-dependent edges; planted identical vectors
+    # provably co-cluster and the label algebra is asserted in tests
+    # (test_operators.py::test_knn_graph_recall_and_cluster_invariants).
+    description="Near-duplicate cluster ids over embeddings "
+    "(operators/similarity.py:embedding_clusters): connected components "
+    "of the kNN graph's cos >= 0.98 edges; GROUPS near-dups instead of "
+    "dropping them, so curation can pick representatives or cap cluster "
+    "contribution. Singletons keep their own id; output includes "
+    "cluster_size.",
+    tags=("llm", "similarity", "dedup", "graph"),
+)
+def x_llm_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted_dups(_t(spark, sf_dir, "embeddings"), n_planted=100)
+    return S.embedding_clusters(emb, threshold=0.98, k=5, nbits=8, n_tables=4)
+
+
+@register(
     "x_llm_ivf_topk",
     oracle=None,  # centroid assignment depends on float argmax boundaries;
     # recall vs llm_cosine_topk is asserted in tests instead

@@ -1110,6 +1110,51 @@ def test_spatial_pairs_high_latitude_recall(spark):
     assert 150 < d < 200
 
 
+def test_knn_graph_recall_and_cluster_invariants(spark):
+    """kNN graph over planted clusters: every member's top-k must be
+    exactly its cluster-mates (within-cluster cos ~0.9999 vs ~|0.3|
+    across random centers, and the seeded LSH tables' miss probability
+    at that similarity is ~1e-14 — the test is deterministic); ranks
+    contiguous, sims descending, no self edges. embedding_clusters must
+    then give each planted cluster one label (= min member id) with the
+    right size, and keep distinct clusters apart."""
+    import numpy as np
+
+    from ops_spark.operators.similarity import embedding_clusters, knn_graph
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(6, 64)
+    rows, members = [], {}
+    vid = 0
+    for c in range(6):
+        for _ in range(4):
+            v = centers[c] + 0.01 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            members.setdefault(c, []).append(vid)
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph(df, k=3, nbits=8, n_tables=4, dim=64).collect()
+    per: dict = {}
+    for r in g:
+        per.setdefault(r.vec_id, []).append(r)
+    for i, rs in per.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        assert all(x.neighbor != i for x in rs)
+        sims = [x.sim for x in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+    for _, ids in members.items():
+        for i in ids:
+            assert {x.neighbor for x in per[i]} == set(ids) - {i}
+    cl = embedding_clusters(df, threshold=0.99, k=3, nbits=8, n_tables=4).collect()
+    lab = {r.vec_id: r.cluster_id for r in cl}
+    size = {r.vec_id: r.cluster_size for r in cl}
+    assert len(lab) == vid
+    for _, ids in members.items():
+        assert {lab[i] for i in ids} == {min(ids)}
+        assert all(size[i] == 4 for i in ids)
+    assert len({lab[ids[0]] for ids in members.values()}) == 6
+
+
 def test_spatial_nearest_join_bipartite(spark):
     """Bipartite kNN: per-left-point k nearest RIGHT points within the
     radius, a right row sharing the left row's id excluded as itself,
