@@ -7,7 +7,7 @@ pure function of the text), so the streaming plan shuffles only the
 banded bucket keys:
 
   docs stream
-    -> mapInPandas: k-element MinHash signature per row      (no shuffle)
+    -> JVM fold: k-element MinHash signature per row         (no shuffle)
        exploded to `bands` (band, bucket_md5) rows per doc
     -> applyInPandasWithState keyed by (band, bucket):       (one shuffle)
          state = (ids, signatures) of every doc seen in this bucket
@@ -32,12 +32,13 @@ stream cannot know a bucket's final size; production deployments bound
 state with GroupStateTimeout instead, and should enable the RocksDB
 state store provider when bucket state exceeds executor heap.)
 
-The hash family is IDENTICAL to operators/dedup.py — md5-prefix shingle
-hash (reference ops_hash.cc:61 kin), affine (a*h+b) mod 2^31-1
-permutations from the same `permutation_params`, md5-of-band-slice
-bucket ids — reproduced here in numpy/hashlib and pinned by the
-same-corpus test. Java's `\\s` in F.split is ASCII-only, so the Python
-tokenizer spells out the class instead of using unicode-aware `\\s`.
+The hash family is IDENTICAL to operators/dedup.py — in fact it IS the
+batch code: the fold-based `minhash_signature` Column and the same
+md5-of-band-slice bucket ids. `_signature` below re-implements it in
+pure numpy/hashlib as an independent test oracle (pinned bit-identical
+by tests/test_streaming_extra.py); Java's `\\s` in F.split is
+ASCII-only, so that oracle spells the class out instead of using
+Python's unicode-aware `\\s`.
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ops_spark._pickle import register_self
@@ -89,42 +91,64 @@ def banded_signatures(
     n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, band, bucket, sig): `bands` rows per doc, entirely row-local
-    (mapInPandas — works identically on batch and streaming frames)."""
+    """(id, band, bucket, sig): `bands` rows per doc, all row-local.
+
+    Work splits by which engine is fastest at it: shingling + md5 run
+    as JVM expressions (a pure-Python md5 loop cost 4.3 s of a 6.5 s
+    query); the k affine minima run as ONE Arrow-batched numpy UDF over
+    the hash arrays — the fold-based minhash_signature Column computes
+    identical values but its nested zip_with allocates k structs per
+    shingle (measured ~2 s slower per 5k docs); the band bucket ids are
+    JVM md5 again. Identical on batch and streaming frames; docs with
+    < n tokens have no shingles and are dropped (batch-path absence
+    semantics)."""
+    from ops_spark.operators.dedup import shingles
+    from ops_spark.operators.text import token_hash64, tokens
+
     rows = k // bands
     params = permutation_params(k, seed)
-    out_schema = f"{id_col} bigint, band int, bucket string, sig array<bigint>"
-    # a micro-batch of one small file is ONE scan partition — without this
-    # the Python hashing runs single-threaded regardless of cores
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
 
-    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _minima(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
-            ids: list = []
-            bnds: list = []
-            buckets: list = []
-            sigs: list = []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                sig = _signature(t, params, n)
-                if sig is None:
-                    continue
-                for b in range(bands):
-                    chunk = sig[b * rows : (b + 1) * rows]
+            ids, sigs = [], []
+            for i, h in zip(pdf[id_col], pdf["__h"]):
+                H = np.asarray(h, dtype=np.int64)
+                if H.size:
                     ids.append(i)
-                    bnds.append(b)
-                    buckets.append(
-                        hashlib.md5(
-                            ",".join(str(v) for v in chunk).encode()
-                        ).hexdigest()
-                    )
-                    sigs.append(sig)
-            yield pd.DataFrame(
-                {id_col: ids, "band": bnds, "bucket": buckets, "sig": sigs}
-            )
+                    sigs.append(((A * H[None, :] + B) % _MERSENNE31).min(axis=1))
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+    hashes = F.transform(
+        shingles(tokens(text_col), n), lambda s: token_hash64(s, hex_chars=8)
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col), hashes.alias("__h")
+    ).mapInPandas(
+        # mapInPandas, not a pandas_udf: CollapseProject would rebuild
+        # udf(<higher-order expression>), which ArrowEvalPython refuses
+        # to take as input ("Cannot evaluate expression") — the map
+        # barrier keeps the JVM hash projection on the JVM side
+        _minima,
+        f"{id_col} bigint, sig array<bigint>",
+    )
+    bucket_arr = F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("sig"), b * rows + 1, rows).cast(
+                        "array<string>"
+                    ),
+                    ",",
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return base.select(
+        id_col, F.posexplode(bucket_arr).alias("band", "bucket"), "sig"
+    )
 
 
 def _make_bucket_dedup(sim_threshold: float):
