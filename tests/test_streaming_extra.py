@@ -93,6 +93,26 @@ def test_streaming_lsh_dedup_finds_cross_batch_pairs(spark, tmp_path):
     assert not any(2 in p for p in pairs)
 
 
+def test_staged_stream_reads_directory_tables(spark, tmp_path):
+    """Guard on the silent-zero staging bug: when a table is a parquet
+    DIRECTORY (every derived-at-scale table is), the file-stream staging
+    must link its part files — a whole-directory symlink streams 0 rows
+    while reporting success, which once voided the entire streaming
+    family's 100x evidence."""
+    import pandas as pd
+
+    from ops_spark.streaming.runner import _staged_dir, run_bounded
+
+    src = tmp_path / "tbl" / "docs.parquet"
+    os.makedirs(src)
+    pd.DataFrame({"a": [1, 2]}).to_parquet(src / "part-0.parquet")
+    pd.DataFrame({"a": [3]}).to_parquet(src / "part-1.parquet")
+    staged = _staged_dir(str(tmp_path / "tbl"), "docs")
+    stream = spark.readStream.schema("a bigint").parquet(staged)
+    out = run_bounded(stream, "append")
+    assert {r.a for r in out.collect()} == {1, 2, 3}
+
+
 def test_streaming_signature_matches_batch_signature(spark):
     """The numpy/hashlib signature must be BIT-IDENTICAL to the Spark
     expression path (same md5-prefix hashes, same affine permutations) —
