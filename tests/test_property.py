@@ -155,3 +155,50 @@ def test_winnowing_shared_substring_guarantee(spark, prefix_a, prefix_b, shared)
     rows = df.select("id", winnow_fingerprints("text", k=8, w=4).alias("fp")).collect()
     fps = {r.id: set(r.fp) for r in rows}
     assert fps[0] & fps[1], "shared >=11-char substring must share a fingerprint"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-59.9, 59.9, allow_nan=False),
+            st.floats(-179.9, 179.9, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.sampled_from([50.0, 200.0, 800.0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_spatial_blocking_recall_property(spark, pts, radius_km):
+    """The banded grid's lossless-blocking guarantee, property-tested:
+    spatial_self_pairs must equal the brute-force all-pairs filter for
+    ANY point set within the |lat| <= 60 contract and any radius — this
+    directly guards the band-width derivation (per-band Taylor-cos width,
+    edges extended half a band for the probe point's pull on the mean
+    latitude, min_cos_lat clamp)."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.geo import equirect_km, spatial_self_pairs
+
+    rows = [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in spatial_self_pairs(df, "id", "lat", "lon", radius_km).collect()
+    }
+    b = df.selectExpr("id AS id_b", "lat AS lat_b", "lon AS lon_b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in df.toDF("id_a", "lat_a", "lon_a")
+        .crossJoin(b)
+        .filter("id_a < id_b")
+        .withColumn(
+            "d",
+            equirect_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            ),
+        )
+        .filter(F.col("d") <= radius_km)
+        .collect()
+    }
+    assert got == brute
