@@ -73,3 +73,60 @@ def bm25_scores(
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__s").alias("score"))
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_df_table: bool = True,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (the smoothed
+    scikit-learn form — strictly positive, defined for df = N). Returns
+    (id, term, tfidf) with the k highest-scoring terms per document,
+    ties broken by term ascending (fully deterministic output).
+
+    Scale shape: tf and df are map-side-combinable groupBys over one
+    exploded token stream; N rides a 1-row broadcast. The df table is one
+    row per vocabulary term — broadcast it while the vocabulary fits
+    (pass broadcast_df_table=False for open web-scale vocabularies, where
+    it becomes a shuffle join on the term key). Top-k is a window
+    partitioned by document — bounded by document length, never corpus
+    size.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col), lowercase=True)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df_table:
+        dfreq = F.broadcast(dfreq)
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "tfidf")
+    )

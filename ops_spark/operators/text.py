@@ -653,3 +653,130 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("bucket", draw).withColumn("split", split)
+
+
+# Public Gopher-rule stopword set (Rae et al. 2021, "Scaling Language
+# Models", §A1.1 repetition/quality filters): a document must contain at
+# least two of these to pass the stop-word rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules, each as an auditable column.
+
+    The per-rule signals (not just the final verdict) are materialized so a
+    pipeline can report WHY documents were dropped — the operating mode the
+    Gopher paper describes. Rules implemented (line-based bullet/ellipsis
+    rules are omitted: they need line structure this corpus lacks):
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_len, max_mean_len]
+    - '#'/'...' symbol-to-word ratio <= max_symbol_ratio
+    - fraction of words containing an alphabetic char >= min_alpha_frac
+    - at least min_stopwords occurrences from GOPHER_STOPWORDS
+
+    Pure Column expressions (split + higher-order functions + regexp_count):
+    whole-stage codegen, zero shuffle — a scan-bound map at 100 TB.
+    """
+    t = F.col(text_col)
+    w = tokens(t)
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(0.0)
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(0.0)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", F.round(mean_len, 4))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 4))
+        .withColumn("alpha_frac", F.round(alpha_frac, 4))
+        .withColumn("n_stopwords", n_stop.cast("bigint"))
+        .withColumn("passes_gopher", passes)
+    )
+
+
+def char_bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KenLM-style fluency scoring with a corpus-trained char-bigram model.
+
+    Train: count every adjacent character pair over the corpus; add-one
+    smoothing over the observed charset. Score: each document's mean
+    log-probability, avg over its bigram occurrences of
+    ln((count(c1c2)+1) / (count(c1·)+V)). Low scores flag OCR noise,
+    encoding damage, and non-linguistic payloads — the same screening slot
+    real pipelines fill with a KenLM n-gram model.
+
+    Scale contract: the model is two aggregations over exploded bigrams
+    (map-side partial combine; the result is at most |charset|² rows), then
+    scoring is one broadcast join back onto the exploded stream + one
+    per-doc aggregation. Train and score each scan the corpus once; persist
+    the model table to amortize it across runs.
+    """
+    # sequence(1, 0) in Spark yields DESCENDING [1, 0], not empty — short
+    # strings need an explicit guard or they'd emit phantom grams.
+    bigrams = F.expr(
+        f"CASE WHEN length({text_col}) >= 2 THEN"
+        f" transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2))"
+        f" ELSE array() END"
+    )
+    chars = F.expr(
+        f"CASE WHEN length({text_col}) >= 1 THEN"
+        f" transform(sequence(1, length({text_col})),"
+        f" i -> substring({text_col}, i, 1))"
+        f" ELSE array() END"
+    )
+    grams = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctx = model.groupBy(F.substring("bg", 1, 1).alias("p")).agg(
+        F.sum("c").alias("cc")
+    )
+    vocab = (
+        df.select(F.explode(chars).alias("ch"))
+        .agg(F.countDistinct("ch").alias("v"))
+    )
+    scored = (
+        grams.join(F.broadcast(model), "bg")
+        .join(F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("p"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("c") + 1.0) / (F.col("cc") + F.col("v"))).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+    )

@@ -1680,3 +1680,151 @@ def llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
         "split",
     )
+
+
+@register(
+    "llm_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CASE WHEN len(w) > 0
+               THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+               ELSE 0.0 END AS mean_len,
+             CASE WHEN len(w) > 0
+               THEN CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(w)
+               ELSE 0.0 END AS sym,
+             CASE WHEN len(w) > 0
+               THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+               ELSE 0.0 END AS alpha,
+             len(list_filter(w, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], lower(x)))) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_len, 4) AS mean_word_len,
+           round(sym, 4) AS symbol_ratio,
+           round(alpha, 4) AS alpha_frac,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+                      AND mean_len BETWEEN 2.0 AND 12.0
+                      AND sym <= 0.1 AND alpha >= 0.8 AND n_stop >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+    FROM m
+    """,
+    description="Gopher-rule quality screen: per-rule signal columns + the "
+    "composite verdict (word count, mean word length, symbol ratio, "
+    "alpha-word fraction, stopword floor).",
+    tags=("llm", "text", "quality"),
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.gopher_rules(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_frac",
+        "n_stopwords",
+        F.col("passes_gopher").cast("bigint").alias("passes_gopher"),
+    )
+
+
+@register(
+    "llm_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) - 1
+                AS BIGINT) AS pos,
+           CAST((row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) - 1) % 8
+                AS BIGINT) AS shard
+    FROM documents
+    """,
+    description="Deterministic seeded global training order (md5 order key) "
+    "+ round-robin shard assignment — computed as bucket-prefix counts + "
+    "per-bucket windows, never a single-partition global window.",
+    tags=("llm", "training", "shuffle"),
+)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.mixing import global_order_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_order_index(docs, "doc_id", seed="42", n_shards=8).select(
+        "doc_id", "pos", "shard"
+    )
+
+
+@register(
+    "llm_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT doc_id, term,
+           round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) <= 3
+    """,
+    description="Top-3 characteristic terms per document by smoothed TF-IDF "
+    "(scikit-learn idf form), deterministic term tie-break.",
+    tags=("llm", "text", "retrieval"),
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.retrieval import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "llm_ngram_lm_score",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) >= 2
+               THEN list_transform(range(1, length(text)),
+                                   i -> substring(text, i, 2))
+               ELSE []::VARCHAR[] END) AS bg
+      FROM documents
+    ), model AS (
+      SELECT bg, count(*) AS c FROM g GROUP BY bg
+    ), ctx AS (
+      SELECT substring(bg, 1, 1) AS p, sum(c) AS cc FROM model GROUP BY p
+    ), v AS (
+      SELECT count(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, length(text) + 1),
+                                     i -> substring(text, i, 1))) AS ch
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c + 1.0) / (cc + v))), 4) AS avg_logp
+    FROM g JOIN model USING (bg)
+           JOIN ctx ON substring(g.bg, 1, 1) = ctx.p
+           CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    description="KenLM-style fluency score: corpus-trained char-bigram LM "
+    "with add-one smoothing; per-doc mean log-probability flags OCR noise "
+    "and encoding damage.",
+    tags=("llm", "text", "quality"),
+)
+def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.char_bigram_lm_scores(docs).select("doc_id", "n_bigrams", "avg_logp")

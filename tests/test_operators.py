@@ -1317,3 +1317,98 @@ def test_quality_unique_formula_matches_groupby_with_nulls(spark):
             .collect()[0][0]
         ) or 0
         assert rep[f"unique({','.join(cols)})"] == brute, cols
+
+
+def test_gopher_rules_signals_and_verdict(spark):
+    from ops_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the cat and the dog have been to one of those houses with red"),
+        (2, "### ... ### ... ###"),  # symbol soup: fails alpha + stopwords
+        (3, ""),  # empty: all ratios 0, fails word count
+        (4, "aa bb cc dd ee ff gg hh ii jj"),  # 10 words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=5).collect()}
+    assert out[1].passes_gopher and out[1].n_stopwords >= 2
+    assert not out[2].passes_gopher
+    assert out[2].symbol_ratio > 0.1 and out[2].alpha_frac == 0.0
+    assert not out[3].passes_gopher
+    assert out[3].n_words == 0 and out[3].mean_word_len == 0.0
+    assert not out[4].passes_gopher  # stopword floor
+    assert out[4].n_words == 10 and out[4].mean_word_len == 2.0
+
+
+def test_global_order_index_is_permutation_and_stable(spark):
+    from ops_spark.operators.mixing import global_order_index
+
+    n = 257  # not a multiple of shard count, crosses bucket boundaries
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = global_order_index(df, "doc_id", seed="7", n_shards=4, prefix_len=2)
+    rows = out.collect()
+    positions = sorted(r.pos for r in rows)
+    assert positions == list(range(n))  # exact permutation, no gaps/dupes
+    shard_sizes = sorted(
+        out.groupBy("shard").count().rdd.map(lambda r: r["count"]).collect()
+    )
+    assert shard_sizes[-1] - shard_sizes[0] <= 1  # round-robin balance
+    # Positions are a pure function of (data, seed): a different bucket
+    # fan-out must yield the identical order.
+    again = {
+        r.doc_id: r.pos
+        for r in global_order_index(
+            df, "doc_id", seed="7", n_shards=4, prefix_len=3
+        ).collect()
+    }
+    assert {r.doc_id: r.pos for r in rows} == again
+    # And it equals the naive single-window global rank.
+    import hashlib
+
+    naive = sorted(
+        range(n), key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i)
+    )
+    assert [again[doc] for doc in naive] == list(range(n))
+
+
+def test_char_bigram_lm_scores_tiny_corpus_by_hand(spark):
+    import math
+
+    from ops_spark.operators.text import char_bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "ba"), (3, "x"), (4, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in char_bigram_lm_scores(df).collect()}
+    # Corpus bigrams: ab,ba,ab (doc1) + ba (doc2) -> ab:2, ba:2.
+    # Contexts: a->2, b->2. Charset {a,b,x} -> V=3.
+    # Every bigram scores ln((2+1)/(2+3)) = ln(0.6).
+    assert set(out) == {1, 2}  # len<2 docs produce no bigrams, no row
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    expected = round(math.log(0.6), 4)
+    assert out[1].avg_logp == expected == out[2].avg_logp
+
+
+def test_tfidf_topk_by_hand(spark):
+    import math
+
+    from ops_spark.operators.retrieval import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=2).collect()
+    got = {(r.doc_id, r.term): r.tfidf for r in out}
+
+    def idf(df_t):
+        return math.log(4.0 / (df_t + 1)) + 1.0
+
+    assert got[(1, "apple")] == round(2 * idf(1), 4)
+    assert got[(1, "banana")] == round(1 * idf(2), 4)
+    assert got[(3, "cherry")] == round(3 * idf(2), 4)
+    # k=2 cap: doc 1 has exactly its 2 distinct terms, doc 2 both, doc 3 one.
+    assert sorted(r.doc_id for r in out) == [1, 1, 2, 2, 3]
