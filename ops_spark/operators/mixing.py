@@ -176,7 +176,6 @@ def temperature_resample(
     rate table is |sources| rows (broadcast back); emission is a narrow
     explode — no shuffle of the corpus at all.
     """
-    n_total = F.sum("_n_s").over(__import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_s"))
     weights = counts.withColumn("_w", F.pow(F.col("_n_s").cast("double"), F.lit(float(alpha))))
     tot = weights.agg(

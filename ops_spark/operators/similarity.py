@@ -397,7 +397,9 @@ def knn_graph(
     winners. That containment is exact, not heuristic: a vector in the
     global top-k of candidate set C has < k better candidates in ALL of
     C, hence < k better in any single bucket, hence survives that
-    bucket's local cut. Shuffle volume is the exploded key rows
+    bucket's local cut — where "better" is the full (sim desc, neighbor
+    asc) key, applied identically in the local cut and the global
+    window, so equal-sim ties resolve partition-order independently. Shuffle volume is the exploded key rows
     (|df| x n_tables x (nbits+2) x vec bytes), never candidate pairs.
     """
     from pyspark.sql import types as T_
@@ -461,9 +463,13 @@ def knn_graph(
         S = (A @ B.T) / np.outer(left["__na"].to_numpy(), right["__nb"].to_numpy())
         S[ia[:, None] == ib[None, :]] = -np.inf  # a vector is not its own neighbor
         take = min(kk, S.shape[1])
-        # local top-k per probe row (argpartition, then emit unsorted —
-        # the global window does the ordering)
-        idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
+        # local top-k per probe row under the SAME key the global window
+        # orders by — (sim desc, neighbor asc) — so the containment
+        # argument survives equal-sim ties: an argpartition cut on sim
+        # alone could locally drop the tie the global tie-break would
+        # keep. lexsort's last key is primary; buckets are capped, so the
+        # full per-row sort stays bounded.
+        idx = np.lexsort((np.broadcast_to(ib, S.shape), -S), axis=1)[:, :take]
         r = np.repeat(np.arange(len(ia)), take)
         c = idx.ravel()
         keep = np.isfinite(S[r, c])

@@ -241,6 +241,8 @@ _ALL_PAIRS_OK = {
     "Q11_important_parts",
     "Q22_dormant_customers",
     "llm_bm25_scores",  # 1-row corpus-constants broadcast (scalar shape)
+    "llm_tfidf_topk",  # 1-row n_docs broadcast (scalar shape, retrieval.py)
+    "llm_ngram_lm_score",  # 1-row model-total broadcast (scalar shape, text.py)
     # llm_embedding_dedup left this list in round 3: the exact tier is now
     # chunk-pair cogrouped GEMM — quadratic WORK, but no cross-join stage.
 }
@@ -266,6 +268,64 @@ def test_no_accidental_all_pairs_plans(spark):
         if bad and name not in _ALL_PAIRS_OK:
             offenders[name] = bad
     assert not offenders, f"unexpected all-pairs plans: {offenders}"
+
+
+def _exec_plan(spark, sf_dir, name):
+    plan = (
+        q.get_query(name)
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    # count operators in the current (first) section only
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_tpcds_q67_single_expand_and_group_limit(spark, sf_dir):
+    # The 4-level ROLLUP must plan as ONE ExpandExec over ONE lineitem
+    # scan (5 grouping sets ≠ 5 scans — at 100 TB a per-set rescan is a
+    # 5× read amplification), and the rank() <= 10 filter must engage
+    # WindowGroupLimit (partial + final) so each partition keeps a
+    # bounded heap instead of materializing every rollup row through
+    # the rank window.
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q67_topk_rollup")
+    assert len(re.findall(r"\bExpand\b", plan)) == 1
+    assert len(re.findall(r"FileScan parquet \[l_", plan)) == 1
+    assert len(re.findall(r"WindowGroupLimit", plan)) == 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_tpcds_q47_no_rescan_between_windows(spark, sf_dir):
+    # The yearly-avg window and the lag/lead window run over the SAME
+    # monthly aggregate: one orders scan, and the cascaded window apps
+    # re-Exchange at most once beyond the aggregation shuffle (the
+    # (n_name, yr) -> (n_name) partition change); a second scan or a
+    # third exchange means the CTE body executed twice.
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q47_monthly_deviation")
+    assert len(re.findall(r"FileScan parquet \[o_", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_tpcds_rollups_single_expand(spark, sf_dir):
+    # Every ROLLUP query in the TPC-DS-shaped battery: exactly one
+    # Expand, never a union-of-grouping-sets rewrite.
+    import re
+
+    for name in (
+        "sql_tpcds_q05_channel_rollup",
+        "sql_tpcds_q27_rollup_avg",
+        "sql_tpcds_q36_margin_rank",
+        "sql_tpcds_q77_channel_profit",
+    ):
+        plan = _exec_plan(spark, sf_dir, name)
+        assert len(re.findall(r"\bExpand\b", plan)) == 1, name
 
 
 def test_soundex_golden(spark):
