@@ -26,11 +26,12 @@ micro-batch — rows are processed in id order) when the second arrives,
 and state here never expires. That makes streaming-vs-batch equality
 assertable, and tests/test_streaming_extra.py pins:
 streaming pairs == batch `minhash_lsh_candidates` filtered by the same
-signature-agreement threshold, on the same corpus. (The batch tier's
-`max_bucket` degenerate-bucket cap has no streaming equivalent — a
-stream cannot know a bucket's final size; production deployments bound
-state with GroupStateTimeout instead, and should enable the RocksDB
-state store provider when bucket state exceeds executor heap.)
+signature-agreement threshold, on the same corpus. That equality holds
+for the UNBOUNDED default; production ingest must bound state via the
+`state_ttl_ms` (processing-time TTL) and/or `max_bucket_state` (FIFO
+retention cap — the streaming mirror of the batch tier's `max_bucket`)
+knobs, accepting the documented recall window, and should enable the
+RocksDB state store provider when bucket state exceeds executor heap.
 
 The hash family is IDENTICAL to operators/dedup.py — in fact it IS the
 batch code: the fold-based `minhash_signature` Column and the same
@@ -151,10 +152,19 @@ def banded_signatures(
     )
 
 
-def _make_bucket_dedup(sim_threshold: float):
+def _make_bucket_dedup(
+    sim_threshold: float,
+    state_ttl_ms: int | None = None,
+    max_bucket_state: int | None = None,
+):
     def bucket_dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle bucket past its TTL: drop the whole bucket's state —
+            # the invocation carries no data rows by contract
+            state.remove()
+            return
         if state.exists:
             prev_ids, prev_sigs = state.get
             ids = [int(x) for x in prev_ids]
@@ -182,7 +192,19 @@ def _make_bucket_dedup(sim_threshold: float):
             ids.append(i)
             mat.append(sig)
             S = v[None, :] if S is None or not len(S) else np.vstack([S, v])
+        if max_bucket_state is not None and len(ids) > max_bucket_state:
+            # FIFO retention: ids/mat are in arrival order (restored state
+            # first, then this batch's rows), so the tail is the most
+            # recent max_bucket_state documents. Evicted docs can no
+            # longer match future arrivals — the documented recall trade
+            # of bounding state (mirrors the batch tier's max_bucket cap).
+            ids = ids[-max_bucket_state:]
+            mat = mat[-max_bucket_state:]
         state.update((ids, mat))
+        if state_ttl_ms is not None:
+            # sliding TTL: every batch that touches the bucket renews it,
+            # so only buckets idle for a full TTL window are evicted
+            state.setTimeoutDuration(state_ttl_ms)
         if out_a:  # most buckets match nothing — skip the frame entirely
             yield pd.DataFrame(
                 {
@@ -204,6 +226,8 @@ def streaming_lsh_dedup(
     n: int = 3,
     seed: int = 42,
     sim_threshold: float = 0.8,
+    state_ttl_ms: int | None = None,
+    max_bucket_state: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from a STREAM of documents.
 
@@ -212,14 +236,37 @@ def streaming_lsh_dedup(
     >= sim_threshold of the k MinHash components. A pair co-bucketed in
     several bands is emitted once per band with the identical agreement
     — downstream consumers distinct() the bounded output.
+
+    State bounding — REQUIRED for unbounded 100 TB ingest, where default
+    settings would retain every signature ever seen per bucket:
+
+    - ``state_ttl_ms``: sliding processing-time TTL per bucket. A bucket
+      untouched for a full TTL window is evicted wholesale (pairs are
+      only detected within the window — the usual streaming-dedup
+      contract). Uses GroupStateTimeout.ProcessingTimeTimeout.
+    - ``max_bucket_state``: FIFO cap on documents retained per bucket —
+      the streaming mirror of the batch tier's ``max_bucket``
+      degenerate-bucket cap. An arriving doc still compares against the
+      retained window, then the oldest entries beyond the cap are
+      evicted. Bounds per-bucket state at cap * (k+1) longs regardless
+      of how hot a boilerplate bucket gets.
+
+    Both default to None (unbounded) so the batch-equality pin in
+    tests/test_streaming_extra.py stays exact; production deployments
+    should set at least one, plus the RocksDB state store provider when
+    aggregate state exceeds executor heap.
     """
     banded = banded_signatures(
         docs, id_col=id_col, text_col=text_col, k=k, bands=bands, n=n, seed=seed
     )
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _make_bucket_dedup(sim_threshold),
+        _make_bucket_dedup(sim_threshold, state_ttl_ms, max_bucket_state),
         outputStructType=PAIR_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

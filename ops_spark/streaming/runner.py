@@ -46,16 +46,21 @@ def _staged_dir(sf_dir: str, table: str) -> str:
     os.makedirs(staged, exist_ok=True)
     src = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(src):
-        for part in os.listdir(src):
-            if not part.endswith(".parquet"):
-                continue
-            link = os.path.join(staged, part)
-            if not os.path.exists(link):
-                os.symlink(os.path.join(src, part), link)
+        want = {p for p in os.listdir(src) if p.endswith(".parquet")}
     else:
-        link = os.path.join(staged, f"{table}.parquet")
+        want = {f"{table}.parquet"}
+    # Drop links from a previous generation of the source (regenerated
+    # derived datasets get fresh part-file names; stale links would either
+    # break the stream or replay old parts).
+    for existing in os.listdir(staged):
+        path = os.path.join(staged, existing)
+        if existing not in want or not os.path.exists(path):
+            os.unlink(path)
+    for part in sorted(want):
+        link = os.path.join(staged, part)
+        target = os.path.join(src, part) if os.path.isdir(src) else src
         if not os.path.exists(link):
-            os.symlink(src, link)
+            os.symlink(target, link)
     return staged
 
 
@@ -101,6 +106,9 @@ def run_bounded(
     output_mode: str = "append",
     name: str | None = None,
     state_partitions: int | None = 4,
+    checkpoint: str | None = None,
+    stop_when_idle: bool = False,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to exhaustion; return the memory-sink
     table. availableNow processes everything currently in the source then
@@ -115,6 +123,24 @@ def run_bounded(
     parallelism and state volume per store on a real cluster — size it to
     expected state rows / target rows-per-store, not to the batch-side
     shuffle default. None = leave the session setting untouched.
+    checkpoint overrides the throwaway checkpoint dir — pass one to read
+    the query's state back afterwards via the statestore reader.
+
+    stop_when_idle is REQUIRED for stateful operators carrying a
+    processing-time timeout (e.g. streaming_lsh_dedup with
+    state_ttl_ms): Spark keeps scheduling no-data batches to evaluate
+    timeouts, so an availableNow query never terminates on its own.
+    The harness then waits until the source is drained AND at least one
+    further batch has completed after that point (the no-data batch in
+    which eligible timeouts actually fire), then stops the query.
+
+    sink_path switches the sink from memory to an append parquet
+    directory. The memory sink cannot RESUME from a checkpoint
+    ("does not support recovering"), so multi-run tests that restart
+    from one checkpoint (cross-run state: TTL eviction, exactly-once)
+    must use a durable sink; the returned DataFrame then reads the
+    sink directory with the stream's schema (so an all-empty-batch run
+    still returns an empty frame instead of failing inference).
     """
     spark = stream_df.sparkSession
     qname = name or f"bounded_{uuid.uuid4().hex[:12]}"
@@ -122,16 +148,43 @@ def run_bounded(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query = (
-            stream_df.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
+        writer = (
+            stream_df.writeStream.outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ops_spark_ckpt_"))
-            .start()
+            .option(
+                "checkpointLocation",
+                checkpoint or tempfile.mkdtemp(prefix="ops_spark_ckpt_"),
+            )
         )
+        if sink_path is not None:
+            query = writer.format("parquet").start(sink_path)
+        else:
+            query = writer.format("memory").queryName(qname).start()
+        if stop_when_idle:
+            import time as _time
+
+            deadline = _time.time() + 300
+            idle_since_batch = -1
+            while query.isActive and _time.time() < deadline:
+                if query.exception() is not None:
+                    break  # awaitTermination below re-raises it
+                progress = query.lastProgress
+                if progress is not None and not query.status.get(
+                    "isDataAvailable", True
+                ):
+                    if idle_since_batch < 0:
+                        idle_since_batch = progress["batchId"]
+                    elif progress["batchId"] > idle_since_batch:
+                        query.stop()  # a post-drain batch ran: timeouts fired
+                        break
+                _time.sleep(0.2)
+            else:
+                if query.isActive:
+                    query.stop()
         query.awaitTermination()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if sink_path is not None:
+        return spark.read.schema(stream_df.schema).parquet(sink_path)
     return spark.table(qname)

@@ -93,6 +93,90 @@ def test_streaming_lsh_dedup_finds_cross_batch_pairs(spark, tmp_path):
     assert not any(2 in p for p in pairs)
 
 
+def test_streaming_lsh_state_caps_and_plateaus(spark, tmp_path):
+    """max_bucket_state bounds per-bucket state under a hot (boilerplate)
+    bucket: 6 micro-batches of exact-duplicate docs land in the same
+    buckets; unbounded state would hold all 12 signatures, the cap must
+    plateau it at 3 (verified through the statestore reader, not the
+    operator's own accounting) while arrivals still pair against the
+    retained FIFO window and evicted docs stop matching."""
+    from ops_spark.streaming.lsh_dedup import streaming_lsh_dedup
+    from ops_spark.streaming.runner import run_bounded
+
+    text = "the quick brown fox jumps over the lazy dog again and again " * 4
+    d, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    os.makedirs(d, exist_ok=True)
+    for b in range(6):
+        pd.DataFrame(
+            {"doc_id": [10 * b + 1, 10 * b + 2], "text": [text, text]}
+        ).to_parquet(os.path.join(d, f"part-{b}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_bounded(
+        streaming_lsh_dedup(stream, max_bucket_state=3),
+        "append",
+        checkpoint=ckpt,
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.select("id_a", "id_b").distinct().collect()}
+    # batch 2's arrivals still see batch 1's doc in the FIFO window...
+    assert (1, 11) in pairs
+    # ...but by batch 3 doc 1 is evicted (state entering batch 3 is the
+    # last-3 window [2, 11, 12]), so it can no longer match
+    assert (1, 21) not in pairs and (2, 21) in pairs
+    # the plateau, read back from the checkpointed state itself
+    state = spark.read.format("statestore").load(ckpt)
+    sizes = [len(r["value"]["groupState"]["ids"]) for r in state.collect()]
+    assert sizes and max(sizes) <= 3, sizes
+
+
+def test_streaming_lsh_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """state_ttl_ms: a bucket idle past the TTL is evicted wholesale, so
+    a near-dup arriving after the window finds nothing — while the
+    cross-batch test above proves pairs ARE found inside the window.
+    Three availableNow runs off one checkpoint: seed doc, an unrelated
+    batch after the TTL elapses (processing-time timeouts only fire when
+    a batch runs), then the late near-dup."""
+    import time
+
+    from ops_spark.streaming.lsh_dedup import streaming_lsh_dedup
+    from ops_spark.streaming.runner import run_bounded
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    doc_a, doc_b = base * 4, base * 4 + "tail bit"
+    other = "completely unrelated text about spark shuffle partitions " * 4
+    d, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    os.makedirs(d, exist_ok=True)
+
+    sink = str(tmp_path / "sink")
+
+    def run_next(batch_id: int, doc_id: int, text: str):
+        pd.DataFrame({"doc_id": [doc_id], "text": [text]}).to_parquet(
+            os.path.join(d, f"part-{batch_id}.parquet")
+        )
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(d)
+        out = run_bounded(
+            streaming_lsh_dedup(stream, state_ttl_ms=500),
+            "append",
+            checkpoint=ckpt,  # resumed each run → durable sink required
+            sink_path=sink,
+            stop_when_idle=True,  # timeout queries never self-terminate
+        )
+        return {(r.id_a, r.id_b) for r in out.select("id_a", "id_b").collect()}
+
+    assert run_next(0, 1, doc_a) == set()
+    time.sleep(1.2)  # let doc_a's buckets pass their 500 ms TTL
+    assert run_next(1, 2, other) == set()  # this batch fires the timeouts
+    assert run_next(2, 3, doc_b) == set()  # evicted: the near-dup finds nothing
+    state = spark.read.format("statestore").load(ckpt)
+    retained = {
+        i for r in state.collect() for i in r["value"]["groupState"]["ids"]
+    }
+    assert 1 not in retained, "doc 1's bucket state survived its TTL"
+
+
 def test_staged_stream_reads_directory_tables(spark, tmp_path):
     """Guard on the silent-zero staging bug: when a table is a parquet
     DIRECTORY (every derived-at-scale table is), the file-stream staging
