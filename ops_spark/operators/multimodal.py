@@ -6,14 +6,16 @@ modern descendant of the reference's Python-worker batching
 (reference: python/ExtractPythonUDFs.scala, ArrowEvalPythonExec.scala:69;
 pre-Arrow in 2.4 for mapPartitions).
 
-Decode tiers: PPM (P6) payloads are REALLY decoded — `encode_ppm` builds
-valid binary images (header + RGB planes) and `decode_ppm` parses the
-actual header bytes, no image library needed. Formats that genuinely need
-external codecs (JPEG/PNG/video) remain STUBBED: `fake_dims` computes
-deterministic stand-in dimensions and `decode_image_real` raises
-NotImplementedError where PIL/libav would be called. Everything around
-both tiers — schema contract, Arrow batch iteration, partition sizing —
-is real and tested.
+Decode tiers: PPM (P6) and PNG payloads are REALLY decoded — `encode_ppm`
+/`decode_ppm` handle the uncompressed raster format, and `encode_png`/
+`decode_png` implement a stdlib-only PNG codec (zlib inflate + all five
+scanline filter reconstructions, 8-bit truecolor RGB/RGBA,
+non-interlaced) with `resize_png` as the real decode→resample→re-encode
+path. Formats that genuinely need external codecs (JPEG/video) remain
+STUBBED: `fake_dims` computes deterministic stand-in dimensions and
+`decode_image_real` raises NotImplementedError where PIL/libav would be
+called. Everything around every tier — schema contract, Arrow batch
+iteration, partition sizing — is real and tested.
 
 Scale notes: binary payloads dominate row width, so (a) never groupBy a
 binary column, (b) repartition by a key column BEFORE mapInPandas so batch
@@ -101,11 +103,162 @@ def fake_dims(n_bytes: int) -> tuple[int, int]:
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook for compressed formats — requires an image
-    library not in this container (PPM needs none: see decode_ppm)."""
+    """Real decoder hook for compressed formats. PNG is decoded in-repo
+    (stdlib zlib + filter reconstruction — decode_png); JPEG genuinely
+    needs a codec library not in this container."""
+    if payload[:8] == _PNG_SIG:
+        w, h, _, _ = decode_png(payload)
+        return w, h
     raise NotImplementedError(
-        "JPEG/PNG decode requires PIL/opencv; wire it here and flip use_stub=False"
+        "JPEG decode requires PIL/opencv; wire it here and flip use_stub=False"
     )
+
+
+# --------------------------------------------------------------------------
+# PNG codec — pure stdlib (zlib + struct + numpy), no PIL.
+# Scope: 8-bit truecolor RGB/RGBA (color types 2/6), non-interlaced —
+# the overwhelmingly common web/training-data case. All five scanline
+# filters (None/Sub/Up/Average/Paeth) are implemented on both sides, so
+# any conforming encoder's output of that profile decodes here.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec §9.4), vectorized over int arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """REAL PNG encoder: (h, w, 3|4) uint8 array → valid non-interlaced
+    8-bit truecolor PNG. filter_type picks the per-scanline filter
+    (0..4) — exposed so tests can exercise every decoder reconstruction
+    path; production callers keep the default."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("expected (h, w, 3|4) uint8 pixels")
+    h, w, c = px.shape
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
+    rows = px.astype(np.int16)
+    zero = np.zeros((1, w, c), np.int16)
+    left = np.concatenate([np.zeros((h, 1, c), np.int16), rows[:, :-1]], axis=1)
+    up = np.concatenate([zero, rows[:-1]], axis=0)
+    upleft = np.concatenate([np.zeros((h, 1, c), np.int16), up[:, :-1]], axis=1)
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - up
+    elif filter_type == 3:
+        filt = rows - (left + up) // 2
+    else:
+        filt = rows - _paeth(left, up, upleft)
+    filt = (filt & 0xFF).astype(np.uint8)
+    raw = b"".join(
+        bytes([filter_type]) + filt[y].tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode, no codec library: chunk walk with CRC checks,
+    zlib inflate, full scanline filter reconstruction (all 5 filters).
+    Returns (width, height, channels, pixels[h, w, c] uint8).
+    Supported profile: 8-bit truecolor RGB/RGBA, non-interlaced."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = bit = color = interlace = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, bit, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    if bit != 8 or color not in (2, 6):
+        raise ValueError("only 8-bit truecolor RGB/RGBA supported")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    c = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c + 1
+    if len(raw) != stride * h:
+        raise ValueError("decompressed scanline length mismatch")
+    out = np.empty((h, w * c), np.int32)
+    prev = np.zeros(w * c, np.int32)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(raw, np.uint8, w * c, y * stride + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            # left-dependent filters are a sequential recurrence over
+            # pixels; loop per pixel, vectorized across the c channels
+            rec = np.zeros(w * c, np.int32)
+            zc = np.zeros(c, np.int32)
+            for x in range(w):
+                sl = slice(x * c, (x + 1) * c)
+                pl = slice((x - 1) * c, x * c)
+                a = rec[pl] if x else zc
+                if ft == 1:
+                    rec[sl] = (line[sl] + a) & 0xFF
+                elif ft == 3:
+                    rec[sl] = (line[sl] + (a + prev[sl]) // 2) & 0xFF
+                else:
+                    cc = prev[pl] if x else zc
+                    rec[sl] = (line[sl] + _paeth(a, prev[sl], cc)) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[y] = rec
+        prev = rec
+    return w, h, c, out.reshape(h, w, c).astype(np.uint8)
 
 
 def encode_ppm(data: bytes) -> bytes:
@@ -137,6 +290,96 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int]:
     if len(parts[3]) != w * h * 3:
         raise ValueError("raster length mismatch")
     return w, h, maxval
+
+
+def text_to_png_pixels(data: bytes):
+    """Pack arbitrary bytes into a near-square RGB raster (same isqrt
+    sizing as encode_ppm) — the fixture bridge from text to real PNGs."""
+    import math
+
+    import numpy as np
+
+    pixels = max(1, (len(data) + 2) // 3)
+    w = math.isqrt(pixels)
+    if w * w < pixels:
+        w += 1
+    h = (pixels + w - 1) // w
+    raster = data + b"\x00" * (w * h * 3 - len(data))
+    return np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+
+
+def with_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    filter_type: int = 0,
+) -> DataFrame:
+    """Fixture adapter, real-PNG tier: each row's text bytes become a
+    VALID compressed PNG (encode_png) — downstream decode is a genuine
+    inflate + filter reconstruction, not a header peek."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_png(
+                            text_to_png_pixels(t.encode("utf-8")), filter_type
+                        )
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+PNG_META_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, n_bytes bigint,"
+    " raster_sha256 string"
+)
+
+
+def extract_png_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode over compressed image payloads: full PNG decode
+    (decode_png) inside Arrow batches. raster_sha256 hashes the
+    RECONSTRUCTED pixels, proving the filter/inflate path ran — a
+    header-only parse could not produce it."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_png(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "raster_sha256": [
+                        hashlib.sha256(m[3].tobytes()).hexdigest() for m in metas
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PNG_META_SCHEMA)
+
+
+def resize_png(payload: bytes, target: tuple[int, int]) -> bytes:
+    """REAL decode → nearest-neighbor resample → re-encode, stdlib only.
+    The un-stubbed per-row resize for the one compressed format the repo
+    can decode without PIL."""
+    import numpy as np
+
+    w, h, _, px = decode_png(payload)
+    tw, th = target
+    xs = (np.arange(tw) * w) // tw
+    ys = (np.arange(th) * h) // th
+    return encode_png(px[ys][:, xs])
 
 
 def extract_image_meta(
@@ -280,10 +523,12 @@ def resize_images(
 
     Stub semantics: output payload is the input truncated/cycled to
     target_w·target_h bytes — deterministic, size-correct, no image lib.
-    The real decoder slots into the same per-row position (PIL resize →
-    bytes). Partitioning contract: payload width dominates row size, so
-    the Arrow batch memory bound is maxRecordsPerBatch × payload; callers
-    repartition by a key column first if payloads are skewed.
+    use_stub=False runs the REAL per-row position for PNG payloads
+    (resize_png: decode → nearest-neighbor → re-encode, stdlib only);
+    JPEG would slot PIL into the same spot. Partitioning contract:
+    payload width dominates row size, so the Arrow batch memory bound is
+    maxRecordsPerBatch × payload; callers repartition by a key column
+    first if payloads are skewed.
     """
     w, h = target
 
@@ -295,7 +540,7 @@ def resize_images(
                     lambda b: bytes(b[i % len(b)] for i in range(n)) if b else b"\x00" * n
                 )
             else:
-                raise NotImplementedError("wire PIL: decode → resize → encode")
+                out = pdf[payload_col].map(lambda b: resize_png(b, (w, h)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
