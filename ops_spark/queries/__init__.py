@@ -16,6 +16,7 @@ def load_all() -> None:
         sets_windows,
         sql_entry,
         streaming,
+        tpcds_shapes,
         tpch,
         tpch2,
         tpch3,

@@ -1,0 +1,379 @@
+"""TPC-DS-SHAPED battery (SURVEY.md §5 parity with the reference's own
+plan-coverage corpus).
+
+The reference carries 103 TPC-DS queries as its plan-coverage corpus
+(reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These ten
+queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
+rollup hierarchies with grouping()-derived levels, rank-within-rollup,
+multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
+year-over-year CTE self-joins, and cascaded window functions — onto the
+TPC-H fixtures this harness ships, as oracle-full queries (one ANSI SQL
+string runs through BOTH spark.sql and DuckDB).
+
+Each query's docstring-style description names the TPC-DS query whose
+shape it ports (reference: sql/core/src/test/resources/tpcds/qNN.sql).
+
+Determinism policy (what makes these hash-stable across engines):
+- Monetary SUMs are computed over CAST(col AS DECIMAL(18,2)) — decimal
+  aggregation is EXACT in both Spark and DuckDB, so rollup grand-total
+  rows, running sums, and rank() order keys cannot drift with partition
+  summation order (a grand total over 120k doubles drifts ~1e-4, enough
+  to flip a round(x, 2) boundary). Final outputs cast the exact decimal
+  back to DOUBLE, which both engines do identically.
+- Ratios/averages divide IEEE doubles derived from those exact decimals
+  and round; window ORDER BY always carries explicit NULLS FIRST/LAST
+  (Spark and DuckDB have OPPOSITE defaults) and a full tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ops_spark.io import register_views
+from ops_spark.queries.registry import register
+
+_DEC = "DECIMAL(18,2)"
+
+SQL_Q05_CHANNEL_ROLLUP = f"""
+WITH channels AS (
+    SELECT 'customer' AS channel, n_name,
+           CAST(o_totalprice AS {_DEC}) AS sales,
+           CAST(0 AS {_DEC}) AS returns_amt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'supplier' AS channel, n_name,
+           CASE WHEN l_returnflag <> 'R' THEN CAST(l_extendedprice AS {_DEC})
+                ELSE CAST(0 AS {_DEC}) END,
+           CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS {_DEC})
+                ELSE CAST(0 AS {_DEC}) END
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT channel, n_name,
+       CAST(sum(sales) AS DOUBLE) AS total_sales,
+       CAST(sum(returns_amt) AS DOUBLE) AS total_returns
+FROM channels
+GROUP BY ROLLUP (channel, n_name)
+"""
+
+SQL_Q11_YOY_RATIO = f"""
+WITH year_total AS (
+    SELECT c_custkey, c_name,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           sum(CAST(o_totalprice AS {_DEC})) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT t1.c_custkey AS c_custkey, t1.c_name AS c_name,
+       CAST(t1.total AS DOUBLE) AS spend_1996,
+       CAST(t2.total AS DOUBLE) AS spend_1997,
+       round(CAST(t2.total AS DOUBLE) / CAST(t1.total AS DOUBLE), 4) AS ratio
+FROM year_total t1 JOIN year_total t2 ON t1.c_custkey = t2.c_custkey
+WHERE t1.yr = 1996 AND t2.yr = 1997
+  AND t1.total > 0 AND CAST(t2.total AS DOUBLE) > CAST(t1.total AS DOUBLE) * 1.2
+"""
+
+SQL_Q27_ROLLUP_AVG = """
+SELECT n_name, c_mktsegment,
+       CAST(grouping(n_name) AS INT) * 2
+         + CAST(grouping(c_mktsegment) AS INT) AS gid,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+SQL_Q33_INTERSECT_CHANNELS = f"""
+WITH hot_parts AS (
+    SELECT p_partkey FROM part WHERE p_type IN ('PROMO', 'ECONOMY')
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+),
+channels AS (
+    SELECT 'early' AS channel, l_partkey AS partkey,
+           CAST(l_extendedprice AS {_DEC}) AS rev
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+    UNION ALL
+    SELECT 'late' AS channel, l_partkey AS partkey,
+           CAST(l_extendedprice AS {_DEC}) AS rev
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+)
+SELECT p.p_brand AS p_brand, c.channel AS channel,
+       CAST(sum(c.rev) AS DOUBLE) AS total_rev
+FROM channels c
+JOIN hot_parts hp ON c.partkey = hp.p_partkey
+JOIN part p ON c.partkey = p.p_partkey
+GROUP BY p.p_brand, c.channel
+"""
+
+SQL_Q36_MARGIN_RANK = f"""
+WITH margins AS (
+    SELECT p_type, p_brand,
+           CAST(grouping(p_type) AS INT)
+             + CAST(grouping(p_brand) AS INT) AS lochierarchy,
+           CASE WHEN CAST(grouping(p_brand) AS INT) = 0 THEN p_type END AS parent,
+           CAST(sum(CAST(l_extendedprice AS {_DEC})
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / NULLIF(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE), 0)
+             AS margin
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT p_type, p_brand, lochierarchy,
+       round(margin, 6) AS discount_ratio,
+       rank() OVER (PARTITION BY lochierarchy, parent
+                    ORDER BY margin ASC NULLS FIRST) AS rank_within_parent
+FROM margins
+"""
+
+SQL_Q47_MONTHLY_DEVIATION = f"""
+WITH monthly AS (
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mon,
+           sum(CAST(o_totalprice AS {_DEC})) AS v_sum
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+             EXTRACT(MONTH FROM o_orderdate)
+),
+w AS (
+    SELECT n_name, yr, mon, v_sum,
+           avg(CAST(v_sum AS DOUBLE))
+               OVER (PARTITION BY n_name, yr) AS avg_monthly,
+           lag(v_sum) OVER (PARTITION BY n_name
+                            ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST)
+               AS prev_sum,
+           lead(v_sum) OVER (PARTITION BY n_name
+                             ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST)
+               AS next_sum
+    FROM monthly
+)
+SELECT n_name, CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
+       CAST(v_sum AS DOUBLE) AS v_sum,
+       round(avg_monthly, 2) AS avg_monthly,
+       CAST(prev_sum AS DOUBLE) AS prev_sum,
+       CAST(next_sum AS DOUBLE) AS next_sum
+FROM w
+WHERE yr = 1997 AND avg_monthly > 0
+  AND abs(CAST(v_sum AS DOUBLE) - avg_monthly) / avg_monthly > 0.05
+"""
+
+SQL_Q51_CUMULATIVE_CROSSOVER = f"""
+WITH urgent AS (
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mon,
+           sum(CAST(o_totalprice AS {_DEC})) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+             EXTRACT(MONTH FROM o_orderdate)
+),
+relaxed AS (
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mon,
+           sum(CAST(o_totalprice AS {_DEC})) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+             EXTRACT(MONTH FROM o_orderdate)
+),
+u_cum AS (
+    SELECT n_name, yr, mon,
+           sum(rev) OVER (PARTITION BY n_name
+                          ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM urgent
+),
+r_cum AS (
+    SELECT n_name, yr, mon,
+           sum(rev) OVER (PARTITION BY n_name
+                          ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM relaxed
+)
+SELECT coalesce(u.n_name, r.n_name) AS n_name,
+       CAST(coalesce(u.yr, r.yr) AS INT) AS yr,
+       CAST(coalesce(u.mon, r.mon) AS INT) AS mon,
+       CAST(u.cum AS DOUBLE) AS cum_urgent,
+       CAST(r.cum AS DOUBLE) AS cum_relaxed
+FROM u_cum u FULL OUTER JOIN r_cum r
+  ON u.n_name = r.n_name AND u.yr = r.yr AND u.mon = r.mon
+WHERE coalesce(CAST(u.cum AS DOUBLE), 0) > coalesce(CAST(r.cum AS DOUBLE), 0)
+"""
+
+SQL_Q59_PERIOD_OVER_PERIOD = f"""
+WITH m AS (
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mon,
+           sum(CAST(o_totalprice AS {_DEC})) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+             EXTRACT(MONTH FROM o_orderdate)
+)
+SELECT a.n_name AS n_name, CAST(a.mon AS INT) AS mon,
+       CAST(a.rev AS DOUBLE) AS rev_1996,
+       CAST(b.rev AS DOUBLE) AS rev_1997,
+       round(CAST(b.rev AS DOUBLE) / NULLIF(CAST(a.rev AS DOUBLE), 0), 4)
+           AS yoy
+FROM m a JOIN m b ON a.n_name = b.n_name AND a.mon = b.mon
+WHERE a.yr = 1996 AND b.yr = 1997
+"""
+
+SQL_Q67_TOPK_ROLLUP = f"""
+WITH sales AS (
+    SELECT p_type, p_brand,
+           EXTRACT(YEAR FROM l_shipdate) AS yr,
+           EXTRACT(QUARTER FROM l_shipdate) AS qtr,
+           sum(CAST(l_extendedprice AS {_DEC})) AS sumsales
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP (p_type, p_brand, EXTRACT(YEAR FROM l_shipdate),
+                     EXTRACT(QUARTER FROM l_shipdate))
+),
+ranked AS (
+    SELECT p_type, p_brand, yr, qtr, sumsales,
+           rank() OVER (PARTITION BY p_type
+                        ORDER BY sumsales DESC NULLS LAST,
+                                 p_brand ASC NULLS FIRST,
+                                 yr ASC NULLS FIRST,
+                                 qtr ASC NULLS FIRST) AS rk
+    FROM sales
+)
+SELECT p_type, p_brand, CAST(yr AS INT) AS yr, CAST(qtr AS INT) AS qtr,
+       CAST(sumsales AS DOUBLE) AS sumsales, rk
+FROM ranked
+WHERE rk <= 10
+"""
+
+SQL_Q77_CHANNEL_PROFIT = f"""
+WITH supp_sales AS (
+    SELECT n_name, sum(CAST(l_extendedprice AS {_DEC})) AS sales
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_returnflag <> 'R'
+    GROUP BY n_name
+),
+supp_returns AS (
+    SELECT n_name, sum(CAST(l_extendedprice AS {_DEC})) AS returns_amt
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY n_name
+),
+cust_sales AS (
+    SELECT n_name, sum(CAST(o_totalprice AS {_DEC})) AS sales
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY n_name
+),
+cust_returns AS (
+    SELECT n_name, sum(CAST(o_totalprice AS {_DEC})) AS returns_amt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+),
+channels AS (
+    SELECT 'supplier' AS channel, s.n_name AS n_name, s.sales AS sales,
+           coalesce(r.returns_amt, CAST(0 AS {_DEC})) AS returns_amt
+    FROM supp_sales s LEFT JOIN supp_returns r ON s.n_name = r.n_name
+    UNION ALL
+    SELECT 'customer' AS channel, s.n_name AS n_name, s.sales AS sales,
+           coalesce(r.returns_amt, CAST(0 AS {_DEC})) AS returns_amt
+    FROM cust_sales s LEFT JOIN cust_returns r ON s.n_name = r.n_name
+)
+SELECT channel, n_name,
+       CAST(sum(sales) AS DOUBLE) AS total_sales,
+       CAST(sum(returns_amt) AS DOUBLE) AS total_returns,
+       CAST(sum(sales) - sum(returns_amt) AS DOUBLE) AS net
+FROM channels
+GROUP BY ROLLUP (channel, n_name)
+"""
+
+
+def _sql_query(sql: str):
+    def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return builder
+
+
+for name, sql, desc in [
+    (
+        "sql_tpcds_q05_channel_rollup",
+        SQL_Q05_CHANNEL_ROLLUP,
+        "TPC-DS q5 shape (tpcds/q5.sql): multi-channel UNION ALL of "
+        "sales/returns facts, then ROLLUP(channel, id).",
+    ),
+    (
+        "sql_tpcds_q11_yoy_ratio",
+        SQL_Q11_YOY_RATIO,
+        "TPC-DS q11/q74 shape (tpcds/q11.sql): per-year CTE aggregate "
+        "self-joined across years, ratio predicate on the join.",
+    ),
+    (
+        "sql_tpcds_q27_rollup_avg",
+        SQL_Q27_ROLLUP_AVG,
+        "TPC-DS q27 shape (tpcds/q27.sql): fact-to-dims star join with "
+        "multiple AVGs over ROLLUP + grouping()-derived level id.",
+    ),
+    (
+        "sql_tpcds_q33_intersect_channels",
+        SQL_Q33_INTERSECT_CHANNELS,
+        "TPC-DS q33/q56 shape (tpcds/q33.sql): INTERSECT-driven dim-key "
+        "selection semi-filtering a union of channel scans.",
+    ),
+    (
+        "sql_tpcds_q36_margin_rank",
+        SQL_Q36_MARGIN_RANK,
+        "TPC-DS q36 shape (tpcds/q36.sql): margin ratio over ROLLUP with "
+        "lochierarchy = sum of grouping() flags and rank() partitioned by "
+        "hierarchy level and parent.",
+    ),
+    (
+        "sql_tpcds_q47_monthly_deviation",
+        SQL_Q47_MONTHLY_DEVIATION,
+        "TPC-DS q47/q57 shape (tpcds/q47.sql): monthly aggregate with a "
+        "yearly-average window plus lag/lead over a different partition, "
+        "deviation filter.",
+    ),
+    (
+        "sql_tpcds_q51_cumulative_crossover",
+        SQL_Q51_CUMULATIVE_CROSSOVER,
+        "TPC-DS q51 shape (tpcds/q51.sql): FULL OUTER JOIN of two "
+        "cumulative-sum window streams with a crossover predicate.",
+    ),
+    (
+        "sql_tpcds_q59_period_over_period",
+        SQL_Q59_PERIOD_OVER_PERIOD,
+        "TPC-DS q59 shape (tpcds/q59.sql): period aggregate self-joined "
+        "on period offset (this-year vs next-year month revenue ratios).",
+    ),
+    (
+        "sql_tpcds_q67_topk_rollup",
+        SQL_Q67_TOPK_ROLLUP,
+        "TPC-DS q67 shape (tpcds/q67.sql): 4-level ROLLUP hierarchy fed "
+        "into rank() per top-level partition, top-10 filter "
+        "(WindowGroupLimit candidate).",
+    ),
+    (
+        "sql_tpcds_q77_channel_profit",
+        SQL_Q77_CHANNEL_PROFIT,
+        "TPC-DS q77 shape (tpcds/q77.sql): per-channel sales LEFT JOIN "
+        "returns, channels unioned, ROLLUP(channel, id) totals.",
+    ),
+]:
+    register(name, oracle=sql, description=desc, tags=("sql", "tpcds"))(
+        _sql_query(sql)
+    )
