@@ -227,6 +227,67 @@ def _v_topk(spark, sf_dir):
     return bad == 0 and n > 0, f"points={n} topk_count_mismatches={bad}"
 
 
+def _v_knn_recall(spark, sf_dir, n_sample=2000, k=5):
+    """MEASURED recall@k at scale (round-5 verdict: the fixture-scale
+    recall test is structural, not a number): sample ~2k vectors, compute
+    the EXACT top-k for each by brute-force GEMM against the whole
+    corpus under the operator's own (sim desc, neighbor asc) tie-break,
+    and report the fraction the approximate graph found. Driver-side
+    numpy is deliberate here — this is a bounded verification probe
+    (n_sample x corpus, chunked), not an operator. If recall < 0.9 the
+    knob is n_tables/nbits in x_llm_knn_graph (more tables = more
+    OR-amplified candidate buckets)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import ops_spark.queries as q
+    from ops_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample_ids = sorted(
+        int(r.vec_id)
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(n_sample)
+        .collect()
+    )
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    s_idx = np.array([pos[i] for i in sample_ids], dtype=np.int64)
+    exact: dict[int, set] = {}
+    for c0 in range(0, len(s_idx), 256):
+        chunk = s_idx[c0 : c0 + 256]
+        sims = M[chunk] @ M.T
+        for row, qi in zip(sims, chunk):
+            row[qi] = -np.inf  # a vector is not its own neighbor
+            # exact top-k incl. boundary ties, then the operator's key
+            kth = -np.partition(-row, k - 1)[k - 1]
+            cand = np.nonzero(row >= kth)[0]
+            order = cand[np.lexsort((ids[cand], -row[cand]))][:k]
+            exact[int(ids[qi])] = {int(ids[j]) for j in order}
+    got = (
+        q.get_query("x_llm_knn_graph")
+        .builder(spark, sf_dir)
+        .filter(F.col("vec_id").isin(sample_ids))
+        .select("vec_id", "neighbor")
+        .collect()
+    )
+    approx: dict[int, set] = {}
+    for r in got:
+        approx.setdefault(int(r.vec_id), set()).add(int(r.neighbor))
+    hits = sum(len(exact[i] & approx.get(i, set())) for i in exact)
+    denom = sum(len(v) for v in exact.values())
+    recall = round(hits / denom, 4) if denom else 0.0
+    return (
+        recall >= 0.9,
+        f"measured recall@{k}={recall} n_sample={len(exact)} "
+        f"corpus={len(ids)} (knob: n_tables/nbits)",
+    )
+
+
 INVARIANT_VERIFIERS = {
     "llm_ngram_jaccard_pairs": _v_jaccard_pairs,
     "llm_minhash_lsh_dedup": _v_jaccard_completeness,
@@ -234,6 +295,7 @@ INVARIANT_VERIFIERS = {
     "an_spatial_join": _v_spatial,
     "geo_radius_topk": _v_topk,
     "ts_gap_fill": _v_gap_fill,
+    "x_llm_knn_graph": _v_knn_recall,
 }
 
 
@@ -244,6 +306,8 @@ def main() -> None:
     ap.add_argument("--only", default="", help="comma-separated name prefixes")
     ap.add_argument("--json-out", default=os.path.join(REPO, "SCALE_SWEEP.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     ap.add_argument("--no-verify", action="store_true", help="skip the flagship verification pass")
+    ap.add_argument("--verify-top", type=int, default=20, help="top-N-by-wall queries to force into the verification tier")
+    ap.add_argument("--verify-max-rows", type=int, default=100_000, help="every oracle query at or under this output size is auto-verified")
     args = ap.parse_args()
 
     import ops_spark.queries as q
@@ -306,9 +370,33 @@ def main() -> None:
         print(f"sweep {name}: {results[name]}", file=sys.stderr)
         release_query_memory(spark, quiet=True)  # bench-style hygiene
 
-    # ---- flagship verification pass (outside the timed windows) --------
-    verifiers = dict(INVARIANT_VERIFIERS)
-    verifiers.update({n: _v_oracle(n) for n in ORACLE_VERIFY})
+    # ---- verification pass (outside the timed windows) -----------------
+    # Tiers: (a) every oracle-bearing query whose at-scale OUTPUT is small
+    # enough for the driver-style compare (<= verify-max-rows; the compare
+    # re-runs the Spark query and the DuckDB oracle on the derived parquet
+    # and value-hashes both), (b) the top-N-by-wall queries — the ones a
+    # wrong answer at scale would cost the most — via the same oracle
+    # compare when one exists (capped at 500k output rows so toPandas
+    # stays bounded) or their invariant verifier, and (c) the hand-built
+    # invariant verifiers for non-SQL-expressible flagships. Top-wall
+    # queries with NO verifier are listed in verify_skipped — a silent
+    # cap would read as "covered" when it isn't.
+    ok_names = [n for n in results if results[n]["status"] == "ok"]
+    top_by_wall = set(
+        sorted(ok_names, key=lambda n: -results[n]["wall_sec"])[: args.verify_top]
+    )
+    auto_oracle, verify_skipped = set(), []
+    for n in ok_names:
+        qq = q.get_query(n)
+        small = 0 <= results[n]["rows"] <= args.verify_max_rows
+        if not (small or n in top_by_wall):
+            continue
+        if qq.oracle is not None and 0 <= results[n]["rows"] <= 500_000:
+            auto_oracle.add(n)
+        elif n in top_by_wall and n not in INVARIANT_VERIFIERS and n not in ORACLE_VERIFY:
+            verify_skipped.append(n)
+    verifiers = {n: _v_oracle(n) for n in set(ORACLE_VERIFY) | auto_oracle}
+    verifiers.update(INVARIANT_VERIFIERS)
     n_verified = 0
     if not args.no_verify:
         for name, verify in sorted(verifiers.items()):
@@ -330,6 +418,7 @@ def main() -> None:
 
     ok = sum(1 for r in results.values() if r["status"] == "ok")
     summary = {
+        "verify_skipped": sorted(verify_skipped),
         "n_verified_ok": n_verified,
         "n_verified_failed": sum(
             1
