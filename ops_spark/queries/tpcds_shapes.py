@@ -3,13 +3,14 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These ten
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 13
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
-year-over-year CTE self-joins, and cascaded window functions — onto the
-TPC-H fixtures this harness ships, as oracle-full queries (one ANSI SQL
-string runs through BOTH spark.sql and DuckDB).
+year-over-year CTE self-joins, cascaded window functions,
+scalar-subquery count buckets, frequent-item semi-filters, and HAVING
+join-back — onto the TPC-H fixtures this harness ships, as oracle-full
+queries (one ANSI SQL string runs through BOTH spark.sql and DuckDB).
 
 Each query's docstring-style description names the TPC-DS query whose
 shape it ports (reference: sql/core/src/test/resources/tpcds/qNN.sql).
@@ -20,10 +21,22 @@ Determinism policy (what makes these hash-stable across engines):
   rows, running sums, and rank() order keys cannot drift with partition
   summation order (a grand total over 120k doubles drifts ~1e-4, enough
   to flip a round(x, 2) boundary). Final outputs cast the exact decimal
-  back to DOUBLE, which both engines do identically.
+  back to DOUBLE, which both engines do identically. CAVEAT (found at
+  100×): the double→DECIMAL cast itself diverges between engines for
+  values whose 3rd decimal is a 5 — Spark rounds the SHORTEST decimal
+  string HALF_UP ("x.xx5" → up) while DuckDB rounds the exact binary
+  value (x.xx499…9 → down). Price columns in the fixtures are 2-decimal
+  so the cast is exact; c_acctbal carries more precision, so q27
+  quantizes it with pure IEEE double math instead —
+  floor(x * 100 + 0.5) — which is bit-identical in both engines.
 - Ratios/averages divide IEEE doubles derived from those exact decimals
-  and round; window ORDER BY always carries explicit NULLS FIRST/LAST
-  (Spark and DuckDB have OPPOSITE defaults) and a full tie-break.
+  and quantize with floor(x * 10^n + 0.5) / 10^n rather than
+  round(x, n): ROUND on doubles has the SAME engine divergence as the
+  cast (found at 100× — an avg landing on …5 at the 5th decimal printed
+  4225.1988 in Spark vs 4225.1987 in DuckDB), while the floor form is
+  three exact IEEE ops and bit-identical everywhere. Window ORDER BY
+  always carries explicit NULLS FIRST/LAST (Spark and DuckDB have
+  OPPOSITE defaults) and a full tie-break.
 """
 
 from __future__ import annotations
@@ -69,19 +82,22 @@ WITH year_total AS (
 SELECT t1.c_custkey AS c_custkey, t1.c_name AS c_name,
        CAST(t1.total AS DOUBLE) AS spend_1996,
        CAST(t2.total AS DOUBLE) AS spend_1997,
-       round(CAST(t2.total AS DOUBLE) / CAST(t1.total AS DOUBLE), 4) AS ratio
+       floor(CAST(t2.total AS DOUBLE) / CAST(t1.total AS DOUBLE) * 10000 + 0.5)
+           / 10000 AS ratio
 FROM year_total t1 JOIN year_total t2 ON t1.c_custkey = t2.c_custkey
 WHERE t1.yr = 1996 AND t2.yr = 1997
   AND t1.total > 0 AND CAST(t2.total AS DOUBLE) > CAST(t1.total AS DOUBLE) * 1.2
 """
 
-SQL_Q27_ROLLUP_AVG = """
+SQL_Q27_ROLLUP_AVG = f"""
 SELECT n_name, c_mktsegment,
        CAST(grouping(n_name) AS INT) * 2
          + CAST(grouping(c_mktsegment) AS INT) AS gid,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 4) AS avg_price,
-       round(avg(c_acctbal), 4) AS avg_bal
+       floor(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS avg_price,
+       floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100 / count(*) * 10000 + 0.5) / 10000 AS avg_bal
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderpriority = '1-URGENT'
@@ -125,7 +141,7 @@ WITH margins AS (
     GROUP BY ROLLUP (p_type, p_brand)
 )
 SELECT p_type, p_brand, lochierarchy,
-       round(margin, 6) AS discount_ratio,
+       floor(margin * 1000000 + 0.5) / 1000000 AS discount_ratio,
        rank() OVER (PARTITION BY lochierarchy, parent
                     ORDER BY margin ASC NULLS FIRST) AS rank_within_parent
 FROM margins
@@ -155,7 +171,7 @@ w AS (
 )
 SELECT n_name, CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
        CAST(v_sum AS DOUBLE) AS v_sum,
-       round(avg_monthly, 2) AS avg_monthly,
+       floor(avg_monthly * 100 + 0.5) / 100 AS avg_monthly,
        CAST(prev_sum AS DOUBLE) AS prev_sum,
        CAST(next_sum AS DOUBLE) AS next_sum
 FROM w
@@ -223,8 +239,8 @@ WITH m AS (
 SELECT a.n_name AS n_name, CAST(a.mon AS INT) AS mon,
        CAST(a.rev AS DOUBLE) AS rev_1996,
        CAST(b.rev AS DOUBLE) AS rev_1997,
-       round(CAST(b.rev AS DOUBLE) / NULLIF(CAST(a.rev AS DOUBLE), 0), 4)
-           AS yoy
+       floor(CAST(b.rev AS DOUBLE) / NULLIF(CAST(a.rev AS DOUBLE), 0)
+             * 10000 + 0.5) / 10000 AS yoy
 FROM m a JOIN m b ON a.n_name = b.n_name AND a.mon = b.mon
 WHERE a.yr = 1996 AND b.yr = 1997
 """
@@ -301,6 +317,67 @@ GROUP BY ROLLUP (channel, n_name)
 """
 
 
+SQL_Q88_BUCKET_COUNTS = """
+SELECT m1.cnt AS jan, m2.cnt AS feb, m3.cnt AS mar, m4.cnt AS apr,
+       m5.cnt AS may, m6.cnt AS jun, m7.cnt AS jul, m8.cnt AS aug
+FROM (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 1
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m1
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 2
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m2
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 3
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m3
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 4
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m4
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 5
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m5
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 6
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m6
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 7
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m7
+CROSS JOIN (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(MONTH FROM o_orderdate) = 8
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')) m8
+"""
+
+SQL_Q23_FREQUENT_SEMI = f"""
+WITH frequent_parts AS (
+    SELECT l_partkey AS fp_partkey
+    FROM lineitem GROUP BY l_partkey HAVING count(*) > 25
+),
+big_customers AS (
+    SELECT o_custkey AS bc_custkey
+    FROM orders GROUP BY o_custkey
+    HAVING sum(CAST(o_totalprice AS {_DEC}))
+           > 2 * (SELECT avg(o_totalprice) FROM orders)
+)
+SELECT CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS total_rev,
+       count(*) AS n_lines
+FROM lineitem
+JOIN frequent_parts fp ON l_partkey = fp.fp_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN big_customers bc ON o_custkey = bc.bc_custkey
+"""
+
+SQL_Q73_HAVING_JOINBACK = """
+WITH order_counts AS (
+    SELECT o_custkey, count(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_custkey
+    HAVING count(*) BETWEEN 3 AND 10
+)
+SELECT c_custkey, c_name, c_mktsegment, cnt
+FROM customer JOIN order_counts ON c_custkey = o_custkey
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -372,6 +449,28 @@ for name, sql, desc in [
         SQL_Q77_CHANNEL_PROFIT,
         "TPC-DS q77 shape (tpcds/q77.sql): per-channel sales LEFT JOIN "
         "returns, channels unioned, ROLLUP(channel, id) totals.",
+    ),
+    (
+        "sql_tpcds_q88_bucket_counts",
+        SQL_Q88_BUCKET_COUNTS,
+        "TPC-DS q88 shape (tpcds/q88.sql): eight independent filtered "
+        "count(*) scalar subqueries cross-joined into one row (the "
+        "blessed 1-row-broadcast BNLJ chain — each side is a single "
+        "aggregate row, so 'cross join' is 8 broadcasts of 8 bytes).",
+    ),
+    (
+        "sql_tpcds_q23_frequent_semi",
+        SQL_Q23_FREQUENT_SEMI,
+        "TPC-DS q23 shape (tpcds/q23a.sql): frequent-item CTE (HAVING "
+        "count > N) and above-threshold-customer CTE (HAVING against a "
+        "scalar subquery) both semi-filtering the fact scan.",
+    ),
+    (
+        "sql_tpcds_q73_having_joinback",
+        SQL_Q73_HAVING_JOINBACK,
+        "TPC-DS q73/q34 shape (tpcds/q73.sql): per-customer order count "
+        "HAVING BETWEEN band, joined back to the dimension for detail "
+        "rows.",
     ),
 ]:
     register(name, oracle=sql, description=desc, tags=("sql", "tpcds"))(

@@ -243,6 +243,10 @@ _ALL_PAIRS_OK = {
     "llm_bm25_scores",  # 1-row corpus-constants broadcast (scalar shape)
     "llm_tfidf_topk",  # 1-row n_docs broadcast (scalar shape, retrieval.py)
     "llm_ngram_lm_score",  # 1-row model-total broadcast (scalar shape, text.py)
+    # 8 single-row count(*) subqueries cross-joined (TPC-DS q88's exact
+    # shape): every BNLJ side is one aggregate row, so the "cross join"
+    # is 8 scalar broadcasts
+    "sql_tpcds_q88_bucket_counts",
     # llm_embedding_dedup left this list in round 3: the exact tier is now
     # chunk-pair cogrouped GEMM — quadratic WORK, but no cross-join stage.
 }
