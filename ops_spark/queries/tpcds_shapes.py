@@ -3,13 +3,17 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 13
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 20
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
 year-over-year CTE self-joins, cascaded window functions,
-scalar-subquery count buckets, frequent-item semi-filters, and HAVING
-join-back — onto the TPC-H fixtures this harness ships, as oracle-full
+scalar-subquery count buckets, frequent-item semi-filters, HAVING
+join-back, correlated scalar subqueries (decorrelated), EXISTS-OR
+existence joins, multi-column INTERSECT chains, NOT-EXISTS anti joins,
+conditional-pivot self-joins, FULL-OUTER null-pattern matrices, and
+exact-sum stddev chains — onto the TPC-H fixtures this harness ships,
+as oracle-full
 queries (one ANSI SQL string runs through BOTH spark.sql and DuckDB).
 
 Each query's docstring-style description names the TPC-DS query whose
@@ -377,6 +381,142 @@ SELECT c_custkey, c_name, c_mktsegment, cnt
 FROM customer JOIN order_counts ON c_custkey = o_custkey
 """
 
+SQL_Q01_CORRELATED_AVG = f"""
+WITH ctr AS (
+    SELECT o_custkey AS ctr_custkey, c_nationkey AS ctr_nationkey,
+           sum(CAST(l_extendedprice AS {_DEC})) AS ctr_total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY o_custkey, c_nationkey
+)
+SELECT c_custkey, c_name,
+       CAST(ctr1.ctr_total AS DOUBLE) AS return_total
+FROM ctr ctr1 JOIN customer ON ctr1.ctr_custkey = c_custkey
+WHERE CAST(ctr1.ctr_total AS DOUBLE) >
+      (SELECT CAST(sum(ctr2.ctr_total) AS DOUBLE) / count(*) * 1.2
+       FROM ctr ctr2
+       WHERE ctr2.ctr_nationkey = ctr1.ctr_nationkey)
+"""
+
+SQL_Q02_QUARTER_PIVOT = f"""
+WITH q AS (
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           sum(CASE WHEN EXTRACT(QUARTER FROM o_orderdate) = 1
+                    THEN CAST(o_totalprice AS {_DEC}) END) AS q1_rev,
+           sum(CASE WHEN EXTRACT(QUARTER FROM o_orderdate) = 2
+                    THEN CAST(o_totalprice AS {_DEC}) END) AS q2_rev,
+           sum(CASE WHEN EXTRACT(QUARTER FROM o_orderdate) = 3
+                    THEN CAST(o_totalprice AS {_DEC}) END) AS q3_rev,
+           sum(CASE WHEN EXTRACT(QUARTER FROM o_orderdate) = 4
+                    THEN CAST(o_totalprice AS {_DEC}) END) AS q4_rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT a.n_name AS n_name,
+       floor(CAST(a.q1_rev AS DOUBLE) / NULLIF(CAST(b.q1_rev AS DOUBLE), 0)
+             * 10000 + 0.5) / 10000 AS q1_ratio,
+       floor(CAST(a.q2_rev AS DOUBLE) / NULLIF(CAST(b.q2_rev AS DOUBLE), 0)
+             * 10000 + 0.5) / 10000 AS q2_ratio,
+       floor(CAST(a.q3_rev AS DOUBLE) / NULLIF(CAST(b.q3_rev AS DOUBLE), 0)
+             * 10000 + 0.5) / 10000 AS q3_ratio,
+       floor(CAST(a.q4_rev AS DOUBLE) / NULLIF(CAST(b.q4_rev AS DOUBLE), 0)
+             * 10000 + 0.5) / 10000 AS q4_ratio
+FROM q a JOIN q b ON a.n_name = b.n_name
+WHERE a.yr = 1997 AND b.yr = 1996
+"""
+
+SQL_Q17_REBUY_STATS = f"""
+WITH returned AS (
+    SELECT o_custkey AS r_custkey, l_partkey AS r_partkey,
+           o_orderdate AS r_date
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+rebuy AS (
+    SELECT r.r_partkey AS partkey,
+           CAST(l.l_quantity AS {_DEC}) AS qty
+    FROM returned r
+    JOIN orders o ON o.o_custkey = r.r_custkey AND o.o_orderdate > r.r_date
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   AND l.l_partkey = r.r_partkey
+)
+SELECT p_brand, count(*) AS n_rebuys,
+       floor(CAST(sum(qty) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+           AS avg_qty,
+       floor(sqrt(greatest(
+               (CAST(sum(qty * qty) AS DOUBLE)
+                - CAST(sum(qty) AS DOUBLE) * CAST(sum(qty) AS DOUBLE)
+                  / count(*))
+               / NULLIF(count(*) - 1, 0),
+               CAST(0 AS DOUBLE))) * 10000 + 0.5) / 10000 AS stddev_qty
+FROM rebuy JOIN part ON partkey = p_partkey
+GROUP BY p_brand
+HAVING count(*) >= 2
+"""
+
+SQL_Q35_EXISTS_OR = """
+SELECT c_mktsegment, n_name, count(*) AS n_cust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100 AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+  AND (EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+       OR EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O'))
+GROUP BY c_mktsegment, n_name
+"""
+
+SQL_Q38_TRIPLE_INTERSECT = """
+SELECT count(*) AS n_loyal
+FROM (
+    SELECT DISTINCT o_custkey, EXTRACT(MONTH FROM o_orderdate) AS mon
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT DISTINCT o_custkey, EXTRACT(MONTH FROM o_orderdate) AS mon
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    INTERSECT
+    SELECT DISTINCT o_custkey, EXTRACT(MONTH FROM o_orderdate) AS mon
+    FROM orders WHERE o_orderpriority = '3-MEDIUM'
+) loyal
+"""
+
+SQL_Q78_NO_RETURN_NET = f"""
+SELECT n_name, count(*) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS {_DEC})) AS DOUBLE) AS kept_rev
+FROM lineitem l JOIN supplier ON l.l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM lineitem r
+                  WHERE r.l_orderkey = l.l_orderkey
+                    AND r.l_linenumber = l.l_linenumber
+                    AND r.l_returnflag = 'R')
+GROUP BY n_name
+"""
+
+SQL_Q97_CHANNEL_MATRIX = """
+WITH urgent AS (
+    SELECT DISTINCT o_custkey AS k, EXTRACT(MONTH FROM o_orderdate) AS m
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+relaxed AS (
+    SELECT DISTINCT o_custkey AS k, EXTRACT(MONTH FROM o_orderdate) AS m
+    FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+)
+SELECT count(CASE WHEN u.k IS NOT NULL AND r.k IS NOT NULL
+                  THEN 1 END) AS both_channels,
+       count(CASE WHEN u.k IS NOT NULL AND r.k IS NULL
+                  THEN 1 END) AS urgent_only,
+       count(CASE WHEN u.k IS NULL AND r.k IS NOT NULL
+                  THEN 1 END) AS relaxed_only
+FROM urgent u FULL OUTER JOIN relaxed r ON u.k = r.k AND u.m = r.m
+"""
+
 
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +611,58 @@ for name, sql, desc in [
         "TPC-DS q73/q34 shape (tpcds/q73.sql): per-customer order count "
         "HAVING BETWEEN band, joined back to the dimension for detail "
         "rows.",
+    ),
+    (
+        "sql_tpcds_q01_correlated_avg",
+        SQL_Q01_CORRELATED_AVG,
+        "TPC-DS q1 shape (tpcds/q1.sql): per-customer returns CTE "
+        "filtered by a CORRELATED scalar subquery against the per-group "
+        "(nation) average of the same CTE — Catalyst decorrelates it "
+        "into an aggregate + equi-join on the correlation key.",
+    ),
+    (
+        "sql_tpcds_q02_quarter_pivot",
+        SQL_Q02_QUARTER_PIVOT,
+        "TPC-DS q2 shape (tpcds/q2.sql): conditional-aggregate pivot "
+        "(per-quarter CASE sums) self-joined across periods for "
+        "period-over-period ratios per pivot column.",
+    ),
+    (
+        "sql_tpcds_q17_rebuy_stats",
+        SQL_Q17_REBUY_STATS,
+        "TPC-DS q17 shape (tpcds/q17.sql): returned-then-rebought fact "
+        "chain (returns joined to later orders of the same customer and "
+        "part) with count/avg/stddev per brand; stddev is computed from "
+        "exact decimal sums (sum, sum-of-squares) so it is engine-exact.",
+    ),
+    (
+        "sql_tpcds_q35_exists_or",
+        SQL_Q35_EXISTS_OR,
+        "TPC-DS q35/q10 shape (tpcds/q35.sql): EXISTS AND (EXISTS OR "
+        "EXISTS) customer filter — the OR of two EXISTS plans as "
+        "ExistenceJoin marker columns, not semi joins — then grouped "
+        "demographic aggregates.",
+    ),
+    (
+        "sql_tpcds_q38_triple_intersect",
+        SQL_Q38_TRIPLE_INTERSECT,
+        "TPC-DS q38 shape (tpcds/q38.sql): three-way multi-column "
+        "INTERSECT of distinct (customer, period) tuples across "
+        "channels, counted.",
+    ),
+    (
+        "sql_tpcds_q78_no_return_net",
+        SQL_Q78_NO_RETURN_NET,
+        "TPC-DS q78 shape (tpcds/q78.sql): sales-without-returns via "
+        "NOT EXISTS anti join on the composite line key, aggregated per "
+        "supplier nation.",
+    ),
+    (
+        "sql_tpcds_q97_channel_matrix",
+        SQL_Q97_CHANNEL_MATRIX,
+        "TPC-DS q97 shape (tpcds/q97.sql): FULL OUTER JOIN of distinct "
+        "(customer, period) sets from two channels, null-pattern CASE "
+        "counts giving the both/left-only/right-only matrix.",
     ),
 ]:
     register(name, oracle=sql, description=desc, tags=("sql", "tpcds"))(

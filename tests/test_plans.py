@@ -332,6 +332,40 @@ def test_tpcds_rollups_single_expand(spark, sf_dir):
         assert len(re.findall(r"\bExpand\b", plan)) == 1, name
 
 
+def test_tpcds_q35_exists_or_plans_existence_join(spark, sf_dir):
+    # The OR of two EXISTS cannot both be semi joins (a semi join filters
+    # rows, so the second EXISTS would never see the rows the first
+    # dropped); Spark must plan them as ExistenceJoin marker columns and
+    # evaluate the OR in a Filter. A rewrite through UNION/DISTINCT would
+    # rescan customer per branch — pin one customer scan.
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q35_exists_or")
+    assert "ExistenceJoin" in plan
+    assert len(re.findall(r"FileScan parquet \[c_", plan)) == 1
+
+
+def test_tpcds_q78_plans_anti_join(spark, sf_dir):
+    # sales-without-returns must plan as ONE anti join on the composite
+    # line key — not a distinct-and-except rewrite (extra shuffle) and
+    # never a BNLJ (the gate above also covers that).
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q78_no_return_net")
+    assert "LeftAnti" in plan
+    assert len(re.findall(r"\bExcept\b", plan)) == 0
+
+
+def test_tpcds_q01_decorrelates_to_equi_join(spark, sf_dir):
+    # The correlated scalar subquery (per-nation average of the same CTE)
+    # must decorrelate into an aggregate joined on the correlation key —
+    # plan shows only hash/merge equi-joins, no nested-loop per-row
+    # subquery execution.
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q01_correlated_avg")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_soundex_golden(spark):
     """soundex (stringExpressions.scala surface) against the published
     algorithm's canonical examples (no DuckDB equivalent, so golden
