@@ -585,6 +585,26 @@ def x_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_llm_ann_ivfpq",
+    oracle=None,  # codebook/centroid assignment rides float argmin
+    # boundaries; recall vs brute force is pinned in
+    # test_operators.py::test_ivfpq_recall_vs_bruteforce instead
+    description="IVF-PQ approximate top-k: product-quantized codes "
+    "scored by per-query ADC lookup tables inside probed cells, exact "
+    "cosine re-rank of the shortlist (FAISS IVFADC+refine shape).",
+    tags=("llm", "similarity", "ann", "ivf", "pq"),
+)
+def x_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivfpq_topk(
+        emb, queries, k=10, m=8, nbits=6, n_centroids=16, nprobe=4
+    )
+
+
+@register(
     "llm_embedding_norms",
     oracle="""
     SELECT label,
