@@ -956,6 +956,96 @@ def duplicate_span_coverage(
     )
 
 
+def exact_substring_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Excise corpus-duplicated n-gram spans from every document, keeping
+    the CANONICAL occurrence — the removal half of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499); `duplicate_span_coverage` above is its diagnostic
+    half. Token n-grams stand in for the paper's suffix-array byte spans.
+
+    Semantics (deterministic, engine-independent):
+    - a gram is duplicated when it occurs >= min_occurrences times across
+      the corpus (within-doc repeats count);
+    - the canonical occurrence of a duplicated gram is the lexicographic
+      minimum (doc_id, pos) — the "first" copy survives;
+    - every token position inside a NON-canonical occurrence of any
+      duplicated gram is removed; a position kept by one gram's canonical
+      occurrence but covered by another's non-canonical occurrence IS
+      removed (removal wins — overlaps merge at the position level);
+    - the cleaned text re-joins surviving tokens with single spaces
+      (original inter-token whitespace is not preserved).
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Scale contract: positioned grams explode to ~1 row per token; the
+    canonical pick is a map-side-combinable min(struct(doc,pos)) in the
+    same aggregation as the occurrence count — one shuffle on the gram
+    key, no window over the corpus. Removal positions aggregate per doc
+    (collect_set bounded by document length, never corpus size), and the
+    rebuild is one broadcast-free equi join back to the token arrays plus
+    a codegen filter/array_join — a degenerate boilerplate gram
+    concentrates its count, not its pairs; nothing is quadratic.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    ).withColumn("n_tokens", F.size("t").cast("bigint"))
+    pg = toks.select(
+        id_col,
+        F.explode(positioned_grams(F.col("t"), n)).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.md5("pg.g").alias("gk"))
+    # occurrence count + canonical (min (doc,pos)) in ONE partial-aggregable
+    # pass over the gram stream
+    dup = (
+        pg.groupBy("gk")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "canon"
+            ),
+        )
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gk", "canon")
+    )
+    rm = (
+        pg.join(dup, "gk")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("canon.d"))
+                & (F.col("pos") == F.col("canon.p"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("rpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("rpos").alias("rm"))
+    )
+    empty = F.array().cast("array<int>")
+    kept = F.filter(
+        F.col("t"),
+        # Spark's filter index is 0-based; positions are 1-based
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("rm"), empty), (i + 1).cast("int")
+        ),
+    )
+    return (
+        toks.join(rm, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1163,6 +1163,57 @@ def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens, t FROM toks
+    ), pg AS (
+      SELECT doc_id, u.pos AS pos, md5(u.g) AS gk
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, n_tokens - 1),
+                     i -> struct_pack(pos := i,
+                                      g := t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS u
+            FROM base WHERE n_tokens >= 3)
+    ), dup AS (
+      SELECT gk, min(struct_pack(d := doc_id, p := pos)) AS canon
+      FROM pg GROUP BY gk HAVING count(*) >= 2
+    ), rmpos AS (
+      SELECT p.doc_id, unnest(range(p.pos, p.pos + 3)) AS rpos
+      FROM pg p JOIN dup g ON p.gk = g.gk
+      WHERE NOT (p.doc_id = g.canon.d AND p.pos = g.canon.p)
+    ), rm AS (
+      SELECT doc_id, list(DISTINCT rpos) AS rm FROM rmpos GROUP BY doc_id
+    ), kept AS (
+      SELECT b.doc_id, b.n_tokens,
+             list_transform(
+               list_filter(range(1, b.n_tokens + 1),
+                           p -> NOT coalesce(list_contains(r.rm, p), false)),
+               p -> b.t[p]) AS kept
+      FROM base b LEFT JOIN rm r ON b.doc_id = r.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM kept
+    """,
+    description="Exact-substring REMOVAL dedup (the removal half of Lee "
+    "et al. 2022; llm_duplicate_spans is the diagnostic half): every "
+    "non-canonical occurrence of a corpus-repeated 3-gram is excised at "
+    "the token level, the lexicographically-first (doc_id, pos) copy "
+    "survives, overlaps merge positionally. Canonical pick rides the "
+    "same single map-side-combinable aggregation as the occurrence "
+    "count; rebuild is a per-doc codegen filter, never a corpus window.",
+    tags=("llm", "dedup", "spans"),
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_substring_remove(docs)
+
+
+@register(
     "llm_unicode_normalize",
     oracle="""
     WITH dec AS (

@@ -756,6 +756,37 @@ def test_duplicate_span_coverage_counts_positions(spark):
     assert got[4] == (6, 6, 1.0)
 
 
+def test_exact_substring_remove_keeps_canonical(spark):
+    from ops_spark.operators.dedup import exact_substring_remove
+
+    rows = [
+        (1, "a b c d e"),   # canonical "a b c" (lowest (doc,pos)) survives
+        (2, "a b c x y"),   # its copy is excised -> "x y"
+        (3, "p q r s t"),   # all grams unique -> untouched
+        (4, "z z z z z z"), # within-doc repeats: canonical span is [1..3],
+                            # but positions 2..6 are inside NON-canonical
+                            # occurrences too and removal wins -> only the
+                            # first token survives
+        (5, "m n"),         # shorter than n: no grams, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in exact_substring_remove(df).collect()}
+    assert got[1] == (5, 0, "a b c d e")
+    assert got[2] == (5, 3, "x y")
+    assert got[3] == (5, 0, "p q r s t")
+    assert got[4] == (6, 5, "z")
+    assert got[5] == (2, 0, "m n")
+    # overlap merge: "a b c" dup (canon doc 6) and "c d q" dup (canon doc 6)
+    # overlap at doc 7's position 3; removal wins once, positions merge
+    rows2 = [(6, "a b c d q"), (7, "a b c d q w")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r.doc_id: (r.n_removed, r.clean_text)
+            for r in exact_substring_remove(df2).collect()}
+    assert got2[6] == (0, "a b c d q")
+    assert got2[7] == (5, "w")
+
+
 def test_normalize_unicode_composes_and_folds(spark):
     from ops_spark.operators.text import normalize_unicode
 
