@@ -75,6 +75,80 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    topk: int = 10,
+    per_list_k: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple per-query candidate rankings
+    (Cormack et al. 2009) — the standard way hybrid retrieval combines a
+    lexical ranker (BM25) with a dense one (embedding cosine) without
+    score calibration: fused(d) = Σ_r 1/(rrf_k + rank_r(d)).
+
+    Each input carries (query_id, doc_id, score); ranks are assigned here
+    by (score DESC, doc_id ASC) row_number so ties are deterministic.
+    Feed QUANTIZED scores (integer micro-units) when cross-engine
+    reproducibility matters — a last-ulp score difference flips a rank.
+
+    Contributions are summed in integer micro-units —
+    floor(1e12/(rrf_k+rank)) — so the fused total is exact and
+    order-independent no matter how many lists are fused or how partial
+    aggregation interleaves (a float Σ of >2 terms depends on add order).
+    Returns (query_id, doc_id, rrf_e12, rank), rrf_e12 the exact BIGINT
+    micro-score.
+
+    Scale shape: every window and the fusion groupBy are keyed on
+    query_id (and doc); per-list candidate sets should be pre-cut (pass
+    per_list_k or feed top-k inputs), so window partitions are bounded by
+    the candidate count per query, never the corpus. No all-pairs stage;
+    union of K lists is K· topk rows per query into one shuffle.
+    """
+    from pyspark.sql.window import Window as W
+
+    contribs = []
+    for r in rankings:
+        w = W.partitionBy(query_id_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        ranked = r.select(query_id_col, id_col, score_col).withColumn(
+            "__rank", F.row_number().over(w)
+        )
+        if per_list_k is not None:
+            ranked = ranked.filter(F.col("__rank") <= per_list_k)
+        contribs.append(
+            ranked.select(
+                query_id_col,
+                id_col,
+                F.floor(F.lit(1e12) / (F.lit(float(rrf_k)) + F.col("__rank")))
+                .cast("bigint")
+                .alias("__c"),
+            )
+        )
+    fused = contribs[0]
+    for c in contribs[1:]:
+        fused = fused.unionByName(c)
+    agg = fused.groupBy(query_id_col, id_col).agg(
+        F.sum("__c").alias("rrf_e12")
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_e12"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rrf_e12").cast("bigint").alias("rrf_e12"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def tfidf_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1407,6 +1407,115 @@ def llm_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_rrf_hybrid",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), q(query_id, t) AS (
+      VALUES (1, 'table'), (1, 'hash'),
+             (2, 'spark'), (2, 'sort'), (2, 'window'),
+             (3, 'merge'), (3, 'batch')
+    ), s AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))) AS s
+      FROM tf JOIN q ON tf.t = q.t
+              JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN dfreq d ON tf.t = d.t
+              CROSS JOIN consts c
+    ), bm AS (
+      SELECT query_id, doc_id,
+             CAST(floor(sum(s) * 100.0 + 0.5) AS BIGINT) AS score
+      FROM s GROUP BY 1, 2
+    ), bmr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm
+    ), qv AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ), den AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             CAST(floor(
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6)
+               * 1e6 + 0.5) AS BIGINT) AS score
+      FROM embeddings e CROSS JOIN qv q
+    ), denr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM den
+    ), contrib AS (
+      SELECT query_id, doc_id,
+             CAST(floor(1e12 / (60.0 + rank)) AS BIGINT) AS c
+      FROM bmr WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(floor(1e12 / (60.0 + rank)) AS BIGINT) AS c
+      FROM denr WHERE rank <= 20
+    ), fused AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_e12
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_e12,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_e12 DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """,
+    description="Hybrid retrieval via reciprocal-rank fusion (Cormack et "
+    "al. 2009): BM25 lexical ranking fused with dense cosine ranking, "
+    "top-20 per list, rrf_k=60. Both input scores are integer-quantized "
+    "before ranking and RRF contributions sum in exact e12 micro-units, "
+    "so the fusion is order-independent and engine-exact. All windows "
+    "and the fusion groupBy key on query_id — candidate sets bounded by "
+    "per-list top-k, never corpus size.",
+    tags=("llm", "retrieval", "bm25", "ann", "hybrid"),
+)
+def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.retrieval import bm25_scores, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q_terms = spark.createDataFrame(
+        [(1, "table"), (1, "hash"), (2, "spark"), (2, "sort"), (2, "window"),
+         (3, "merge"), (3, "batch")],
+        "query_id bigint, term string",
+    )
+    bm = bm25_scores(docs, q_terms).select(
+        "query_id",
+        "doc_id",
+        F.floor(F.col("score") * 100.0 + 0.5).cast("bigint").alias("score"),
+    )
+    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = S.cosine_topk(emb, qv, k=20).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.floor(F.col("sim") * 1e6 + 0.5).cast("bigint").alias("score"),
+    )
+    return rrf_fuse([bm, dense], rrf_k=60, topk=10, per_list_k=20)
+
+
+@register(
     "llm_source_overlap",
     oracle=f"""
     WITH toks AS (

@@ -756,6 +756,38 @@ def test_duplicate_span_coverage_counts_positions(spark):
     assert got[4] == (6, 6, 1.0)
 
 
+def test_rrf_fuse_exact_and_deterministic(spark):
+    from ops_spark.operators.retrieval import rrf_fuse
+
+    # three lists so the sum has >2 terms (the float-order trap the
+    # e12 integer units exist to avoid)
+    l1 = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0), (1, 12, 3.0)],
+        "query_id int, doc_id int, score double",
+    )
+    l2 = spark.createDataFrame(
+        [(1, 11, 9.0), (1, 10, 8.0)], "query_id int, doc_id int, score double"
+    )
+    l3 = spark.createDataFrame(
+        [(1, 12, 1.0), (1, 13, 2.0)], "query_id int, doc_id int, score double"
+    )
+    got = {r.doc_id: (r.rrf_e12, r.rank)
+           for r in rrf_fuse([l1, l2, l3], rrf_k=60, topk=4).collect()}
+    # exact integer contributions: floor(1e12/(60+rank))
+    c = lambda rank: int(1e12) // (60 + rank)
+    assert got[10][0] == c(1) + c(2)   # rank1 in l1, rank2 in l2
+    assert got[11][0] == c(2) + c(1)
+    assert got[12][0] == c(3) + c(2)   # rank3 in l1, rank2 in l3
+    assert got[13][0] == c(1)          # only l3
+    # 10 and 11 tie exactly in integer units -> doc_id tie-break
+    assert got[10][1] == 1 and got[11][1] == 2
+    # per_list_k cuts each list BEFORE fusion
+    cut = {r.doc_id: r.rrf_e12
+           for r in rrf_fuse([l1, l2, l3], rrf_k=60, topk=4,
+                             per_list_k=1).collect()}
+    assert set(cut) == {10, 11, 13} and cut[10] == c(1)
+
+
 def test_exact_substring_remove_keeps_canonical(spark):
     from ops_spark.operators.dedup import exact_substring_remove
 

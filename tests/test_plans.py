@@ -238,6 +238,10 @@ def test_ensure_runtime_confs_respects_explicit_200(spark):
 _ALL_PAIRS_OK = {
     "join_cross",
     "llm_cosine_topk",
+    # RRF's dense input is cosine_topk's broadcast-queries scan: corpus ×
+    # |Q|=3 rows — linear in the corpus, bounded by the query battery,
+    # the same shape llm_cosine_topk blesses above
+    "llm_rrf_hybrid",
     "Q11_important_parts",
     "Q22_dormant_customers",
     "llm_bm25_scores",  # 1-row corpus-constants broadcast (scalar shape)
