@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ops_spark.operators.text import tokens
+from ops_spark.operators.text import token_hash64, tokens
 
 
 def bm25_scores(
@@ -72,6 +72,141 @@ def bm25_scores(
         .withColumn("__s", idf * tf_part)
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__s").alias("score"))
+    )
+
+
+def _hashed_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, bigrams: bool
+) -> DataFrame:
+    """Hashed n-gram feature stream: one (id, bucket) row per unigram
+    (and bigram) occurrence, bucket = md5-hash64 mod n_buckets. md5-based
+    so any engine reproduces the bucketing bit-for-bit."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    feats = toks
+    if bigrams:
+        bg = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        feats = F.concat(toks, bg)
+    return df.select(
+        F.col(id_col),
+        F.explode(feats).alias("__f"),
+    ).select(
+        id_col,
+        (token_hash64(F.col("__f")) % n_buckets).alias("bucket"),
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram
+    features are,
+
+        weight(doc) = Σ_f c_f(doc) · [ln p̂_target(f) − ln p̂_raw(f)]
+
+    with add-1-smoothed bucket unigram(+bigram) probabilities over
+    n_buckets md5-hashed feature buckets. High weight ⇒ the doc looks
+    like the target distribution; resample raw by weight to select
+    pretraining data that matches a quality target ("books-like").
+
+    Cross-engine exactness: the per-bucket log-likelihood ratio is
+    quantized to e4 micro-units (floor(llr·1e4 + 0.5), spelled in the
+    fixed a−b−c+d evaluation order) and the per-doc total sums those
+    BIGINTs — exact and order-independent regardless of partial-agg
+    interleaving. Returns (id, n_features, weight_e4).
+
+    Scale shape: feature extraction is one exploded stream per corpus;
+    bucket counts are map-side-combinable groupBys bounded by n_buckets
+    rows; the llr table (≤ n_buckets rows) broadcasts; totals ride 1-row
+    broadcasts (the blessed scalar crossJoin shape). Per-doc scoring is
+    one equi join + one groupBy on the doc key. Nothing scales with
+    corpus² and no stage materializes more than the token stream.
+    """
+    rf = _hashed_features(raw, id_col, text_col, n_buckets, bigrams)
+    tf_ = _hashed_features(target, id_col, text_col, n_buckets, bigrams)
+    raw_counts = rf.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tf_.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw_tot = raw_counts.agg(F.sum("cr").alias("tr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").alias("tt"))
+    # llr per bucket present in the RAW stream (buckets absent from raw
+    # never appear in a scored doc); missing target buckets smooth to +1
+    llr = (
+        raw_counts.join(F.broadcast(tgt_counts), "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    - F.log(F.col("tt") + float(n_buckets))
+                    - F.log(F.col("cr") + 1.0)
+                    + F.log(F.col("tr") + float(n_buckets))
+                )
+                * 1e4
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("llr_e4"),
+        )
+    )
+    per_doc = rf.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_features"),
+            F.sum(F.col("c") * F.col("llr_e4")).cast("bigint").alias("weight_e4"),
+        )
+    )
+
+
+def dsir_gumbel_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR's selection step: sample k documents WITHOUT replacement by
+    importance weight via the Gumbel-top-k trick — top-k of
+    (log-weight + Gumbel noise) is an exact sample from the softmax of
+    the weights. Noise is DERIVED, not drawn: u = md5(doc_id:salt) as a
+    uniform in (0,1), g = −ln(−ln(u)) — reproducible in any engine, so
+    the "random" sample is still oracle-checkable and re-runs select the
+    same documents (vary salt for a fresh sample).
+
+    Scale shape: the weight pass is dsir_importance (one exploded token
+    stream + bounded bucket tables); the selection is a global
+    TakeOrdered(k) with a (score, id) tie-break — a per-partition heap +
+    driver merge of k·partitions rows, never a corpus-wide sort or
+    single-partition window.
+    """
+    w = dsir_importance(raw, target, id_col, text_col, n_buckets, bigrams)
+    u = (token_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) + 1.0) / float(
+        (1 << 60) + 1
+    )
+    g_e4 = F.floor(-F.log(-F.log(u)) * 1e4 + 0.5).cast("bigint")
+    return (
+        w.withColumn("score_e4", (F.col("weight_e4") + g_e4).cast("bigint"))
+        .orderBy(F.desc("score_e4"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "weight_e4", "score_e4")
     )
 
 

@@ -1407,6 +1407,128 @@ def llm_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dsir_weights",
+    oracle=r"""
+    WITH rtoks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), rb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+      FROM (SELECT doc_id, unnest(list_concat(t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]))) AS f
+            FROM rtoks)
+    ), tb AS (
+      SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+      FROM (SELECT unnest(list_concat(t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]))) AS f
+            FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents WHERE lang = 'en'))
+    ), rc AS (
+      SELECT bucket, count(*) AS cr FROM rb GROUP BY 1
+    ), tc AS (
+      SELECT bucket, count(*) AS ct FROM tb GROUP BY 1
+    ), rt AS (SELECT sum(cr) AS tr FROM rc
+    ), tt_ AS (SELECT sum(ct) AS tt FROM tc
+    ), llr AS (
+      SELECT rc.bucket,
+             CAST(floor((ln(coalesce(tc.ct, 0) + 1.0) - ln(tt + 4096.0)
+                         - ln(cr + 1.0) + ln(tr + 4096.0)) * 1e4 + 0.5)
+                  AS BIGINT) AS llr_e4
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN rt CROSS JOIN tt_
+    ), pd AS (
+      SELECT doc_id, bucket, count(*) AS c FROM rb GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+           CAST(sum(c * llr_e4) AS BIGINT) AS weight_e4
+    FROM pd JOIN llr USING (bucket) GROUP BY 1
+    """,
+    description="DSIR importance weights (Xie et al. 2023): every doc "
+    "scored by hashed-unigram+bigram log-likelihood ratio against the "
+    "lang='en' target slice — the data-selection pass a pretraining "
+    "pipeline runs to resample raw data toward a quality target. "
+    "Per-bucket llr quantized to e4 micro-units in a fixed a-b-c+d "
+    "evaluation order, per-doc totals summed as BIGINT (exact, "
+    "order-independent). Bucket tables bounded at n_buckets=4096 rows "
+    "and broadcast; totals ride 1-row scalar broadcasts.",
+    tags=("llm", "retrieval", "dsir", "sampling"),
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.retrieval import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "llm_dsir_sample",
+    oracle=r"""
+    WITH rtoks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), rb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+      FROM (SELECT doc_id, unnest(list_concat(t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]))) AS f
+            FROM rtoks)
+    ), tb AS (
+      SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+      FROM (SELECT unnest(list_concat(t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]))) AS f
+            FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents WHERE lang = 'en'))
+    ), rc AS (
+      SELECT bucket, count(*) AS cr FROM rb GROUP BY 1
+    ), tc AS (
+      SELECT bucket, count(*) AS ct FROM tb GROUP BY 1
+    ), rt AS (SELECT sum(cr) AS tr FROM rc
+    ), tt_ AS (SELECT sum(ct) AS tt FROM tc
+    ), llr AS (
+      SELECT rc.bucket,
+             CAST(floor((ln(coalesce(tc.ct, 0) + 1.0) - ln(tt + 4096.0)
+                         - ln(cr + 1.0) + ln(tr + 4096.0)) * 1e4 + 0.5)
+                  AS BIGINT) AS llr_e4
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN rt CROSS JOIN tt_
+    ), pd AS (
+      SELECT doc_id, bucket, count(*) AS c FROM rb GROUP BY 1, 2
+    ), w AS (
+      SELECT doc_id, CAST(sum(c * llr_e4) AS BIGINT) AS weight_e4
+      FROM pd JOIN llr USING (bucket) GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, weight_e4,
+             CAST(weight_e4 + floor(-ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 15))::BIGINT
+                + 1.0) / 1152921504606846977.0)) * 1e4 + 0.5) AS BIGINT)
+             AS score_e4
+      FROM w
+    )
+    SELECT doc_id, weight_e4, score_e4
+    FROM scored ORDER BY score_e4 DESC, doc_id LIMIT 50
+    """,
+    description="DSIR's selection step: Gumbel-top-k over the importance "
+    "weights — an exact softmax sample without replacement, with the "
+    "Gumbel noise DERIVED from md5(doc_id:salt) so the sample is "
+    "reproducible and oracle-checkable. Selection is TakeOrdered(k) "
+    "(per-partition heap + driver merge), never a global sort.",
+    tags=("llm", "retrieval", "dsir", "sampling"),
+)
+def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.retrieval import dsir_gumbel_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_gumbel_topk(docs, docs.filter(F.col("lang") == "en"), k=50)
+
+
+@register(
     "llm_rrf_hybrid",
     oracle=r"""
     WITH toks AS (

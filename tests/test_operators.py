@@ -756,6 +756,34 @@ def test_duplicate_span_coverage_counts_positions(spark):
     assert got[4] == (6, 6, 1.0)
 
 
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from ops_spark.operators.retrieval import dsir_importance
+
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha"),  # pure target language
+            (2, "gamma delta gamma delta gamma"),  # pure off-target
+            (3, "alpha beta gamma delta"),  # mixed
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha beta"), (11, "beta alpha beta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_features, r.weight_e4)
+           for r in dsir_importance(raw, target).collect()}
+    # n_features = unigrams + bigrams = tokens + (tokens-1)
+    assert got[1][0] == 5 + 4
+    assert got[2][0] == 5 + 4
+    assert got[3][0] == 4 + 3
+    # target-like doc must out-score the off-target one, mixed in between
+    assert got[1][1] > got[3][1] > got[2][1]
+    # determinism: integer micro-unit sums are identical run to run
+    again = {r.doc_id: r.weight_e4 for r in dsir_importance(raw, target).collect()}
+    assert again == {k: v[1] for k, v in got.items()}
+
+
 def test_rrf_fuse_exact_and_deterministic(spark):
     from ops_spark.operators.retrieval import rrf_fuse
 
