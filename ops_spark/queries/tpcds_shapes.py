@@ -518,6 +518,84 @@ FROM urgent u FULL OUTER JOIN relaxed r ON u.k = r.k AND u.m = r.m
 """
 
 
+SQL_Q49_RETURN_RANKS = """
+WITH by_channel AS (
+    SELECT concat('Q', CAST(EXTRACT(QUARTER FROM l_shipdate) AS INT)) AS channel,
+           l_partkey AS partkey,
+           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret_qty,
+           sum(l_quantity) AS tot_qty,
+           sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_amt
+    FROM lineitem
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    GROUP BY 1, 2
+    HAVING sum(l_quantity) > 0
+),
+ranked AS (
+    SELECT channel, partkey,
+           CAST(floor(ret_qty / tot_qty * 1000000 + 0.5) AS BIGINT) AS ratio_e6,
+           rank() OVER (PARTITION BY channel
+                        ORDER BY floor(ret_qty / tot_qty * 1000000 + 0.5)
+                                 DESC NULLS LAST,
+                                 partkey ASC NULLS LAST) AS ratio_rank,
+           rank() OVER (PARTITION BY channel
+                        ORDER BY CAST(ret_amt AS DOUBLE) DESC NULLS LAST,
+                                 partkey ASC NULLS LAST) AS amt_rank
+    FROM by_channel
+)
+SELECT channel, partkey, ratio_e6,
+       CAST(ratio_rank AS INT) AS ratio_rank,
+       CAST(amt_rank AS INT) AS amt_rank
+FROM ranked
+WHERE ratio_rank <= 10 OR amt_rank <= 10
+"""
+
+SQL_Q95_DOUBLE_EXISTS = """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_suppkey <> l2.l_suppkey
+              WHERE l1.l_orderkey = o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = o_orderkey
+                    AND l3.l_returnflag = 'R')
+"""
+
+SQL_Q14_CROSS_CHANNEL = """
+WITH cross_parts AS (
+    SELECT l_partkey AS pk FROM lineitem
+    WHERE EXTRACT(QUARTER FROM l_shipdate) = 1
+    INTERSECT
+    SELECT l_partkey FROM lineitem
+    WHERE EXTRACT(QUARTER FROM l_shipdate) = 2
+    INTERSECT
+    SELECT l_partkey FROM lineitem
+    WHERE EXTRACT(QUARTER FROM l_shipdate) = 3
+),
+avg_sales AS (
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS threshold
+    FROM lineitem
+)
+SELECT channel, brand,
+       CAST(sum(sales) AS DOUBLE) AS total_sales,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM (
+    SELECT concat('Q', CAST(EXTRACT(QUARTER FROM l_shipdate) AS INT)) AS channel,
+           p_brand AS brand,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS sales
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(QUARTER FROM l_shipdate) IN (1, 2, 3)
+      AND l_partkey IN (SELECT pk FROM cross_parts)
+)
+GROUP BY ROLLUP (channel, brand)
+HAVING CAST(sum(sales) AS DOUBLE) > 50 * (SELECT threshold FROM avg_sales)
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -656,6 +734,31 @@ for name, sql, desc in [
         "TPC-DS q78 shape (tpcds/q78.sql): sales-without-returns via "
         "NOT EXISTS anti join on the composite line key, aggregated per "
         "supplier nation.",
+    ),
+    (
+        "sql_tpcds_q49_return_ranks",
+        SQL_Q49_RETURN_RANKS,
+        "TPC-DS q49 shape (tpcds/q49.sql): per-channel return-ratio "
+        "ranking — TWO rank() windows over the SAME partition key with "
+        "different order keys (one Exchange, two WindowExecs), OR'd "
+        "rank filters. Ratio is floor-e6 quantized before ranking so "
+        "rank keys are engine-exact.",
+    ),
+    (
+        "sql_tpcds_q95_double_exists",
+        SQL_Q95_DOUBLE_EXISTS,
+        "TPC-DS q95 shape (tpcds/q95.sql): correlated EXISTS over a "
+        "fact SELF-JOIN (orders shipped by >1 supplier) AND a NOT "
+        "EXISTS anti filter (never returned) — Catalyst decorrelates "
+        "both into semi/anti joins on the order key.",
+    ),
+    (
+        "sql_tpcds_q14_cross_channel",
+        SQL_Q14_CROSS_CHANNEL,
+        "TPC-DS q14 shape (tpcds/q14a.sql): INTERSECT-derived "
+        "cross-channel item set semi-filtering the channel scans, "
+        "ROLLUP totals gated by a HAVING against a scalar-subquery "
+        "average (the avg_sales threshold CTE).",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

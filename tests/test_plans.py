@@ -333,6 +333,7 @@ def test_tpcds_rollups_single_expand(spark, sf_dir):
         "sql_tpcds_q27_rollup_avg",
         "sql_tpcds_q36_margin_rank",
         "sql_tpcds_q77_channel_profit",
+        "sql_tpcds_q14_cross_channel",
     ):
         plan = _exec_plan(spark, sf_dir, name)
         assert len(re.findall(r"\bExpand\b", plan)) == 1, name
@@ -360,6 +361,34 @@ def test_tpcds_q78_plans_anti_join(spark, sf_dir):
     plan = _exec_plan(spark, sf_dir, "sql_tpcds_q78_no_return_net")
     assert "LeftAnti" in plan
     assert len(re.findall(r"\bExcept\b", plan)) == 0
+
+
+def test_tpcds_q49_one_exchange_two_windows(spark, sf_dir):
+    # Two rank() windows over the SAME partition key (channel) with
+    # different order keys must share ONE Exchange — Spark plans the
+    # second Window directly over the first's output with only a Sort in
+    # between. A second hashpartitioning exchange on channel means the
+    # partitioning was lost between the window apps (at 100 TB that is a
+    # full extra shuffle of the aggregate). One lineitem scan: the
+    # ratio/amount ranks come from one by_channel aggregate, not a
+    # per-window rescan.
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q49_return_ranks")
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    assert len(re.findall(r"FileScan parquet \[l_", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2  # agg + window
+
+
+def test_tpcds_q95_plans_semi_and_anti(spark, sf_dir):
+    # The correlated EXISTS-over-self-join must decorrelate to a SEMI
+    # join on the order key and the NOT EXISTS to an ANTI join — no
+    # per-row subquery execution, no BNLJ.
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q95_double_exists")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_tpcds_q01_decorrelates_to_equi_join(spark, sf_dir):
