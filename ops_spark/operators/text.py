@@ -780,3 +780,44 @@ def char_bigram_lm_scores(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logp"),
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for URL-level dedup — the first dedup pass a
+    web-crawl pipeline (CommonCrawl/CCNet-style) runs, BEFORE any
+    content hashing: lowercase scheme+host, strip a leading "www.",
+    strip the scheme's default port (:443 for https, :80 for http),
+    strip trailing path slashes (empty path → "/"), drop the fragment,
+    drop tracking parameters (utm_*, fbclid, gclid), and sort the
+    surviving query parameters so param order cannot defeat the dedup.
+
+    Pure codegen string ops (regexp_extract/replace, split, array_sort)
+    — zero shuffle, embarrassingly parallel, and every step is
+    reproducible in ANSI-ish SQL so oracles can recompute it.
+    Paths stay case-sensitive per RFC 3986; only scheme and host fold.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)="),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -1214,6 +1214,85 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_url_dedup",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang
+             || '/Article-' || (doc_id % 50)
+             || '/?utm_source=feed&ref=rss&id=' || (doc_id % 50)
+             || '&utm_campaign=x#sec' || (doc_id % 7) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+        regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM urls
+    ), step AS (
+      SELECT doc_id, scheme,
+        CASE WHEN scheme = 'https'
+             THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+             WHEN scheme = 'http'
+             THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+             ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+        CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qs
+      FROM parts
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+      FROM step
+    )
+    SELECT curl AS canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_urls
+    FROM canon GROUP BY 1
+    """,
+    description="URL canonicalization + dedup (operators/text.py:"
+    "canonicalize_url) — the first pass a web-crawl pipeline runs before "
+    "any content hashing: fold scheme+host case, strip www./default "
+    "port/trailing slashes/fragment, drop utm_*/fbclid/gclid tracking "
+    "params, SORT surviving params, then keep min(doc_id) per canonical "
+    "URL. Fixture docs carry no URL, so each doc gets a deterministic "
+    "synthesized messy URL whose doc_id%50 collisions the dedup must "
+    "find. Zero-shuffle codegen until the one groupBy on the canonical "
+    "key.",
+    tags=("llm", "text", "url", "dedup"),
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.text import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    m50 = (F.col("doc_id") % 50).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/Article-"),
+        m50,
+        F.lit("/?utm_source=feed&ref=rss&id="),
+        m50,
+        F.lit("&utm_campaign=x#sec"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("curl"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        )
+    )
+
+
+@register(
     "llm_unicode_normalize",
     oracle="""
     WITH dec AS (

@@ -756,6 +756,30 @@ def test_duplicate_span_coverage_counts_positions(spark):
     assert got[4] == (6, 6, 1.0)
 
 
+def test_canonicalize_url_edge_cases(spark):
+    from ops_spark.operators.text import canonicalize_url
+
+    cases = [
+        # scheme+host fold, www/default-port/fragment strip, param sort
+        ("HTTPS://WWW.Ex.COM:443/A/b/?z=1&utm_source=x&a=2#frag",
+         "https://ex.com/A/b?a=2&z=1"),
+        # http default port; path case PRESERVED; gclid/fbclid dropped
+        ("http://Ex.com:80/Path?gclid=g&fbclid=f&b=1",
+         "http://ex.com/Path?b=1"),
+        # NON-default port kept; bare host -> "/"; no params
+        ("https://ex.com:8443", "https://ex.com:8443/"),
+        # trailing slashes collapse; all params tracking -> no "?"
+        ("https://ex.com/a///?utm_campaign=c", "https://ex.com/a"),
+        # utm must match as PREFIX only: "autumn=1" survives
+        ("https://ex.com/?autumn=1&utm_x=2", "https://ex.com/?autumn=1"),
+        # :443 is only default for https; http keeps it
+        ("http://ex.com:443/x", "http://ex.com:443/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from ops_spark.operators.retrieval import dsir_importance
 
