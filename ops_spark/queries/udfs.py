@@ -453,6 +453,80 @@ def source_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_warc",
+    oracle="""
+    SELECT CASE WHEN doc_id % 4 = 0 THEN 'revisit' ELSE 'response' END
+             AS warc_type,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_hosts
+    FROM documents GROUP BY 1
+    """,
+    description="WARC source (io/warc.py): the documents table round-"
+    "trips through real per-record-gzipped .warc.gz files (the "
+    "CommonCrawl layout) and back through the warclite Python Data "
+    "Source — one InputPartition per file, the crawl-pipeline unit of "
+    "parallelism. The byte-count aggregate proves payloads survive the "
+    "write→gzip→parse roundtrip exactly; the oracle re-derives every "
+    "figure from the parquet source of truth.",
+    tags=("source", "warc", "llm"),
+)
+def source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ops_spark.io.warc import register_warc_source, write_warc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    # Key the staged fixture on content mtime too: derived datasets
+    # (scale_stress) regenerate under the same path.
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"ops_spark_warc_{digest}")
+    done = os.path.join(d, "_done")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "text", "source"])
+        rows = sorted(
+            zip(
+                t["doc_id"].to_pylist(),
+                t["text"].to_pylist(),
+                t["source"].to_pylist(),
+            )
+        )
+        n_files = 4
+        chunks: list[list[dict]] = [[] for _ in range(n_files)]
+        for doc_id, text, source in rows:
+            chunks[doc_id % n_files].append(
+                {
+                    "record_id": f"<urn:uuid:doc-{doc_id}>",
+                    "warc_type": "revisit" if doc_id % 4 == 0 else "response",
+                    "target_uri": f"https://{source}.example.com/doc/{doc_id}",
+                    "warc_date": "2024-01-01T00:00:00Z",
+                    "payload": text.encode("utf-8"),
+                }
+            )
+        for i, ch in enumerate(chunks):
+            write_warc(os.path.join(d, f"part-{i:04d}.warc.gz"), ch)
+        open(done, "w").close()
+    register_warc_source(spark)
+    w = spark.read.format("warclite").option("path", d).load()
+    return w.groupBy("warc_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+        F.count_distinct(
+            F.regexp_extract("target_uri", r"https://([^./]+)\.", 1)
+        )
+        .cast("bigint")
+        .alias("n_hosts"),
+    )
+
+
+@register(
     "source_avro",
     oracle="""
     SELECT s_nationkey,

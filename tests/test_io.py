@@ -1015,3 +1015,58 @@ print('HIVE_SERDE_OK')
         timeout=420,
     )
     assert "HIVE_SERDE_OK" in out.stdout, out.stderr[-3000:]
+
+
+def test_warc_roundtrip_and_partitioning(spark, tmp_path):
+    import gzip
+
+    import pytest as _pytest
+
+    from ops_spark.io.warc import (
+        parse_warc_stream,
+        register_warc_source,
+        write_warc,
+    )
+
+    recs = [
+        {
+            "record_id": f"<urn:uuid:r{i}>",
+            "warc_type": "response" if i % 2 else "revisit",
+            "target_uri": f"https://h{i}.example.com/p",
+            "warc_date": "2024-01-01T00:00:00Z",
+            # binary-ish payload incl. CRLFs and non-ascii — the parser
+            # must count bytes, not lines
+            "payload": (f"body {i}\r\n\r\nünïcode\r\n" * (i + 1)).encode(),
+        }
+        for i in range(5)
+    ]
+    d = tmp_path / "warc"
+    d.mkdir()
+    write_warc(str(d / "a.warc.gz"), recs[:3], record_gzip=True)
+    write_warc(str(d / "b.warc"), recs[3:], record_gzip=False)
+
+    # stream parser: payloads byte-identical through the gzip roundtrip
+    with gzip.open(d / "a.warc.gz", "rb") as f:
+        got = list(parse_warc_stream(f))
+    assert [r["payload"] for r in got] == [r["payload"] for r in recs[:3]]
+    assert [r["record_id"] for r in got] == [r["record_id"] for r in recs[:3]]
+
+    # truncated payload must raise, not silently yield short bytes
+    with gzip.open(d / "a.warc.gz", "rb") as f:
+        blob = f.read()
+    import io as _io
+
+    with _pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_stream(_io.BytesIO(blob[:-40])))
+
+    # Spark source: one partition per file, full fidelity
+    register_warc_source(spark)
+    df = spark.read.format("warclite").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r.record_id: r for r in df.collect()}
+    assert len(rows) == 5
+    for rec in recs:
+        got_r = rows[rec["record_id"]]
+        assert bytes(got_r.payload) == rec["payload"]
+        assert got_r.content_length == len(rec["payload"])
+        assert got_r.warc_type == rec["warc_type"]
