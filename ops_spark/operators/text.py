@@ -821,3 +821,43 @@ def canonicalize_url(url: Column | str) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def html_to_text(html: Column | str) -> Column:
+    """WET-style main-text extraction (the CommonCrawl WARC→WET step, and
+    the first transform a CCNet-style pipeline applies to raw crawl
+    payloads): drop <script>/<style> subtrees and comments, turn
+    block-closing tags into newlines, strip remaining tags, decode the
+    common named entities, and collapse whitespace runs.
+
+    Regex-tier extraction is the honest scope here — a full HTML5 parser
+    is a library problem, not an engine problem; this matches what
+    early CCNet/WET tooling shipped. Pure codegen regexp_replace chain:
+    zero shuffle, and every step is reproducible in DuckDB's RE2 (the
+    patterns avoid backrefs, which RE2 lacks).
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    # subtree drops first, so their inner text can't leak
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block-level closers/breaks become line breaks before tag stripping
+    c = F.regexp_replace(
+        c, r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/title)\s*>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    # fixed named-entity set, longest-first so &amp; decodes once
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # collapse intra-line whitespace, then blank-line runs, then trim
+    c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

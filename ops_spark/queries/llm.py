@@ -1214,6 +1214,73 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_wet_extract",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>t</title><style>p{color:red}</style>'
+             || '<script>var x = "<p>not text</p>";</script></head><body>'
+             || '<!-- nav --><h1>Doc ' || doc_id || '</h1><p>' || text
+             || '</p><div>footer &amp; more &lt;tags&gt;</div></body></html>'
+             AS html
+      FROM documents
+    ), wet AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/title)\s*>', chr(10), 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)),
+            '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+          '[ \t\x0b\f\r]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+          '\n{2,}', chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS wet_text
+      FROM raw
+    )
+    SELECT doc_id, wet_text,
+           CAST(len(string_split(wet_text, chr(10))) AS BIGINT) AS n_lines
+    FROM wet
+    """,
+    description="WET-style HTML→text extraction (operators/text.py:"
+    "html_to_text — the CommonCrawl WARC→WET step): script/style/comment "
+    "subtrees dropped, block closers become newlines, tags stripped, "
+    "named entities decoded, whitespace collapsed. Fixture docs are "
+    "wrapped in a deterministic HTML template whose script body contains "
+    "decoy markup the extractor must NOT leak. Zero-shuffle codegen "
+    "regexp chain, RE2-compatible so the DuckDB oracle recomputes it "
+    "verbatim.",
+    tags=("llm", "text", "html", "wet"),
+)
+def llm_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p{color:red}</style>'
+            '<script>var x = "<p>not text</p>";</script></head><body>'
+            "<!-- nav --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>footer &amp; more &lt;tags&gt;</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_to_text(html).alias("wet_text"),
+    ).withColumn(
+        "n_lines", F.size(F.split("wet_text", "\n")).cast("bigint")
+    )
+
+
+@register(
     "llm_url_dedup",
     oracle=r"""
     WITH urls AS (

@@ -756,6 +756,28 @@ def test_duplicate_span_coverage_counts_positions(spark):
     assert got[4] == (6, 6, 1.0)
 
 
+def test_html_to_text_extraction(spark):
+    from ops_spark.operators.text import html_to_text
+
+    cases = [
+        # script content (with decoy markup) and comments must NOT leak;
+        # title and block closers become line breaks; entities decode
+        ('<html><head><title>T</title><script>var a="<p>no</p>";</script>'
+         "</head><body><!-- c --><h1>H</h1><p>a &amp; b</p>"
+         "<div>x &lt;y&gt;</div></body></html>",
+         "T\nH\na & b\nx <y>"),
+        # <br/> variants, nbsp, whitespace collapse across lines
+        ("line1<br>line2<BR />line3  \t  end&nbsp;.", "line1\nline2\nline3 end ."),
+        # nested style dropped case-insensitively, multiline (dotall)
+        ("<STYLE>\n p { }\n</STYLE>keep", "keep"),
+        # plain text untouched
+        ("no markup here", "no markup here"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r.t for r in df.select(html_to_text("h").alias("t")).collect()]
+    assert got == [w for _, w in cases]
+
+
 def test_canonicalize_url_edge_cases(spark):
     from ops_spark.operators.text import canonicalize_url
 
