@@ -86,3 +86,65 @@ def roundtrip(
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE-style small-file compaction — the table-maintenance pass a
+    100 TB pipeline runs continuously (streaming sinks and fine-grained
+    partitioning mint thousands of KB-sized files; at scale the NameNode/
+    listing cost and per-file open overhead dominate reads long before
+    the bytes do).
+
+    Rewrites the dataset into ceil(total_bytes / target_bytes) files.
+    With sort_by, data is range-repartitioned and sorted within files so
+    parquet footer min/max stats make the files SKIPPABLE on that key
+    (the poor man's Z-order for a single key; composite keys should use
+    the z-order query's interleaving first). The rewrite lands in a
+    sibling temp directory and swaps in via two renames — readers never
+    observe a half-written dataset, matching FileFormatWriter's
+    job-commit discipline at the directory level.
+
+    Returns {files_before, files_after, bytes, n_target_files}.
+    """
+    import math
+
+    def _files(p: str) -> list[str]:
+        out = []
+        for root, _, names in os.walk(p):
+            out += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(".")
+            ]
+        return out
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_by]
+        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_files(path)),
+        "bytes": total,
+        "n_target_files": n,
+    }

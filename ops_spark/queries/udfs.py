@@ -453,6 +453,51 @@ def source_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_io_compact",
+    oracle=None,  # filesystem maintenance op: file layout is not
+    # SQL-expressible; data-equality + disjoint-range invariants are
+    # pinned in test_io.py::test_compact_parquet_binpacks_and_sorts
+    description="OPTIMIZE-style small-file compaction (io/sinks.py:"
+    "compact_parquet): a 64-file copy of the orders table bin-packs "
+    "into range-sorted target files with an atomic directory swap; "
+    "returns the before/after layout stats plus a data checksum so the "
+    "driver sees the rewrite was lossless.",
+    tags=("io", "compaction", "maintenance"),
+)
+def x_io_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.sinks import compact_parquet
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"ops_spark_compact_{digest}")
+    shutil.rmtree(work, ignore_errors=True)
+    base = spark.read.parquet(src)
+    before_sum = base.selectExpr("sum(o_orderkey) s").first().s
+    base.repartition(64).write.parquet(work)  # mint the small-file pathology
+    stats = compact_parquet(
+        spark, work, target_bytes=1 << 40, sort_by=["o_orderkey"]
+    )
+    after_sum = spark.read.parquet(work).selectExpr("sum(o_orderkey) s").first().s
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["files_before"]),
+                int(stats["files_after"]),
+                bool(before_sum == after_sum),
+            )
+        ],
+        "files_before int, files_after int, lossless boolean",
+    )
+
+
+@register(
     "source_warc",
     oracle="""
     SELECT CASE WHEN doc_id % 4 = 0 THEN 'revisit' ELSE 'response' END

@@ -1070,3 +1070,94 @@ def test_warc_roundtrip_and_partitioning(spark, tmp_path):
         assert bytes(got_r.payload) == rec["payload"]
         assert got_r.content_length == len(rec["payload"])
         assert got_r.warc_type == rec["warc_type"]
+
+
+def test_compact_parquet_binpacks_and_sorts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ops_spark.io.sinks import compact_parquet
+
+    p = str(tmp_path / "many")
+    # 64 tiny files (the streaming-sink pathology)
+    spark.range(0, 6400).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(p)
+    stats = compact_parquet(spark, p, target_bytes=1 << 40)  # pack into 1
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] == 1
+    df = spark.read.parquet(p)
+    assert df.count() == 6400
+    assert df.agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(6400))
+
+    # sorted compaction: per-file id ranges must be DISJOINT so footer
+    # min/max stats can skip files on an id predicate
+    p2 = str(tmp_path / "sorted")
+    spark.range(0, 6400).withColumn(
+        "id2", 6399 - F.col("id")
+    ).repartition(16).write.parquet(p2)
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(p2, f))
+        for f in os.listdir(p2)
+        if f.endswith(".parquet")
+    )
+    target = math.ceil(total / 4)
+    stats2 = compact_parquet(spark, p2, target_bytes=target, sort_by=["id2"])
+    assert 2 <= stats2["files_after"] <= 6
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(p2)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(p2, f), columns=["id2"])
+        if t.num_rows:
+            col = t["id2"].to_pylist()
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+    # no temp/old dirs left behind
+    assert not os.path.exists(p2 + ".__compact_tmp")
+    assert not os.path.exists(p2 + ".__compact_old")
+
+
+def test_dataframe_lateral_join_and_scalar_subquery_api(spark, sf_dir):
+    """DataFrame.lateralJoin + DataFrame.scalar (Spark 4.0): the API forms
+    of LATERAL correlated joins (sql_lateral_join pins the SQL form) and
+    scalar subqueries."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+
+    # lateralJoin: the right side references the outer row via .outer()
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, [30]), (3, [])], "id int, xs array<int>"
+    )
+    out = df.lateralJoin(
+        spark.tvf.explode(F.col("xs").outer()).toDF("x")
+    ).select("id", "x")
+    assert {(r.id, r.x) for r in out.collect()} == {(1, 10), (1, 20), (2, 30)}
+    # NOTE: a lateral TVF explode is rewritten to a Generate, which is
+    # inner regardless of how="left" (the empty-array row drops — same in
+    # SQL `LEFT JOIN LATERAL (SELECT explode(...))`); left-outer lateral
+    # semantics need a non-generator subquery:
+    sub = (
+        spark.range(1)
+        .select(F.lit(1).alias("one"))
+        .where(F.element_at(F.col("xs").outer(), 1).isNotNull())
+    )
+    out_l = df.lateralJoin(sub, how="left").select("id", "one")
+    assert {(r.id, r.one) for r in out_l.collect()} == {
+        (1, 1), (2, 1), (3, None)
+    }
+
+    # scalar(): a 1x1 aggregate used as a filter predicate
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("a")).scalar()
+    got = cust.filter(F.col("c_acctbal") > avg_bal).count()
+    rows = [r.c_acctbal for r in cust.collect()]
+    mean = sum(rows) / len(rows)
+    assert got == sum(1 for b in rows if b > mean)
