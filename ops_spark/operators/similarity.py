@@ -742,3 +742,89 @@ def embedding_clusters(
     return labeled.join(sizes, "cluster_id").select(
         F.col("id").alias(id_col), "cluster_id", "cluster_size"
     )
+
+
+def dimension_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics from exact integer sums: components
+    are floor-quantized to e6 micro-units so Σx and Σx² are BIGINT-exact
+    and order-independent (a float Σ over millions of rows drifts with
+    partition order — enough to flip a downstream rounding boundary).
+    Returns (dim, n, mu, sd) — one row per dimension, broadcast-sized for
+    any corpus. Bound: |x| ≤ ~90 keeps Σ(x_e6²) inside int64 at 1e6 rows
+    per dimension; embedding components are unit-scale, far inside it.
+    """
+    comp = corpus.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    q = F.floor(F.col("x") * 1e6 + 0.5).cast("bigint")
+    stats = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum(q * q).alias("ss"),
+    )
+    mu = F.col("s") / 1e6 / F.col("n")
+    return stats.select(
+        "dim",
+        "n",
+        mu.alias("mu"),
+        F.sqrt(
+            F.col("ss") / 1e12 / F.col("n")
+            - (F.col("s") / 1e6 / F.col("n")) * (F.col("s") / 1e6 / F.col("n"))
+        ).alias("sd"),
+    )
+
+
+def standardize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension standardization (whitening-lite) — the ANN
+    preprocessing pass that stops one high-variance dimension from
+    dominating every cosine/LSH bucket decision on anisotropic
+    embeddings.
+
+    The 64-row stats table folds into TWO 1-row map columns
+    (map_from_entries over collect_list — index metadata, the same
+    driver-free contract as IVF centroids) that broadcast to the scan;
+    standardization is then a single codegen transform per vector — no
+    join back, no reassembly shuffle. z-scores are floor-quantized to e4
+    BIGINTs (constant dimensions, sd = 0, map to 0), so output is exact,
+    order-independent, and engine-reproducible. Returns (id, z4:
+    array<bigint>).
+    """
+    maps = dimension_stats(corpus, id_col, vec_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("mu")))
+        ).alias("mu_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("sd")))
+        ).alias("sd_map"),
+    )
+    xq = lambda x: F.floor(x * 1e6 + 0.5).cast("bigint") / 1e6  # noqa: E731
+    return (
+        spread(corpus)
+        .crossJoin(F.broadcast(maps))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: F.when(
+                    F.element_at(F.col("sd_map"), i) == 0.0, F.lit(0)
+                )
+                .otherwise(
+                    F.floor(
+                        (xq(x) - F.element_at(F.col("mu_map"), i))
+                        / F.element_at(F.col("sd_map"), i)
+                        * 1e4
+                        + 0.5
+                    )
+                )
+                .cast("bigint"),
+            ).alias("z4"),
+        )
+    )

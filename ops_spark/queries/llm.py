@@ -605,6 +605,64 @@ def x_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_standardize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, u.i - 1 AS dim, u.x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                     i -> struct_pack(i := i, x := embedding[i]))) AS u
+            FROM embeddings)
+    ), q AS (
+      SELECT vec_id, dim, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS xq
+      FROM comp
+    ), stats AS (
+      SELECT dim, count(*) AS n, sum(xq) AS s, sum(xq * xq) AS ss
+      FROM q GROUP BY 1
+    ), m AS (
+      SELECT dim,
+             s / 1e6 / n AS mu,
+             sqrt(ss / 1e12 / n - (s / 1e6 / n) * (s / 1e6 / n)) AS sd
+      FROM stats
+    ), z AS (
+      SELECT vec_id, dim,
+             CASE WHEN sd = 0 THEN 0
+                  ELSE CAST(floor((xq / 1e6 - mu) / sd * 1e4 + 0.5) AS BIGINT)
+             END AS z4
+      FROM q JOIN m USING (dim)
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(
+             list_sort(list(struct_pack(d := dim, z := z4))),
+             s -> CAST(s.z AS VARCHAR)), ',') AS zvec,
+           CAST(sum(z4) AS BIGINT) AS z_sum_e4
+    FROM z GROUP BY vec_id
+    """,
+    description="Per-dimension embedding standardization (whitening-lite, "
+    "operators/similarity.py:standardize_embeddings) — the preprocessing "
+    "that stops one high-variance dimension from dominating cosine/LSH "
+    "decisions. Σx and Σx² per dimension are BIGINT-exact from e6-"
+    "quantized components; the 64-row stats table folds into two 1-row "
+    "broadcast maps and standardization is one codegen transform per "
+    "vector (no join-back shuffle). z-scores floor-quantized to e4; "
+    "output stringified as integer CSV (engine-identical formatting).",
+    tags=("llm", "similarity", "preprocessing"),
+)
+def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    z = S.standardize_embeddings(emb)
+    return z.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("z4"), lambda v: v.cast("string")), ","
+        ).alias("zvec"),
+        F.aggregate(
+            F.col("z4"), F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("z_sum_e4"),
+    )
+
+
+@register(
     "llm_embedding_norms",
     oracle="""
     SELECT label,

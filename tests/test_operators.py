@@ -756,6 +756,30 @@ def test_duplicate_span_coverage_counts_positions(spark):
     assert got[4] == (6, 6, 1.0)
 
 
+def test_standardize_embeddings_zero_mean_unit_std(spark):
+    import numpy as np
+
+    from ops_spark.operators.similarity import standardize_embeddings
+
+    rng = np.random.RandomState(7)
+    # dim0 high variance, dim1 shifted, dim2 CONSTANT (sd=0 guard)
+    X = np.stack(
+        [rng.normal(0, 5, 400), rng.normal(3, 0.1, 400), np.full(400, 0.25)],
+        axis=1,
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    Z = np.array([r.z4 for r in standardize_embeddings(df).orderBy("vec_id").collect()],
+                 dtype=np.float64) / 1e4
+    # per-dim: mean ~0, std ~1 (quantization noise ≤ 1e-3)
+    assert np.abs(Z[:, :2].mean(axis=0)).max() < 1e-3
+    assert np.abs(Z[:, :2].std(axis=0) - 1.0).max() < 1e-2
+    # constant dimension maps to exactly 0, not NaN/inf
+    assert (Z[:, 2] == 0.0).all()
+
+
 def test_html_to_text_extraction(spark):
     from ops_spark.operators.text import html_to_text
 

@@ -249,6 +249,7 @@ _ALL_PAIRS_OK = {
     "llm_ngram_lm_score",  # 1-row model-total broadcast (scalar shape, text.py)
     "llm_dsir_weights",  # two 1-row corpus-total broadcasts (scalar shape, retrieval.py)
     "llm_dsir_sample",  # same scalar broadcasts via dsir_importance
+    "llm_embedding_standardize",  # 1-row stats-map broadcast (scalar shape)
     # 8 single-row count(*) subqueries cross-joined (TPC-DS q88's exact
     # shape): every BNLJ side is one aggregate row, so the "cross join"
     # is 8 scalar broadcasts
