@@ -288,7 +288,51 @@ def _v_knn_recall(spark, sf_dir, n_sample=2000, k=5):
     )
 
 
+def _v_ivfpq_recall(spark, sf_dir, k=10):
+    """MEASURED recall@k for the IVF-PQ tier at scale: the exact top-k
+    for the query battery (vec_id < 5, the registered query's own
+    inputs) by chunked brute-force GEMM over the whole corpus, under the
+    operator's (sim desc, vec_id asc) tie-break, vs x_llm_ann_ivfpq's
+    output. The ADC scan tier only ever sees m-byte PQ codes — the exact
+    re-rank of the shortlist must keep recall at the coarse-probe
+    ceiling (knobs: nprobe/n_centroids widen the probe set,
+    shortlist_factor deepens the re-rank)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import ops_spark.queries as q
+    from ops_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qids = sorted(i for i in pos if i < 5)
+    exact: dict[int, set] = {}
+    sims = M[[pos[i] for i in qids]] @ M.T
+    for row, qid in zip(sims, qids):
+        kth = -np.partition(-row, k - 1)[k - 1]
+        cand = np.nonzero(row >= kth)[0]
+        order = cand[np.lexsort((ids[cand], -row[cand]))][:k]
+        exact[qid] = {int(ids[j]) for j in order}
+    got = q.get_query("x_llm_ann_ivfpq").builder(spark, sf_dir).collect()
+    approx: dict[int, set] = {}
+    for r in got:
+        approx.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+    hits = sum(len(exact[i] & approx.get(i, set())) for i in exact)
+    denom = sum(len(v) for v in exact.values())
+    recall = round(hits / denom, 4) if denom else 0.0
+    return (
+        recall >= 0.5,
+        f"measured recall@{k}={recall} n_queries={len(exact)} "
+        f"corpus={len(ids)} (knobs: nprobe/n_centroids/shortlist_factor)",
+    )
+
+
 INVARIANT_VERIFIERS = {
+    "x_llm_ann_ivfpq": _v_ivfpq_recall,
     "llm_ngram_jaccard_pairs": _v_jaccard_pairs,
     "llm_minhash_lsh_dedup": _v_jaccard_completeness,
     "llm_transitive_dedup": _v_transitive,
