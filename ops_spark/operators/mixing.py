@@ -213,3 +213,74 @@ def temperature_resample(
         )
         .drop("_c", "_k")
     )
+
+
+def doremi_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "loss_e4",
+    iters: int = 5,
+    eta: float = 1.0,
+    smoothing: float = 1e-3,
+) -> DataFrame:
+    """DoReMi-lite domain-mixture optimization (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", arXiv:2305.10429): Group-DRO exponentiated-gradient
+    ascent over per-domain excess loss — domains the (proxy) model finds
+    hard get upweighted, and the returned mixture is the AVERAGE of the
+    per-step weights (the paper's estimator), floored with a uniform
+    smoothing term so no domain starves.
+
+    ``loss_col`` carries an e4-quantized integer loss per document (any
+    per-doc difficulty proxy: LM negative log-likelihood, quality-logit
+    complement). Per-domain means come from ONE map-side-combinable
+    aggregation over exact BIGINT sums; only the ~|domains|-row table is
+    collected (bounded metadata — the same driver contract as IVF
+    centroids / BPE argmax; domain counts are 10s-100s in practice, never
+    corpus-scale). The EG loop is pure driver arithmetic over that tiny
+    table; excess is normalized by the loss RANGE so eta is scale-free.
+
+    Returns (domain, n_docs, avg_loss_e4, weight_e6) with weight_e6
+    integer-quantized weights summing to ~1e6.
+    """
+    stats = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(loss_col).cast("bigint")).alias("s"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            F.floor(F.col("s") / F.col("n_docs") + 0.5)
+            .cast("bigint")
+            .alias("avg_loss_e4"),
+        )
+        .orderBy("domain")
+        .collect()
+    )
+    domains = [r.domain for r in stats]
+    losses = [float(r.avg_loss_e4) for r in stats]
+    k = len(domains)
+    mean = sum(losses) / k
+    rng = max(losses) - min(losses) or 1.0
+    excess = [(x - mean) / rng for x in losses]
+    w = [1.0 / k] * k
+    acc = [0.0] * k
+    import math
+
+    for _ in range(iters):
+        w = [wi * math.exp(eta * ei) for wi, ei in zip(w, excess)]
+        tot = sum(w)
+        w = [wi / tot for wi in w]
+        acc = [a + wi for a, wi in zip(acc, w)]
+    avg = [a / iters for a in acc]
+    final = [(1.0 - smoothing) * a + smoothing / k for a in avg]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (d, int(r.n_docs), int(r.avg_loss_e4), int(fw * 1e6 + 0.5))
+            for d, r, fw in zip(domains, stats, final)
+        ],
+        "domain string, n_docs bigint, avg_loss_e4 bigint, weight_e6 bigint",
+    )

@@ -1733,6 +1733,37 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_llm_doremi_mixture",
+    oracle=None,  # the EG loop's exp() is driver-side float math over the
+    # bounded domain table; the per-domain loss aggregation is exact-int.
+    # Weight ordering/sum/smoothing invariants are pinned in
+    # test_operators.py::test_doremi_mixture_upweights_hard_domains
+    description="DoReMi-lite mixture optimization (Xie et al. 2023): "
+    "per-domain LM loss (char-bigram negative mean log-prob, exact e4 "
+    "integer means) drives Group-DRO exponentiated-gradient reweighting; "
+    "output is the step-averaged, uniform-smoothed domain mixture a "
+    "pretraining run would sample with. One corpus aggregation; only the "
+    "~|domains|-row table reaches the driver.",
+    tags=("llm", "mixing", "doremi"),
+)
+def x_llm_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.mixing import doremi_mixture
+    from ops_spark.operators.text import char_bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = char_bigram_lm_scores(docs)
+    j = docs.select("doc_id", "source").join(lm, "doc_id")
+    return doremi_mixture(
+        j.withColumn(
+            "loss_e4",
+            F.floor(-F.col("avg_logp") * 1e4 + 0.5).cast("bigint"),
+        ),
+        "source",
+        "loss_e4",
+    )
+
+
+@register(
     "llm_rrf_hybrid",
     oracle=r"""
     WITH toks AS (

@@ -826,6 +826,56 @@ def test_canonicalize_url_edge_cases(spark):
     assert got == [want for _, want in cases]
 
 
+def test_doremi_mixture_upweights_hard_domains(spark):
+    from ops_spark.operators.mixing import doremi_mixture
+
+    rows = []
+    # three domains with planted loss levels: hard > medium > easy
+    for i in range(300):
+        rows.append((i, "hard", 30000 + (i % 7)))
+        rows.append((i + 1000, "medium", 20000 + (i % 7)))
+        rows.append((i + 2000, "easy", 10000 + (i % 7)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, loss_e4 long")
+    out = {r.domain: r for r in doremi_mixture(df, "source", "loss_e4").collect()}
+    assert set(out) == {"hard", "medium", "easy"}
+    # Group-DRO: higher excess loss -> higher mixture weight
+    assert out["hard"].weight_e6 > out["medium"].weight_e6 > out["easy"].weight_e6
+    # weights form a distribution (e6 units, rounding slack)
+    assert abs(sum(r.weight_e6 for r in out.values()) - 1_000_000) <= 3
+    # smoothing floor: even the easiest domain keeps > smoothing/k mass
+    assert out["easy"].weight_e6 > 1e-3 / 3 * 1e6 * 0.9
+    # exact integer per-domain means
+    assert out["hard"].avg_loss_e4 == 30000 + round(sum(i % 7 for i in range(300)) / 300)
+    # determinism
+    again = {r.domain: r.weight_e6
+             for r in doremi_mixture(df, "source", "loss_e4").collect()}
+    assert again == {d: r.weight_e6 for d, r in out.items()}
+
+
+def test_canonicalize_url_idempotent(spark):
+    # canonical form must be a fixed point: canonicalize(canonicalize(u))
+    # == canonicalize(u) — otherwise two passes of the pipeline dedup
+    # differently than one
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.text import canonicalize_url
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/A/b/?z=1&utm_source=x&a=2#frag",
+        "http://Ex.com:80/Path?gclid=g&b=1&a=3",
+        "https://ex.com:8443",
+        "https://ex.com/a///?utm_campaign=c",
+        "http://ex.com:443/x?b=2&a=1",
+        "https://www.w.example.org/p/q?x=1&x=0",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    )
+    assert out.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from ops_spark.operators.retrieval import dsir_importance
 
