@@ -251,3 +251,71 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA, Raghavan
+    et al. 2007; the GraphFrames labelPropagation shape) — the clustering
+    pass that groups near-duplicate template families after dedup has
+    produced similarity edges.
+
+    DETERMINISTIC variant: every round each vertex adopts the most
+    frequent label among its NEIGHBORS (ties → smallest label; isolated
+    vertices keep their own), synchronously, for a fixed iteration
+    count. The paper's asynchronous random-order/random-tie walk is
+    irreproducible by design; the synchronous rule makes runs and
+    engines agree bit-for-bit. Known property: synchronous LPA can
+    oscillate 2-cycles on bipartite structures — with a fixed round
+    count the output is still exact and reproducible, which is what a
+    conformance-gated pipeline needs.
+
+    Scale contract: per round, one equi join (edges ⋈ labels on the
+    vertex key), one map-side-combinable (vertex, label) count, one
+    per-vertex window bounded by the vertex's distinct neighbor-label
+    count — never corpus-wide. Lineage cut per round via
+    localCheckpoint (blocks.py contract).
+    """
+    from pyspark.sql.window import Window as W
+
+    ein = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    verts = (
+        ein.select(F.col("u").alias("id"))
+        .union(ein.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    labels = tracked_local_checkpoint(
+        verts.withColumn("label", F.col("id"))
+    )
+    sym = tracked_local_checkpoint(
+        ein.union(ein.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    free_checkpoint(ein)
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("bid"), F.col("label").alias("blabel"))
+        )
+        new_labels = tracked_local_checkpoint(
+            labels.join(best, labels.id == best.bid, "left").select(
+                "id", F.coalesce("blabel", "label").alias("label")
+            )
+        )
+        free_checkpoint(labels)
+        labels = new_labels
+    free_checkpoint(sym)
+    return adopt_tracking(labels, labels.select("id", "label"))

@@ -35,6 +35,62 @@ def _order_part_edges(spark: SparkSession, sf_dir: str, max_order: int) -> DataF
 
 
 @register(
+    "graph_label_propagation",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
+      FROM lineitem WHERE l_orderkey <= 100
+    ),
+    edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    l0 AS (SELECT id, id AS label FROM nodes),
+    c1 AS (SELECT e.a AS id, l.label, count(*) AS c
+           FROM edges e JOIN l0 l ON l.id = e.b GROUP BY 1, 2),
+    b1 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM c1)
+           WHERE rn = 1),
+    l1 AS (SELECT l.id, coalesce(b.label, l.label) AS label
+           FROM l0 l LEFT JOIN b1 b USING (id)),
+    c2 AS (SELECT e.a AS id, l.label, count(*) AS c
+           FROM edges e JOIN l1 l ON l.id = e.b GROUP BY 1, 2),
+    b2 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM c2)
+           WHERE rn = 1),
+    l2 AS (SELECT l.id, coalesce(b.label, l.label) AS label
+           FROM l1 l LEFT JOIN b2 b USING (id)),
+    c3 AS (SELECT e.a AS id, l.label, count(*) AS c
+           FROM edges e JOIN l2 l ON l.id = e.b GROUP BY 1, 2),
+    b3 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM c3)
+           WHERE rn = 1),
+    l3 AS (SELECT l.id, coalesce(b.label, l.label) AS label
+           FROM l2 l LEFT JOIN b3 b USING (id))
+    SELECT label AS community, count(*) AS n_nodes
+    FROM l3 GROUP BY 1
+    """,
+    description="Label-propagation community detection (GraphFrames "
+    "labelPropagation kin; Raghavan et al. 2007) over the bipartite "
+    "order-part graph: 3 synchronous rounds, most-frequent-neighbor "
+    "label, ties to the smallest label — fully deterministic, so the "
+    "oracle unrolls the identical rounds as chained CTEs. Per round: one "
+    "edge⋈label equi join, one combinable (vertex,label) count, one "
+    "per-vertex window bounded by neighbor-label cardinality.",
+    tags=("graph", "iterative", "custom-operator", "llm"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.graph import label_propagation
+
+    edges = _order_part_edges(spark, sf_dir, max_order=100)
+    lab = label_propagation(edges, src="a", dst="b", iterations=3)
+    return lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
     "graph_connected_components",
     oracle="""
     WITH RECURSIVE

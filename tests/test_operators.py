@@ -826,6 +826,28 @@ def test_canonicalize_url_edge_cases(spark):
     assert got == [want for _, want in cases]
 
 
+def test_label_propagation_finds_planted_communities(spark):
+    from ops_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must converge each
+    # clique to its min label and keep the cliques separate
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(c1 + c2 + bridge, "id_a long, id_b long")
+    lab = {r.id: r.label
+           for r in label_propagation(df, iterations=4).collect()}
+    assert len(lab) == 8
+    comm1 = {lab[i] for i in range(1, 5)}
+    comm2 = {lab[i] for i in range(10, 14)}
+    assert len(comm1) == 1 and len(comm2) == 1
+    assert comm1 != comm2
+    # isolated vertex keeps its own label
+    df2 = spark.createDataFrame(c1 + [(99, 99)], "id_a long, id_b long")
+    lab2 = {r.id: r.label for r in label_propagation(df2, iterations=2).collect()}
+    assert lab2[99] == 99
+
+
 def test_doremi_mixture_upweights_hard_domains(spark):
     from ops_spark.operators.mixing import doremi_mixture
 
