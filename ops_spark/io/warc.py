@@ -158,3 +158,68 @@ def register_warc_source(spark) -> None:
         spark.dataSource.register(WarcDataSource)
     except Exception:
         pass  # already registered in this session
+
+
+def stage_documents_warc(sf_dir: str, html: bool = False) -> str:
+    """Stage the documents fixture as .warc.gz files (idempotent, keyed on
+    source mtime so regenerated derived datasets re-stage). html=True
+    wraps each payload in the deterministic HTML template (script decoy,
+    entities, fixed furniture) and gives every record the MESSY tracking
+    URL whose doc_id%50 collisions URL-dedup must find — the raw-crawl
+    shape the llm_crawl_pipeline capstone consumes. html=False writes
+    plain-text payloads with distinct URIs (the source_warc roundtrip
+    fixture)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}:{'html' if html else 'plain'}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"ops_spark_warc_{digest}")
+    done = os.path.join(d, "_done")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(src, columns=["doc_id", "text", "source", "lang"])
+    rows = sorted(
+        zip(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        )
+    )
+    n_files = 4
+    chunks: list[list[dict]] = [[] for _ in range(n_files)]
+    for doc_id, text, source, lang in rows:
+        if html:
+            body = (
+                '<html><head><title>t</title><style>p{color:red}</style>'
+                '<script>var x = "<p>not text</p>";</script></head><body>'
+                f"<!-- nav --><p>{text}</p>"
+                "<div>footer &amp; more &lt;tags&gt;</div></body></html>"
+            )
+            uri = (
+                f"HTTPS://WWW.{source.upper()}.Example.COM:443/{lang}"
+                f"/Article-{doc_id % 50}/?utm_source=feed&ref=rss"
+                f"&id={doc_id % 50}&utm_campaign=x#sec{doc_id % 7}"
+            )
+        else:
+            body = text
+            uri = f"https://{source}.example.com/doc/{doc_id}"
+        chunks[doc_id % n_files].append(
+            {
+                "record_id": f"<urn:uuid:doc-{doc_id}>",
+                "warc_type": "revisit" if doc_id % 4 == 0 else "response",
+                "target_uri": uri,
+                "warc_date": "2024-01-01T00:00:00Z",
+                "payload": body.encode("utf-8"),
+            }
+        )
+    for i, ch in enumerate(chunks):
+        write_warc(os.path.join(d, f"part-{i:04d}.warc.gz"), ch)
+    open(done, "w").close()
+    return d

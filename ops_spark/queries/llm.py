@@ -1339,6 +1339,132 @@ def llm_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_crawl_pipeline",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id, lang, source, text,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang
+             || '/Article-' || (doc_id % 50)
+             || '/?utm_source=feed&ref=rss&id=' || (doc_id % 50)
+             || '&utm_campaign=x#sec' || (doc_id % 7) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, lang, source, text,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+        regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM urls
+    ), step AS (
+      SELECT doc_id, lang, source, text, scheme,
+        CASE WHEN scheme = 'https'
+             THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+             WHEN scheme = 'http'
+             THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+             ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+        CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qs
+      FROM parts
+    ), canon AS (
+      SELECT doc_id, lang, source, text,
+             scheme || '://' || host || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+      FROM step
+    ), urlkept AS (
+      SELECT doc_id, lang, source, text, curl FROM (
+        SELECT *, row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+        FROM canon) WHERE rn = 1
+    ), en AS (
+      SELECT doc_id, source, text, curl FROM urlkept
+      WHERE regexp_extract(curl, 'example\.com/([a-z]+)/', 1) = 'en'
+    ), raw AS (
+      SELECT doc_id, curl,
+             '<html><head><title>t</title><style>p{color:red}</style>'
+             || '<script>var x = "<p>not text</p>";</script></head><body>'
+             || '<!-- nav --><p>' || text
+             || '</p><div>footer &amp; more &lt;tags&gt;</div></body></html>'
+             AS html
+      FROM en
+    ), wet AS (
+      SELECT doc_id, curl,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/title)\s*>', chr(10), 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)),
+            '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+          '[ \t\x0b\f\r]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+          '\n{2,}', chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS wet_text
+      FROM raw
+    ), final AS (
+      SELECT doc_id, curl, wet_text FROM (
+        SELECT *, row_number() OVER (PARTITION BY wet_text ORDER BY doc_id) AS rn2
+        FROM wet) WHERE rn2 = 1
+    )
+    SELECT regexp_extract(curl, 'https://([^./]+)\.', 1) AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(wet_text, '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM final GROUP BY 1
+    """,
+    description="Crawl-to-corpus CAPSTONE: real .warc.gz files (HTML "
+    "payloads, messy tracking URLs) read through the warclite source, "
+    "then URL canonicalization + dedup → language filter from the "
+    "canonical path → WET HTML→text extraction → exact text dedup → "
+    "per-source token accounting, ALL IN ONE PLAN. The oracle re-derives "
+    "the entire chain from the parquet source of truth, so every stage "
+    "(gzip parse, URL normalize, regex extraction, both dedups) is "
+    "value-hash-checked end-to-end. Per-file WARC partitions feed "
+    "zero-shuffle codegen stages; the only wide ops are the two dedup "
+    "groupBys and the final per-source aggregate.",
+    tags=("llm", "pipeline", "warc", "wet", "url", "dedup"),
+)
+def llm_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.io.warc import register_warc_source, stage_documents_warc
+    from ops_spark.operators.dedup import exact_dedup
+    from ops_spark.operators.text import canonicalize_url, html_to_text, tokens
+
+    d = stage_documents_warc(sf_dir, html=True)
+    register_warc_source(spark)
+    w = spark.read.format("warclite").option("path", d).load()
+    docs = w.select(
+        F.regexp_extract("record_id", r"doc-(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+        canonicalize_url(F.col("target_uri")).alias("curl"),
+    )
+    kept = exact_dedup(docs, ["curl"], "doc_id")
+    en = kept.filter(
+        F.regexp_extract("curl", r"example\.com/([a-z]+)/", 1) == "en"
+    )
+    wet = en.withColumn("wet_text", html_to_text(F.col("html")))
+    final = exact_dedup(wet, ["wet_text"], "doc_id")
+    return (
+        final.withColumn(
+            "source", F.regexp_extract("curl", r"https://([^./]+)\.", 1)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("wet_text"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "llm_url_dedup",
     oracle=r"""
     WITH urls AS (
