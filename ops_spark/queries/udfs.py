@@ -517,47 +517,9 @@ def x_io_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "warc", "llm"),
 )
 def source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from ops_spark.io.warc import register_warc_source, stage_documents_warc
 
-    import pyarrow.parquet as pq
-
-    from ops_spark.io.warc import register_warc_source, write_warc
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    # Key the staged fixture on content mtime too: derived datasets
-    # (scale_stress) regenerate under the same path.
-    digest = hashlib.md5(
-        f"{sf_dir}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"ops_spark_warc_{digest}")
-    done = os.path.join(d, "_done")
-    if not os.path.exists(done):
-        os.makedirs(d, exist_ok=True)
-        t = pq.read_table(src, columns=["doc_id", "text", "source"])
-        rows = sorted(
-            zip(
-                t["doc_id"].to_pylist(),
-                t["text"].to_pylist(),
-                t["source"].to_pylist(),
-            )
-        )
-        n_files = 4
-        chunks: list[list[dict]] = [[] for _ in range(n_files)]
-        for doc_id, text, source in rows:
-            chunks[doc_id % n_files].append(
-                {
-                    "record_id": f"<urn:uuid:doc-{doc_id}>",
-                    "warc_type": "revisit" if doc_id % 4 == 0 else "response",
-                    "target_uri": f"https://{source}.example.com/doc/{doc_id}",
-                    "warc_date": "2024-01-01T00:00:00Z",
-                    "payload": text.encode("utf-8"),
-                }
-            )
-        for i, ch in enumerate(chunks):
-            write_warc(os.path.join(d, f"part-{i:04d}.warc.gz"), ch)
-        open(done, "w").close()
+    d = stage_documents_warc(sf_dir, html=False)
     register_warc_source(spark)
     w = spark.read.format("warclite").option("path", d).load()
     return w.groupBy("warc_type").agg(
