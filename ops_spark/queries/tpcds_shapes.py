@@ -596,6 +596,74 @@ HAVING CAST(sum(sales) AS DOUBLE) > 50 * (SELECT threshold FROM avg_sales)
 """
 
 
+SQL_Q31_RATIO_OF_RATIOS = f"""
+WITH qsales AS (
+    SELECT n_name,
+           EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+           sum(CAST(o_totalprice AS {_DEC})) AS sales
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY 1, 2
+)
+SELECT q1.n_name AS n_name,
+       floor(CAST(q2.sales AS DOUBLE) / CAST(q1.sales AS DOUBLE) * 10000 + 0.5)
+           / 10000 AS q2_over_q1,
+       floor(CAST(q3.sales AS DOUBLE) / CAST(q2.sales AS DOUBLE) * 10000 + 0.5)
+           / 10000 AS q3_over_q2
+FROM qsales q1 JOIN qsales q2 ON q1.n_name = q2.n_name
+               JOIN qsales q3 ON q1.n_name = q3.n_name
+WHERE q1.qtr = 1 AND q2.qtr = 2 AND q3.qtr = 3
+  AND q1.sales > 0 AND q2.sales > 0
+  AND CAST(q3.sales AS DOUBLE) / CAST(q2.sales AS DOUBLE)
+      > CAST(q2.sales AS DOUBLE) / CAST(q1.sales AS DOUBLE)
+"""
+
+SQL_Q66_MONTH_PIVOT_UNION = f"""
+SELECT n_name, channel,
+       CAST(sum(CASE WHEN m <= 3 THEN amt ELSE CAST(0 AS {_DEC}) END)
+            AS DOUBLE) AS q1_amt,
+       CAST(sum(CASE WHEN m BETWEEN 4 AND 6 THEN amt ELSE CAST(0 AS {_DEC}) END)
+            AS DOUBLE) AS q2_amt,
+       CAST(sum(CASE WHEN m BETWEEN 7 AND 9 THEN amt ELSE CAST(0 AS {_DEC}) END)
+            AS DOUBLE) AS q3_amt,
+       CAST(sum(CASE WHEN m >= 10 THEN amt ELSE CAST(0 AS {_DEC}) END)
+            AS DOUBLE) AS q4_amt
+FROM (
+    SELECT n_name, 'orders' AS channel,
+           EXTRACT(MONTH FROM o_orderdate) AS m,
+           CAST(o_totalprice AS {_DEC}) AS amt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    UNION ALL
+    SELECT n_name, 'shipments' AS channel,
+           EXTRACT(MONTH FROM l_shipdate) AS m,
+           CAST(l_extendedprice AS {_DEC}) AS amt
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+)
+GROUP BY n_name, channel
+"""
+
+SQL_Q93_RETURNS_ADJUSTED_NET = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(0 AS {_DEC})
+                     ELSE CAST(l_extendedprice AS {_DEC}) END)
+            AS DOUBLE) AS net_sales,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_extendedprice AS {_DEC})
+                     ELSE CAST(0 AS {_DEC}) END)
+            AS DOUBLE) AS returned_sales
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -759,6 +827,35 @@ for name, sql, desc in [
         "cross-channel item set semi-filtering the channel scans, "
         "ROLLUP totals gated by a HAVING against a scalar-subquery "
         "average (the avg_sales threshold CTE).",
+    ),
+    (
+        "sql_tpcds_q31_ratio_of_ratios",
+        SQL_Q31_RATIO_OF_RATIOS,
+        "TPC-DS q31 shape (tpcds/q31.sql): one period aggregate CTE "
+        "self-joined THREE ways (consecutive quarters per geography), "
+        "consecutive-period growth-ratio comparison in the predicate — "
+        "the ratio division happens on exact-decimal-derived doubles so "
+        "the > comparison cannot flip between engines. Scale note: Spark "
+        "inlines CTEs, so the three references plan three scans (stock "
+        "Spark does the same on the real q31); when the re-scan matters "
+        "at 100 TB, the one-scan alternative is the conditional-pivot "
+        "form (the q66 shape next door) or an explicit cache/checkpoint "
+        "of the period aggregate.",
+    ),
+    (
+        "sql_tpcds_q66_month_pivot_union",
+        SQL_Q66_MONTH_PIVOT_UNION,
+        "TPC-DS q66 shape (tpcds/q66.sql): two channel scans UNION ALL'd "
+        "then pivoted into per-quarter conditional-aggregate columns — "
+        "the wide CASE-sum pivot over a union, one aggregation, no "
+        "re-scan per column.",
+    ),
+    (
+        "sql_tpcds_q93_returns_net",
+        SQL_Q93_RETURNS_ADJUSTED_NET,
+        "TPC-DS q93 shape (tpcds/q93.sql): returns-adjusted net sales — "
+        "fact join with a conditional zero-out of returned lines and a "
+        "LEFT dimension join whose null group survives to the output.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",
