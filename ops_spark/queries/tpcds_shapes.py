@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 20
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 26
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
