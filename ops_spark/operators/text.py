@@ -808,7 +808,10 @@ def canonicalize_url(url: Column | str) -> Column:
     path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # anchor the '?' search before any '#': a '?' that first appears inside
+    # the fragment (SPA hash routing, e.g. /a#sec?x=1) is NOT a query and
+    # must be dropped with the fragment, not resurrected as params
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)="),

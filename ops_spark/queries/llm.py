@@ -1353,7 +1353,7 @@ def llm_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
         lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
         regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-        regexp_extract(url, '\?([^#]*)', 1) AS q
+        regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
       FROM urls
     ), step AS (
       SELECT doc_id, lang, source, text, scheme,
@@ -1479,7 +1479,7 @@ def llm_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
         lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
         regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-        regexp_extract(url, '\?([^#]*)', 1) AS q
+        regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
       FROM urls
     ), step AS (
       SELECT doc_id, scheme,

@@ -820,6 +820,11 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://ex.com/?autumn=1&utm_x=2", "https://ex.com/?autumn=1"),
         # :443 is only default for https; http keeps it
         ("http://ex.com:443/x", "http://ex.com:443/x"),
+        # '?' first appearing INSIDE the fragment (SPA hash routing) is
+        # NOT a query — drop it with the fragment, don't resurrect params
+        ("https://ex.com/a#sec?x=1", "https://ex.com/a"),
+        # real query before the fragment still survives
+        ("https://ex.com/a?x=1#sec?y=2", "https://ex.com/a?x=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
