@@ -93,24 +93,42 @@ def compact_parquet(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    min_file_bytes: int | None = None,
 ) -> dict:
-    """OPTIMIZE-style small-file compaction — the table-maintenance pass a
-    100 TB pipeline runs continuously (streaming sinks and fine-grained
-    partitioning mint thousands of KB-sized files; at scale the NameNode/
-    listing cost and per-file open overhead dominate reads long before
-    the bytes do).
+    """OPTIMIZE-style INCREMENTAL small-file compaction — the
+    table-maintenance pass a 100 TB pipeline runs continuously (streaming
+    sinks and fine-grained partitioning mint thousands of KB-sized files;
+    at scale the NameNode/listing cost and per-file open overhead dominate
+    reads long before the bytes do).
 
-    Rewrites the dataset into ceil(total_bytes / target_bytes) files.
-    With sort_by, data is range-repartitioned and sorted within files so
-    parquet footer min/max stats make the files SKIPPABLE on that key
-    (the poor man's Z-order for a single key; composite keys should use
-    the z-order query's interleaving first). The rewrite lands in a
-    sibling temp directory and swaps in via two renames — readers never
-    observe a half-written dataset, matching FileFormatWriter's
-    job-commit discipline at the directory level.
+    Only files smaller than ``min_file_bytes`` (default: target_bytes/2)
+    are read and bin-packed into ceil(small_bytes / target_bytes)
+    replacement files; compliant files are left byte-identical under
+    their original names, so rewrite I/O is proportional to the
+    SMALL-FILE FRACTION, not the table size — the property that makes
+    continuous maintenance affordable at 100 TB. Bin-packing is
+    per-directory, so partitionBy layouts compact within each partition
+    (rows never migrate across partition directories).
 
-    Returns {files_before, files_after, bytes, n_target_files}.
+    With sort_by, the rewritten rows are range-repartitioned and sorted
+    within the new files so parquet footer min/max stats make THOSE
+    files skippable on that key; untouched files keep whatever ordering
+    they had (full-table clustering is a different, table-sized job).
+
+    Swap discipline: new files are written to a sibling staging
+    directory, hard-renamed INTO the live directory under fresh names,
+    and only then are the packed small files deleted — the dataset path
+    always exists and never misses rows. This is a SINGLE-WRITER
+    maintenance op: a concurrent reader that lists mid-swap can see the
+    packed rows twice (new files landed, old not yet removed), and the
+    rename-into-directory step assumes POSIX rename (an object store
+    needs a manifest/table-format commit — Delta/Iceberg territory, out
+    of engine scope).
+
+    Returns {files_before, files_after, bytes, rewritten_files,
+    rewritten_bytes, untouched_files, n_target_files}.
     """
+    import hashlib
     import math
 
     def _files(p: str) -> list[str]:
@@ -123,28 +141,61 @@ def compact_parquet(
             ]
         return out
 
-    before = _files(path)
-    total = sum(os.path.getsize(f) for f in before)
-    n = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(path)
-    if sort_by:
-        from pyspark.sql import functions as F
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    root = path.rstrip("/")
+    before = _files(root)
+    sizes = {f: os.path.getsize(f) for f in before}
+    total = sum(sizes.values())
 
-        cols = [F.col(c) for c in sort_by]
-        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    else:
-        out = df.repartition(n)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    out.write.mode("overwrite").parquet(tmp)
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
-    shutil.rmtree(old)
+    # group undersized files per directory: partition layouts compact
+    # within each partition directory, never across
+    by_dir: dict[str, list[str]] = {}
+    for f, sz in sizes.items():
+        if sz < min_file_bytes:
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+
+    staging = root + ".__compact_tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    rewritten_files = 0
+    rewritten_bytes = 0
+    n_target_total = 0
+    for i, (d, small) in enumerate(sorted(by_dir.items())):
+        small_bytes = sum(sizes[f] for f in small)
+        n = max(1, math.ceil(small_bytes / target_bytes))
+        if n >= len(small):
+            continue  # packing cannot reduce this directory's file count
+        df = spark.read.parquet(*sorted(small))
+        if sort_by:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in sort_by]
+            out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            out = df.repartition(n)
+        stage_d = os.path.join(staging, str(i))
+        out.write.mode("overwrite").parquet(stage_d)
+        # land new files first (fresh collision-proof names), THEN drop
+        # the packed originals: the path never goes absent or loses rows
+        tag = hashlib.md5("\n".join(sorted(small)).encode()).hexdigest()[:8]
+        for name in sorted(os.listdir(stage_d)):
+            if name.endswith(".parquet") and not name.startswith("."):
+                os.rename(
+                    os.path.join(stage_d, name),
+                    os.path.join(d, f"compact-{tag}-{name}"),
+                )
+        for f in small:
+            os.remove(f)
+        rewritten_files += len(small)
+        rewritten_bytes += small_bytes
+        n_target_total += n
+    shutil.rmtree(staging, ignore_errors=True)
     return {
         "files_before": len(before),
-        "files_after": len(_files(path)),
+        "files_after": len(_files(root)),
         "bytes": total,
-        "n_target_files": n,
+        "rewritten_files": rewritten_files,
+        "rewritten_bytes": rewritten_bytes,
+        "untouched_files": len(before) - rewritten_files,
+        "n_target_files": n_target_total,
     }

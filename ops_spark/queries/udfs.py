@@ -455,13 +455,18 @@ def source_jdbc_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_io_compact",
     oracle=None,  # filesystem maintenance op: file layout is not
-    # SQL-expressible; data-equality + disjoint-range invariants are
-    # pinned in test_io.py::test_compact_parquet_binpacks_and_sorts
-    description="OPTIMIZE-style small-file compaction (io/sinks.py:"
-    "compact_parquet): a 64-file copy of the orders table bin-packs "
-    "into range-sorted target files with an atomic directory swap; "
-    "returns the before/after layout stats plus a data checksum so the "
-    "driver sees the rewrite was lossless.",
+    # SQL-expressible; data-equality + untouched-bytes + disjoint-range
+    # invariants are pinned in
+    # test_io.py::test_compact_parquet_binpacks_and_sorts /
+    # test_compact_parquet_incremental_leaves_compliant_files
+    description="OPTIMIZE-style INCREMENTAL small-file compaction "
+    "(io/sinks.py:compact_parquet): a mixed layout of the orders table "
+    "(4 compliant big files + a 60-file small shower, the streaming-"
+    "sink pathology) bin-packs ONLY the undersized files — rewrite I/O "
+    "is proportional to the small-file fraction, the property that "
+    "makes continuous maintenance affordable at 100 TB. Returns layout "
+    "stats, an untouched-bytes-identical flag for the compliant files, "
+    "and a data checksum so the driver sees the pack was lossless.",
     tags=("io", "compaction", "maintenance"),
 )
 def x_io_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,9 +485,31 @@ def x_io_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(work, ignore_errors=True)
     base = spark.read.parquet(src)
     before_sum = base.selectExpr("sum(o_orderkey) s").first().s
-    base.repartition(64).write.parquet(work)  # mint the small-file pathology
+    # mixed layout: 90% of rows in 4 compliant files, 10% sprayed across
+    # 60 tiny files (what a streaming sink leaves behind between passes)
+    base.where("o_orderkey % 10 != 0").repartition(4).write.parquet(work)
+    base.where("o_orderkey % 10 = 0").repartition(60).write.mode(
+        "append"
+    ).parquet(work)
+    names = [n for n in os.listdir(work) if n.endswith(".parquet")]
+    sz = sorted(os.path.getsize(os.path.join(work, n)) for n in names)
+    big_floor = sz[-4]  # smallest of the 4 big files
+    big_before = {
+        n: os.path.getsize(os.path.join(work, n))
+        for n in names
+        if os.path.getsize(os.path.join(work, n)) >= big_floor
+    }
     stats = compact_parquet(
-        spark, work, target_bytes=1 << 40, sort_by=["o_orderkey"]
+        spark,
+        work,
+        target_bytes=max(big_floor, 1024),
+        sort_by=["o_orderkey"],
+        min_file_bytes=max(int(big_floor * 0.9), 1024),
+    )
+    untouched_ok = all(
+        os.path.exists(os.path.join(work, n))
+        and os.path.getsize(os.path.join(work, n)) == s
+        for n, s in big_before.items()
     )
     after_sum = spark.read.parquet(work).selectExpr("sum(o_orderkey) s").first().s
     return spark.createDataFrame(
@@ -490,10 +517,15 @@ def x_io_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(stats["files_before"]),
                 int(stats["files_after"]),
+                int(stats["rewritten_files"]),
+                int(stats["untouched_files"]),
+                bool(untouched_ok),
                 bool(before_sum == after_sum),
             )
         ],
-        "files_before int, files_after int, lossless boolean",
+        "files_before int, files_after int, rewritten_files int, "
+        "untouched_files int, untouched_bytes_identical boolean, "
+        "lossless boolean",
     )
 
 

@@ -1124,6 +1124,75 @@ def test_compact_parquet_binpacks_and_sorts(spark, tmp_path):
     assert not os.path.exists(p2 + ".__compact_old")
 
 
+def test_compact_parquet_incremental_leaves_compliant_files(spark, tmp_path):
+    """Incremental contract: only undersized files are packed; compliant
+    files keep their NAME and BYTES; rewrite volume == small fraction;
+    data equality holds; partition directories compact independently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ops_spark.io.sinks import compact_parquet
+
+    p = str(tmp_path / "mixed")
+    # 2 big files (90% of rows) + 12 tiny ones (10%)
+    spark.range(0, 20000).where("id % 10 != 0").withColumn(
+        "v", F.col("id") * 3
+    ).repartition(2).write.parquet(p)
+    spark.range(0, 20000).where("id % 10 = 0").withColumn(
+        "v", F.col("id") * 3
+    ).repartition(12).write.mode("append").parquet(p)
+    names = [n for n in os.listdir(p) if n.endswith(".parquet")]
+    assert len(names) == 14
+    sizes = {n: os.path.getsize(os.path.join(p, n)) for n in names}
+    big_floor = sorted(sizes.values())[-2]
+    big = {n: s for n, s in sizes.items() if s >= big_floor}
+    assert len(big) == 2
+    stats = compact_parquet(
+        spark, p, target_bytes=big_floor, min_file_bytes=int(big_floor * 0.9)
+    )
+    # compliant files untouched: same name, same bytes
+    for n, s in big.items():
+        assert os.path.getsize(os.path.join(p, n)) == s
+    assert stats["rewritten_files"] == 12
+    assert stats["untouched_files"] == 2
+    assert stats["rewritten_bytes"] == sum(
+        s for n, s in sizes.items() if n not in big
+    )
+    assert stats["files_after"] < stats["files_before"]
+    df = spark.read.parquet(p)
+    assert df.count() == 20000
+    assert df.agg(F.sum("v")).first()[0] == sum(i * 3 for i in range(20000))
+    assert not os.path.exists(p + ".__compact_tmp")
+
+    # no-op when nothing is undersized: zero files touched, names stable
+    before = sorted(os.listdir(p))
+    stats2 = compact_parquet(
+        spark, p, target_bytes=big_floor, min_file_bytes=1
+    )
+    assert stats2["rewritten_files"] == 0
+    assert sorted(os.listdir(p)) == before
+
+    # partitioned layout: packing stays WITHIN each partition directory
+    p3 = str(tmp_path / "parts")
+    spark.range(0, 4000).withColumn("k", F.col("id") % 2).withColumn(
+        "v", F.col("id")
+    ).repartition(8).write.partitionBy("k").parquet(p3)
+    stats3 = compact_parquet(spark, p3, target_bytes=1 << 40)
+    for kdir in ("k=0", "k=1"):
+        files = [
+            n
+            for n in os.listdir(os.path.join(p3, kdir))
+            if n.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{kdir}: {files}"
+    assert stats3["files_after"] == 2
+    got = spark.read.parquet(p3)
+    assert got.count() == 4000
+    # rows did not migrate across partition directories
+    assert got.where("k != id % 2").count() == 0
+
+
 def test_dataframe_lateral_join_and_scalar_subquery_api(spark, sf_dir):
     """DataFrame.lateralJoin + DataFrame.scalar (Spark 4.0): the API forms
     of LATERAL correlated joins (sql_lateral_join pins the SQL form) and
