@@ -989,8 +989,10 @@ def exact_substring_remove(
     key, no window over the corpus. Removal positions aggregate per doc
     (collect_set bounded by document length, never corpus size), and the
     rebuild is one broadcast-free equi join back to the token arrays plus
-    a codegen filter/array_join — a degenerate boilerplate gram
-    concentrates its count, not its pairs; nothing is quadratic.
+    an O(L + |removed|) codegen gather (array_except hash set over the
+    removal positions + element_at) — a degenerate boilerplate gram
+    concentrates its count, not its pairs; nothing is quadratic in either
+    the corpus or the document length.
     """
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("t")
@@ -1028,13 +1030,22 @@ def exact_substring_remove(
         .agg(F.collect_set("rpos").alias("rm"))
     )
     empty = F.array().cast("array<int>")
-    kept = F.filter(
-        F.col("t"),
-        # Spark's filter index is 0-based; positions are 1-based
-        lambda x, i: ~F.array_contains(
-            F.coalesce(F.col("rm"), empty), (i + 1).cast("int")
+    # O(L + |rm|) rebuild: array_except builds ONE hash set over the
+    # removal positions and walks the 1-based position sequence once
+    # (order-preserving), then element_at gathers survivors at O(1) each.
+    # A per-position array_contains scan here would be O(L*|rm|) — a
+    # fully-duplicated 100k-token doc turns that into ~10^10 comparisons
+    # inside one task (pinned in test_scale.py's long-document probe).
+    # The sequence is guarded: sequence(1, 0) DESCENDS and would
+    # fabricate positions for an empty doc.
+    keep_pos = F.when(
+        F.col("n_tokens") > 0,
+        F.array_except(
+            F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
+            F.coalesce(F.col("rm"), empty),
         ),
-    )
+    ).otherwise(empty)
+    kept = F.transform(keep_pos, lambda p: F.element_at(F.col("t"), p))
     return (
         toks.join(rm, id_col, "left")
         .select(

@@ -58,6 +58,33 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.set(k, v)
 
 
+def test_substring_remove_long_document_is_linear(spark):
+    """Long-document hazard probe for exact_substring_remove: a fully
+    duplicated 100k-token document pair. The rebuild must be
+    O(L + |removed|) (array_except hash set + element_at gather); the
+    old per-position array_contains scan was O(L * |removed|) — ~10^10
+    comparisons inside ONE task here, minutes of wall. The generous
+    bound (60s on a box that swings 3x; measured ~6s) trips only on an
+    accidental return to a quadratic rebuild."""
+    import time
+
+    from ops_spark.operators.dedup import exact_substring_remove
+
+    n_tok = 100_000
+    text = " ".join(f"t{i}" for i in range(n_tok))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    t0 = time.perf_counter()
+    rows = {r.doc_id: r for r in exact_substring_remove(df).collect()}
+    wall = time.perf_counter() - t0
+    # doc 1 holds every canonical occurrence and survives whole;
+    # doc 2 is entirely non-canonical and is excised to nothing
+    assert rows[1].n_removed == 0 and rows[1].n_tokens == n_tok
+    assert rows[2].n_removed == n_tok and rows[2].clean_text == ""
+    assert wall < 60, f"long-document rebuild took {wall:.1f}s"
+
+
 def test_stage_metrics_expose_spill_counters(spark):
     """stage_shuffle_metrics must carry memory/disk spill bytes — the
     counters the scale-stress spill probe (scripts/scale_stress.py)
