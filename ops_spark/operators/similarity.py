@@ -401,11 +401,31 @@ def ivfpq_topk(
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
         F.explode(ivf_assign(cents, nprobe)(F.col(vec_col))).alias("cell"),
     )
-    cand = c.join(F.broadcast(q), "cell").select(
-        "query_id", "vec_id", "codes", "__qv"
+    # candidates shuffle as (query_id, vec_id, codes) ONLY — m smallints,
+    # not the dim-double query vector; shipping __qv per candidate row
+    # would largely cancel the m-byte-codes bandwidth win the ADC tier
+    # exists to deliver. The explicit repartition puts the one hash
+    # exchange BEFORE the broadcast join below, and BroadcastHashJoin
+    # preserves the streamed side's partitioning, so the groupBy's
+    # ClusteredDistribution(query_id) is already satisfied — the query
+    # vector rides in map-side from a |queries|-row broadcast, never
+    # through the shuffle (plan-pinned in
+    # test_ivfpq_candidate_shuffle_excludes_query_vector).
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .select("query_id", "vec_id", "codes")
+        .repartition("query_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
     )
 
     B = np.ascontiguousarray(books, dtype=np.float64)

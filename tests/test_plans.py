@@ -671,3 +671,33 @@ def test_bloom_build_is_one_aggregation_no_distinct(spark):
     assert txt.count("HashAggregate") == 2, txt  # partial + final, nothing else
     assert "Expand" not in txt
     assert df.count() <= m // 64
+
+
+def test_ivfpq_candidate_shuffle_excludes_query_vector(spark, sf_dir):
+    """IVF-PQ's one candidate exchange must carry (query_id, vec_id,
+    codes) ONLY — m smallint codes, not the dim-double query vector; the
+    vector rides in via a map-side broadcast join AFTER the shuffle, and
+    the FlatMapGroupsInPandas reuses that partitioning with no second
+    exchange. Shipping __qv per candidate row would largely cancel the
+    m-byte-codes bandwidth win the ADC tier exists to deliver."""
+    from ops_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(8).selectExpr("vec_id as query_id", "embedding")
+    df = ivfpq_topk(emb, q, k=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both; pin final
+    lines = plan.splitlines()
+    (rep_i,) = [i for i, l in enumerate(lines) if "REPARTITION_BY_COL" in l]
+    assert "hashpartitioning(query_id" in lines[rep_i]
+    # the exchange's direct child projects the narrow candidate row
+    child = lines[rep_i + 1]
+    assert "codes" in child and "__qv" not in child, child
+    # __qv reaches the ADC UDF via the broadcast join, after the shuffle
+    (fmg_i,) = [i for i, l in enumerate(lines) if "FlatMapGroupsInPandas" in l]
+    assert "__qv" in lines[fmg_i]
+    between = lines[fmg_i + 1 : rep_i]
+    assert any("BroadcastHashJoin [query_id" in l for l in between), plan
+    # and NO re-exchange between the repartition and the grouped UDF
+    assert not any("Exchange hashpartitioning" in l for l in between), plan
