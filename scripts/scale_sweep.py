@@ -351,7 +351,7 @@ def main() -> None:
     ap.add_argument("--json-out", default=os.path.join(REPO, "SCALE_SWEEP.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     ap.add_argument("--no-verify", action="store_true", help="skip the flagship verification pass")
     ap.add_argument("--verify-top", type=int, default=20, help="top-N-by-wall queries to force into the verification tier")
-    ap.add_argument("--verify-max-rows", type=int, default=100_000, help="every oracle query at or under this output size is auto-verified")
+    ap.add_argument("--verify-max-rows", type=int, default=500_000, help="every oracle query at or under this output size is auto-verified (driver-compare collects both sides; 500k rows keeps toPandas bounded)")
     args = ap.parse_args()
 
     import ops_spark.queries as q
@@ -415,16 +415,17 @@ def main() -> None:
         release_query_memory(spark, quiet=True)  # bench-style hygiene
 
     # ---- verification pass (outside the timed windows) -----------------
-    # Tiers: (a) every oracle-bearing query whose at-scale OUTPUT is small
-    # enough for the driver-style compare (<= verify-max-rows; the compare
-    # re-runs the Spark query and the DuckDB oracle on the derived parquet
-    # and value-hashes both), (b) the top-N-by-wall queries — the ones a
-    # wrong answer at scale would cost the most — via the same oracle
-    # compare when one exists (capped at 500k output rows so toPandas
-    # stays bounded) or their invariant verifier, and (c) the hand-built
-    # invariant verifiers for non-SQL-expressible flagships. Top-wall
-    # queries with NO verifier are listed in verify_skipped — a silent
-    # cap would read as "covered" when it isn't.
+    # Tiers: (a) EVERY oracle-bearing query whose at-scale output fits the
+    # driver-style compare (<= 500k rows, so toPandas stays bounded; the
+    # compare re-runs the Spark query and the DuckDB oracle on the derived
+    # parquet and value-hashes both — previously only <= verify-max-rows
+    # or top-by-wall queries got this, which left the handful of
+    # 100k-500k-row oracle queries unverified at scale), (b) the hand-
+    # built invariant verifiers for non-SQL-expressible flagships, with
+    # the top-N-by-wall set — the queries a wrong answer at scale would
+    # cost the most — required to have SOME verifier. Top-wall queries
+    # with NO verifier are listed in verify_skipped — a silent cap would
+    # read as "covered" when it isn't.
     ok_names = [n for n in results if results[n]["status"] == "ok"]
     top_by_wall = set(
         sorted(ok_names, key=lambda n: -results[n]["wall_sec"])[: args.verify_top]
@@ -432,10 +433,7 @@ def main() -> None:
     auto_oracle, verify_skipped = set(), []
     for n in ok_names:
         qq = q.get_query(n)
-        small = 0 <= results[n]["rows"] <= args.verify_max_rows
-        if not (small or n in top_by_wall):
-            continue
-        if qq.oracle is not None and 0 <= results[n]["rows"] <= 500_000:
+        if qq.oracle is not None and 0 <= results[n]["rows"] <= args.verify_max_rows:
             auto_oracle.add(n)
         elif n in top_by_wall and n not in INVARIANT_VERIFIERS and n not in ORACLE_VERIFY:
             verify_skipped.append(n)
