@@ -774,17 +774,23 @@ def dimension_stats(
     and order-independent (a float Σ over millions of rows drifts with
     partition order — enough to flip a downstream rounding boundary).
     Returns (dim, n, mu, sd) — one row per dimension, broadcast-sized for
-    any corpus. Bound: |x| ≤ ~90 keeps Σ(x_e6²) inside int64 at 1e6 rows
-    per dimension; embedding components are unit-scale, far inside it.
+    any corpus. The linear sum quantizes at e6 (Σx_e6 at 1e9 rows/dim is
+    x·1e15 — comfortable); the SQUARED sum quantizes at e4, because
+    Σ(x_e6²) is x²·1e12 per row and already exceeds int64 for |x| > ~3
+    at just 1e6 rows/dim — in non-ANSI Spark the BIGINT sum would wrap
+    SILENTLY. At e4 the squared sum is x²·1e8 per row: |x| ≤ ~9 stays
+    exact at 1e9 rows/dim (unit-scale embeddings are far inside), and
+    the e-8 variance grain is noise relative to any real sd.
     """
     comp = corpus.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
     )
     q = F.floor(F.col("x") * 1e6 + 0.5).cast("bigint")
+    q4 = F.floor(F.col("x") * 1e4 + 0.5).cast("bigint")
     stats = comp.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("s"),
-        F.sum(q * q).alias("ss"),
+        F.sum(q4 * q4).alias("ss"),
     )
     mu = F.col("s") / 1e6 / F.col("n")
     return stats.select(
@@ -792,7 +798,7 @@ def dimension_stats(
         "n",
         mu.alias("mu"),
         F.sqrt(
-            F.col("ss") / 1e12 / F.col("n")
+            F.col("ss") / 1e8 / F.col("n")
             - (F.col("s") / 1e6 / F.col("n")) * (F.col("s") / 1e6 / F.col("n"))
         ).alias("sd"),
     )

@@ -614,15 +614,16 @@ def x_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> struct_pack(i := i, x := embedding[i]))) AS u
             FROM embeddings)
     ), q AS (
-      SELECT vec_id, dim, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS xq
+      SELECT vec_id, dim, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(x * 1e4 + 0.5) AS BIGINT) AS x4
       FROM comp
     ), stats AS (
-      SELECT dim, count(*) AS n, sum(xq) AS s, sum(xq * xq) AS ss
+      SELECT dim, count(*) AS n, sum(xq) AS s, sum(x4 * x4) AS ss
       FROM q GROUP BY 1
     ), m AS (
       SELECT dim,
              s / 1e6 / n AS mu,
-             sqrt(ss / 1e12 / n - (s / 1e6 / n) * (s / 1e6 / n)) AS sd
+             sqrt(ss / 1e8 / n - (s / 1e6 / n) * (s / 1e6 / n)) AS sd
       FROM stats
     ), z AS (
       SELECT vec_id, dim,

@@ -163,8 +163,12 @@ WITH monthly AS (
 ),
 w AS (
     SELECT n_name, yr, mon, v_sum,
-           avg(CAST(v_sum AS DOUBLE))
-               OVER (PARTITION BY n_name, yr) AS avg_monthly,
+           -- exact decimal window sum, ONE double division: a plain
+           -- avg-over-DOUBLE sums in partition order (nondeterministic
+           -- in the last ulp), and this avg feeds the >0.05 FILTER below
+           -- where a flipped ulp flips boundary ROWS, not just digits
+           CAST(sum(v_sum) OVER (PARTITION BY n_name, yr) AS DOUBLE)
+               / count(*) OVER (PARTITION BY n_name, yr) AS avg_monthly,
            lag(v_sum) OVER (PARTITION BY n_name
                             ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST)
                AS prev_sum,
@@ -358,8 +362,11 @@ WITH frequent_parts AS (
 big_customers AS (
     SELECT o_custkey AS bc_custkey
     FROM orders GROUP BY o_custkey
-    HAVING sum(CAST(o_totalprice AS {_DEC}))
-           > 2 * (SELECT avg(o_totalprice) FROM orders)
+    -- threshold from the exact decimal sum, not avg-over-DOUBLE: the
+    -- HAVING boundary must not move with partition summation order
+    HAVING CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+           > 2 * (SELECT CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                         / count(*) FROM orders)
 )
 SELECT CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS total_rev,
        count(*) AS n_lines
