@@ -671,6 +671,51 @@ GROUP BY c_mktsegment
 """
 
 
+SQL_Q64_DEEP_JOIN_SELF = f"""
+WITH li_ui AS (
+    SELECT l_partkey AS ui_partkey
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice AS {_DEC}))
+           > 2 * sum(CAST(l_extendedprice AS {_DEC})
+                     * CAST(l_discount AS DECIMAL(18,4)))
+),
+cross_sales AS (
+    SELECT p_brand AS brand,
+           n2.n_name AS supp_nation,
+           EXTRACT(YEAR FROM o_orderdate) AS syear,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS s1,
+           CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS s2
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    JOIN part      ON l_partkey = p_partkey
+    JOIN li_ui     ON l_partkey = ui_partkey
+    WHERE r1.r_name = 'EUROPE'
+      AND n1.n_name <> n2.n_name
+      AND p_size BETWEEN 1 AND 25
+    GROUP BY p_brand, n2.n_name, EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT cs1.brand, cs1.supp_nation,
+       CAST(cs1.syear AS INT) AS year1, cs1.cnt AS cnt1,
+       cs1.s1 AS sales1, cs1.s2 AS qty1,
+       CAST(cs2.syear AS INT) AS year2, cs2.cnt AS cnt2,
+       cs2.s1 AS sales2, cs2.s2 AS qty2
+FROM cross_sales cs1
+JOIN cross_sales cs2
+  ON cs1.brand = cs2.brand AND cs1.supp_nation = cs2.supp_nation
+WHERE cs1.syear = 1996 AND cs2.syear = 1997
+  AND cs2.cnt <= cs1.cnt
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -863,6 +908,19 @@ for name, sql, desc in [
         "TPC-DS q93 shape (tpcds/q93.sql): returns-adjusted net sales — "
         "fact join with a conditional zero-out of returned lines and a "
         "LEFT dimension join whose null group survives to the output.",
+    ),
+    (
+        "sql_tpcds_q64_deep_join_self",
+        SQL_Q64_DEEP_JOIN_SELF,
+        "TPC-DS q64 shape (tpcds/q64.sql, the corpus's hardest join-"
+        "order/CBO stress): a HAVING-filtered pre-aggregate CTE feeding "
+        "a 10-table-instance join chain with REPEATED dimensions "
+        "(nation/region joined once on the customer side, once on the "
+        "supplier side) and a cross-dimension inequality predicate "
+        "(n1 <> n2, q64's cd1.marital <> cd2.marital), aggregated and "
+        "then SELF-JOINED on the group key across two periods with a "
+        "cnt guard. Plan-pinned: no cartesian product, dims broadcast, "
+        "fact scanned once per self-join arm.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

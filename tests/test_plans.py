@@ -324,6 +324,34 @@ def test_tpcds_q47_no_rescan_between_windows(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
 
 
+def test_tpcds_q64_deep_join_chain_plan(spark, sf_dir):
+    # The q64-class 10-instance self-joined chain is the corpus's
+    # hardest join-order stress: the inequality predicate (n1 <> n2)
+    # must ride the supplier-nation equi-join (NEVER plan a cartesian /
+    # nested-loop), every dimension must broadcast, and each self-join
+    # arm re-derives the chain — the fact appears once per arm plus the
+    # HAVING-CTE scan, <= 4 lineitem scans total (exchange reuse may
+    # collapse some), not the 2x-per-dim blowup a bad order would give.
+    import re
+
+    df = q.get_query("sql_tpcds_q64_deep_join_self").builder(spark, sf_dir)
+    df.collect()  # executed plan: AQE's final join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    joins = (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    # 9 joins per cross_sales arm x 2 arms + the self-join = 19
+    assert joins == 19, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 6  # dims broadcast
+    scans = len(re.findall(r"FileScan parquet \[l_", plan))
+    assert 2 <= scans <= 4, scans
+
+
 def test_tpcds_rollups_single_expand(spark, sf_dir):
     # Every ROLLUP query in the TPC-DS-shaped battery: exactly one
     # Expand, never a union-of-grouping-sets rewrite.
