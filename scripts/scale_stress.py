@@ -469,6 +469,152 @@ def streaming_probe(spark) -> dict:
     }
 
 
+def streaming_lsh_bounded_probe(
+    spark, out_dir: str, cap: int = 64, n_batches: int = 20
+) -> dict:
+    """Bounded streaming-LSH under a hot zipf bucket AT SCALE — the
+    off-fixture proof that `max_bucket_state` holds where it matters:
+    ~1% of the 100× corpus (≈1.2k docs) shares one boilerplate shingle
+    set, so each of its 8 band buckets receives every hot arrival while
+    the cap retains only the last `cap` signatures.
+
+    Evidence recorded:
+    - state plateau, read from the CHECKPOINTED state store itself (not
+      the operator's accounting): max signatures retained per bucket
+      must be <= cap while hot-bucket arrivals exceed it ~20x;
+    - within-window recall = 1.0 over SAME-BATCH pairs: eviction runs
+      at batch end, so the cap may only ever cost pairs whose arrivals
+      are > cap apart in one bucket's stream — same-micro-batch pairs
+      (computed independently by the BATCH LSH path + exact signature
+      agreement on the same corpus) must all still be emitted;
+    - cross-batch pairs still found (> 0): the retained FIFO window
+      keeps matching across batch boundaries.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from ops_spark.streaming.lsh_dedup import streaming_lsh_dedup
+    from ops_spark.streaming.runner import run_bounded
+
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    base = " ".join(f"boiler{i}" for i in range(60))
+    hot = F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 0
+    zdocs = docs.withColumn(
+        "text",
+        F.when(
+            hot, F.concat(F.lit(base + " tail"), F.col("doc_id").cast("string"))
+        ).otherwise(F.col("text")),
+    )
+    n_hot = zdocs.filter(hot).count()
+
+    # deterministic micro-batches: file b holds doc_id % n_batches == b,
+    # streamed one file per trigger
+    stage = tempfile.mkdtemp(prefix="ops_lshstream_")
+    ckpt = tempfile.mkdtemp(prefix="ops_lshstream_ckpt_")
+    t0 = time.perf_counter()
+    for b in range(n_batches):
+        sub = os.path.join(stage, f"_b{b}")
+        zdocs.filter(F.pmod("doc_id", n_batches) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        (part,) = [
+            n for n in os.listdir(sub) if n.endswith(".parquet") and n[0] != "."
+        ]
+        os.rename(
+            os.path.join(sub, part), os.path.join(stage, f"part-{b:04d}.parquet")
+        )
+        shutil.rmtree(sub)
+    stage_sec = round(time.perf_counter() - t0, 1)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    t0 = time.perf_counter()
+    out = run_bounded(
+        streaming_lsh_dedup(stream, max_bucket_state=cap),
+        "append",
+        state_partitions=16,
+        checkpoint=ckpt,
+    )
+    got = out.select("id_a", "id_b").distinct().cache()
+    n_pairs = got.count()
+    stream_sec = round(time.perf_counter() - t0, 1)
+
+    # independent ground truth: batch LSH candidates + exact signature
+    # agreement (same hash family/seed), uncapped so the hot bucket's
+    # pairs are all present
+    sigs = minhash_signatures(zdocs)
+    cand = minhash_lsh_candidates(zdocs, max_bucket=10 * n_hot)
+    agree = (
+        F.aggregate(
+            F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("sa")
+    )
+    want = (
+        cand.join(
+            sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sb")),
+            "id_b",
+        )
+        .filter(agree >= 0.8)
+        .select("id_a", "id_b")
+    )
+    same_batch = want.filter(
+        F.pmod("id_a", n_batches) == F.pmod("id_b", n_batches)
+    ).cache()
+    n_same = same_batch.count()
+    n_same_found = same_batch.join(got, ["id_a", "id_b"]).count()
+    n_cross_found = got.filter(
+        F.pmod("id_a", n_batches) != F.pmod("id_b", n_batches)
+    ).count()
+    same_batch.unpersist()
+    got.unpersist()
+
+    state = spark.read.format("statestore").load(ckpt)
+    sizes = sorted(
+        len(r["value"]["groupState"]["ids"]) for r in state.collect()
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    release_query_memory(spark, quiet=True)
+    return {
+        "cap": cap,
+        "n_batches": n_batches,
+        "n_hot_docs": n_hot,
+        "hot_bucket_arrivals_per_band": n_hot,
+        "state_max_bucket_rows": sizes[-1] if sizes else 0,
+        "state_median_bucket_rows": sizes[len(sizes) // 2] if sizes else 0,
+        "state_n_buckets": len(sizes),
+        "state_total_rows": sum(sizes),
+        "cap_held": bool(not sizes or sizes[-1] <= cap),
+        "pairs_emitted": n_pairs,
+        "same_batch_pairs_expected": n_same,
+        "same_batch_pairs_found": n_same_found,
+        "within_window_recall_same_batch": (
+            round(n_same_found / n_same, 4) if n_same else None
+        ),
+        "cross_batch_pairs_found": n_cross_found,
+        "stage_sec": stage_sec,
+        "stream_sec": stream_sec,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
@@ -504,6 +650,9 @@ def main() -> None:
             report["tpch"] = run_tpch(spark, args.out)
         if args.streaming:
             report["streaming_probe"] = streaming_probe(spark)
+            report["streaming_lsh_bounded"] = streaming_lsh_bounded_probe(
+                spark, args.out
+            )
         if args.zipf:
             report["zipf_probe"] = zipf_probe(spark, args.out)
         if not args.skip_spill:
