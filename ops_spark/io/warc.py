@@ -37,35 +37,40 @@ WARC_DDL = (
 )
 
 
+def encode_warc_record(r: dict, record_gzip: bool = True) -> bytes:
+    """Serialize ONE record (record_id, warc_type, target_uri, warc_date,
+    payload bytes) to its on-disk form. record_gzip=True yields one gzip
+    member (the standard .warc.gz layout); mtime is pinned to 0 so output
+    bytes are deterministic. Self-delimiting, so writers can append
+    records one at a time (chunked staging) or in bulk identically."""
+    payload = r["payload"]
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {r['warc_type']}\r\n"
+        f"WARC-Record-ID: {r['record_id']}\r\n"
+        f"WARC-Target-URI: {r['target_uri']}\r\n"
+        f"WARC-Date: {r['warc_date']}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    rec = head + payload + b"\r\n\r\n"
+    if record_gzip:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        rec = buf.getvalue()
+    return rec
+
+
 def write_warc(
     path: str,
     records: list[dict],
     record_gzip: bool = True,
 ) -> None:
-    """Write records to one WARC file. Each record dict carries
-    record_id, warc_type, target_uri, warc_date, payload (bytes).
-    record_gzip=True writes one gzip member per record (the standard
-    .warc.gz layout); mtime is pinned to 0 so output bytes are
-    deterministic."""
+    """Write records to one WARC file (see encode_warc_record)."""
     with open(path, "wb") as f:
         for r in records:
-            payload = r["payload"]
-            head = (
-                "WARC/1.0\r\n"
-                f"WARC-Type: {r['warc_type']}\r\n"
-                f"WARC-Record-ID: {r['record_id']}\r\n"
-                f"WARC-Target-URI: {r['target_uri']}\r\n"
-                f"WARC-Date: {r['warc_date']}\r\n"
-                f"Content-Length: {len(payload)}\r\n"
-                "\r\n"
-            ).encode("utf-8")
-            rec = head + payload + b"\r\n\r\n"
-            if record_gzip:
-                buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(rec)
-                rec = buf.getvalue()
-            f.write(rec)
+            f.write(encode_warc_record(r, record_gzip))
 
 
 def parse_warc_stream(fobj):
@@ -204,8 +209,6 @@ def stage_documents_warc(sf_dir: str, html: bool = False) -> str:
     import hashlib
     import tempfile
 
-    import pyarrow.parquet as pq
-
     src = os.path.join(sf_dir, "documents.parquet")
     digest = hashlib.md5(
         f"{sf_dir}:{os.path.getmtime(src)}:{'html' if html else 'plain'}".encode()
@@ -215,43 +218,61 @@ def stage_documents_warc(sf_dir: str, html: bool = False) -> str:
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
-    t = pq.read_table(src, columns=["doc_id", "text", "source", "lang"])
-    rows = sorted(
-        zip(
-            t["doc_id"].to_pylist(),
-            t["text"].to_pylist(),
-            t["source"].to_pylist(),
-            t["lang"].to_pylist(),
-        )
-    )
+    # CHUNKED staging: iterate Arrow record batches and append each WARC
+    # record to its target file as it streams past — memory stays one
+    # batch deep however large the derived multiple gets (the whole-table
+    # to_pylist this replaces was fine for fixtures but driver-bulk at
+    # bigger multiples). Output bytes stay deterministic for a given
+    # source file: parquet row order is stable and every record is
+    # self-delimiting (per-record gzip member, mtime=0).
     n_files = 4
-    chunks: list[list[dict]] = [[] for _ in range(n_files)]
-    for doc_id, text, source, lang in rows:
-        if html:
-            body = (
-                '<html><head><title>t</title><style>p{color:red}</style>'
-                '<script>var x = "<p>not text</p>";</script></head><body>'
-                f"<!-- nav --><p>{text}</p>"
-                "<div>footer &amp; more &lt;tags&gt;</div></body></html>"
-            )
-            uri = (
-                f"HTTPS://WWW.{source.upper()}.Example.COM:443/{lang}"
-                f"/Article-{doc_id % 50}/?utm_source=feed&ref=rss"
-                f"&id={doc_id % 50}&utm_campaign=x#sec{doc_id % 7}"
-            )
-        else:
-            body = text
-            uri = f"https://{source}.example.com/doc/{doc_id}"
-        chunks[doc_id % n_files].append(
-            {
-                "record_id": f"<urn:uuid:doc-{doc_id}>",
-                "warc_type": "revisit" if doc_id % 4 == 0 else "response",
-                "target_uri": uri,
-                "warc_date": "2024-01-01T00:00:00Z",
-                "payload": body.encode("utf-8"),
-            }
-        )
-    for i, ch in enumerate(chunks):
-        write_warc(os.path.join(d, f"part-{i:04d}.warc.gz"), ch)
+    handles = [
+        open(os.path.join(d, f"part-{i:04d}.warc.gz"), "wb")
+        for i in range(n_files)
+    ]
+    try:
+        import pyarrow.dataset as pds
+
+        # dataset, not ParquetFile: the source may be a single file
+        # (fixtures) or a directory of part files (derived multiples);
+        # fragment discovery is filename-ordered, so batch order — and
+        # therefore output bytes — is deterministic per source
+        for rb in pds.dataset(src, format="parquet").to_batches(
+            batch_size=16384, columns=["doc_id", "text", "source", "lang"]
+        ):
+            for doc_id, text, source, lang in zip(
+                rb["doc_id"].to_pylist(),
+                rb["text"].to_pylist(),
+                rb["source"].to_pylist(),
+                rb["lang"].to_pylist(),
+            ):
+                if html:
+                    body = (
+                        "<html><head><title>t</title><style>p{color:red}"
+                        '</style><script>var x = "<p>not text</p>";'
+                        "</script></head><body>"
+                        f"<!-- nav --><p>{text}</p>"
+                        "<div>footer &amp; more &lt;tags&gt;</div>"
+                        "</body></html>"
+                    )
+                    uri = (
+                        f"HTTPS://WWW.{source.upper()}.Example.COM:443/{lang}"
+                        f"/Article-{doc_id % 50}/?utm_source=feed&ref=rss"
+                        f"&id={doc_id % 50}&utm_campaign=x#sec{doc_id % 7}"
+                    )
+                else:
+                    body = text
+                    uri = f"https://{source}.example.com/doc/{doc_id}"
+                rec = {
+                    "record_id": f"<urn:uuid:doc-{doc_id}>",
+                    "warc_type": "revisit" if doc_id % 4 == 0 else "response",
+                    "target_uri": uri,
+                    "warc_date": "2024-01-01T00:00:00Z",
+                    "payload": body.encode("utf-8"),
+                }
+                handles[doc_id % n_files].write(encode_warc_record(rec))
+    finally:
+        for h in handles:
+            h.close()
     open(done, "w").close()
     return d
