@@ -115,20 +115,27 @@ def compact_parquet(
     files skippable on that key; untouched files keep whatever ordering
     they had (full-table clustering is a different, table-sized job).
 
-    Swap discipline: new files are written to a sibling staging
-    directory, hard-renamed INTO the live directory under fresh names,
-    and only then are the packed small files deleted — the dataset path
-    always exists and never misses rows. This is a SINGLE-WRITER
-    maintenance op: a concurrent reader that lists mid-swap can see the
-    packed rows twice (new files landed, old not yet removed), and the
-    rename-into-directory step assumes POSIX rename (an object store
-    needs a manifest/table-format commit — Delta/Iceberg territory, out
-    of engine scope).
+    Swap discipline (crash-correct, single-writer): replacement files
+    land in the live directory HIDDEN (dot-prefixed — Spark and this
+    function both ignore them), a manifest records the reveal + remove
+    lists, the hidden files are renamed visible, the packed originals
+    removed, the manifest deleted. Every crash point is recoverable and
+    recovery runs automatically at the next call: a manifest present
+    means all replacement data was fully written, so the swap ROLLS
+    FORWARD (reveal survivors, remove originals); hidden files with no
+    manifest are an abandoned attempt whose originals are still intact,
+    so they are discarded (ROLL BACK). The dataset path always exists
+    and never misses rows; the only reader-visible anomaly is a
+    duplicate-row window for a concurrent lister between reveal and
+    remove (a table-format manifest — Delta/Iceberg — is the real fix
+    for concurrent readers at 100 TB, out of engine scope). Renames are
+    assumed POSIX-atomic (local/HDFS semantics, not object stores).
 
     Returns {files_before, files_after, bytes, rewritten_files,
     rewritten_bytes, untouched_files, n_target_files}.
     """
     import hashlib
+    import json
     import math
 
     def _files(p: str) -> list[str]:
@@ -144,6 +151,33 @@ def compact_parquet(
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     root = path.rstrip("/")
+
+    # ---- recovery from any interrupted previous swap --------------------
+    # A manifest means every replacement file for its directory was fully
+    # written (the manifest is created only after the hidden renames), so
+    # the swap rolls FORWARD; manifest processing must run before orphan
+    # cleanup so its hidden files are not mistaken for an abandoned
+    # attempt.
+    for mroot, _, names in os.walk(root):
+        for nm in names:
+            if nm.startswith(".compact-") and nm.endswith(".manifest"):
+                mp = os.path.join(mroot, nm)
+                with open(mp) as fh:
+                    m = json.load(fh)
+                for hid, vis in m["reveal"]:
+                    if os.path.exists(hid):
+                        os.rename(hid, vis)
+                for f in m["remove"]:
+                    if os.path.exists(f):
+                        os.remove(f)
+                os.remove(mp)
+    # Hidden compact files with no manifest: a pre-commit crash — the
+    # packed originals are still intact, so roll BACK by discarding them.
+    for mroot, _, names in os.walk(root):
+        for nm in names:
+            if nm.startswith(".compact-") and nm.endswith(".parquet"):
+                os.remove(os.path.join(mroot, nm))
+
     before = _files(root)
     sizes = {f: os.path.getsize(f) for f in before}
     total = sum(sizes.values())
@@ -175,17 +209,24 @@ def compact_parquet(
             out = df.repartition(n)
         stage_d = os.path.join(staging, str(i))
         out.write.mode("overwrite").parquet(stage_d)
-        # land new files first (fresh collision-proof names), THEN drop
-        # the packed originals: the path never goes absent or loses rows
+        # crash-correct swap: hidden files → manifest → reveal → remove →
+        # clear manifest (see docstring; recovery above completes or
+        # discards any interrupted step)
         tag = hashlib.md5("\n".join(sorted(small)).encode()).hexdigest()[:8]
+        reveal: list[tuple[str, str]] = []
         for name in sorted(os.listdir(stage_d)):
             if name.endswith(".parquet") and not name.startswith("."):
-                os.rename(
-                    os.path.join(stage_d, name),
-                    os.path.join(d, f"compact-{tag}-{name}"),
-                )
+                hid = os.path.join(d, f".compact-{tag}-{name}")
+                os.rename(os.path.join(stage_d, name), hid)
+                reveal.append((hid, os.path.join(d, f"compact-{tag}-{name}")))
+        manifest = os.path.join(d, f".compact-{tag}.manifest")
+        with open(manifest, "w") as fh:
+            json.dump({"reveal": reveal, "remove": small}, fh)
+        for hid, vis in reveal:
+            os.rename(hid, vis)
         for f in small:
             os.remove(f)
+        os.remove(manifest)
         rewritten_files += len(small)
         rewritten_bytes += small_bytes
         n_target_total += n

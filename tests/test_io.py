@@ -1173,6 +1173,42 @@ def test_compact_parquet_incremental_leaves_compliant_files(spark, tmp_path):
     assert stats2["rewritten_files"] == 0
     assert sorted(os.listdir(p)) == before
 
+    # crash recovery — both interrupted-swap states must heal on entry:
+    # (a) hidden compact file with NO manifest = pre-commit crash, the
+    #     originals are intact → rolled BACK (orphan discarded);
+    # (b) manifest present = replacements fully written → rolled FORWARD
+    #     (hidden revealed, listed originals removed), even if some steps
+    #     already happened before the crash.
+    import json
+    import shutil
+
+    pc = str(tmp_path / "crash")
+    spark.range(0, 2000).withColumn("v", F.col("id") * 7).repartition(
+        8
+    ).write.parquet(pc)
+    parts = sorted(n for n in os.listdir(pc) if n.endswith(".parquet"))
+    orphan = os.path.join(pc, ".compact-dead-" + parts[0])
+    shutil.copy(os.path.join(pc, parts[0]), orphan)  # (a)
+    hid = os.path.join(pc, ".compact-aa-rep.parquet")
+    vis = os.path.join(pc, "compact-aa-rep.parquet")
+    shutil.copy(os.path.join(pc, parts[1]), hid)  # (b): replacement holds
+    # exactly the rows of parts[1], which the manifest orders removed
+    with open(os.path.join(pc, ".compact-aa.manifest"), "w") as fh:
+        json.dump(
+            {"reveal": [[hid, vis]], "remove": [os.path.join(pc, parts[1])]},
+            fh,
+        )
+    stats_c = compact_parquet(spark, pc, target_bytes=1 << 40)
+    assert not os.path.exists(orphan)  # rolled back
+    assert not os.path.exists(hid) and not os.path.exists(
+        os.path.join(pc, parts[1])
+    )  # rolled forward
+    assert not any(n.endswith(".manifest") for n in os.listdir(pc))
+    assert stats_c["files_after"] == 1  # then the normal pack proceeded
+    dfc = spark.read.parquet(pc)
+    assert dfc.count() == 2000  # no row lost, none duplicated
+    assert dfc.agg(F.sum("v")).first()[0] == sum(i * 7 for i in range(2000))
+
     # partitioned layout: packing stays WITHIN each partition directory
     p3 = str(tmp_path / "parts")
     spark.range(0, 4000).withColumn("k", F.col("id") % 2).withColumn(
