@@ -339,3 +339,54 @@ def tfidf_topk(
         .filter(F.col("_rn") <= k)
         .select(id_col, "term", "tfidf")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 64,
+) -> DataFrame:
+    """Build a capped inverted index: one row per distinct term with its
+    document frequency and the first ``max_postings`` doc ids (ascending).
+
+    The batch-build shape behind BM25 serving and eval-set mining. The
+    cap is the load-bearing scale decision: an UNCAPPED collect_list on
+    a stopword's postings materializes one array with a billion entries
+    in a single aggregation buffer — OOM by design at 100 TB. Here the
+    per-term rank runs as a sort-based window (spills gracefully under a
+    hot key), the cap filters BEFORE any array is built (rows past the
+    cap contribute null, which collect_list drops), and the exact df
+    comes from the same aggregation — so hot keys cost sort+count, never
+    an unbounded buffer. Window and groupBy share the term key, so the
+    whole build is ONE shuffle of the exploded distinct-term stream.
+
+    Returns (term, df, postings) with postings csv-joined ascending —
+    the canonical string form both engines hash identically.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col), lowercase=True))).alias(
+            "term"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.col("__id").asc())
+    )
+    return (
+        toks.withColumn("__rn", rn)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= max_postings, F.col("__id"))
+                    )
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )

@@ -864,3 +864,222 @@ def html_to_text(html: Column | str) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed bag-of-n-grams linear classifier (inference tier)
+# ---------------------------------------------------------------------------
+
+FASTTEXT_BUCKETS = 1 << 18  # 262,144 — fastText's default-order magnitude
+
+
+def hashed_bow_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = FASTTEXT_BUCKETS,
+    bigrams: bool = True,
+    threshold_units: int = 0,
+) -> DataFrame:
+    """fastText-shaped quality-classifier inference: hashed bag of
+    unigrams+bigrams → per-bucket weight lookup → summed linear score.
+
+    This is the inference half of the fastText/DCLM "model-based quality
+    filter" slot (the classifier real pipelines train on wiki-vs-crawl
+    labels). The hashing trick means there is NO vocabulary table at all:
+    each n-gram maps to one of ``n_buckets`` weight slots via a
+    deterministic md5 hash, so the operator is a zero-shuffle, pure
+    whole-stage-codegen map — the scan-bound shape you want when scoring
+    100 TB (contrast with a vocab-join classifier, which would shuffle
+    the exploded token stream).
+
+    Weights here are derived deterministically from the bucket id
+    (md5 → integer micro-units in [-1000, 1000]), standing in for a
+    trained weight vector; a production deployment swaps the derivation
+    for a broadcast ``map_from_arrays`` lookup of exported weights —
+    the plan shape (per-row array fold, no shuffle) is identical.
+    Integer micro-unit weights keep the fold exact, so any engine
+    reproduces ``w_sum_units`` bit-for-bit (no float summation order).
+
+    Returns (id, n_feats, w_sum_units, keep) where
+    ``keep ⇔ w_sum_units > threshold_units * n_feats`` (mean weight
+    above threshold, kept in exact integer form).
+    """
+    toks = tokens(F.col(text_col), lowercase=True)
+    feats = toks
+    if bigrams:
+        bg = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        feats = F.concat(toks, bg)
+
+    def weight(f: Column) -> Column:
+        bucket = token_hash64(f) % n_buckets
+        return (
+            token_hash64(F.concat(F.lit("w#"), bucket.cast("string"))) % 2001
+        ) - 1000
+
+    w_sum = F.aggregate(
+        F.transform(feats, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    n = F.size(feats).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_feats"),
+        w_sum.alias("w_sum_units"),
+        (w_sum > F.lit(threshold_units) * n).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style fluency scoring + per-group tertile bucketing (head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def fluency_score_e6(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-integer fluency proxy: mean corpus-frequency of a document's
+    character bigrams, in millionths.
+
+    The ranking signal CCNet fills with a KenLM perplexity: documents
+    whose character sequences are typical of the corpus score high;
+    OCR noise / encoding damage / non-linguistic payloads score low.
+    Unlike the float char-LM (char_bigram_lm_scores, which needs ln()),
+    this is pure integer math — count sums and one positive integer
+    division — so a DuckDB oracle reproduces it bit-for-bit, and the
+    downstream tertile cut (tertile_buckets) is engine-exact too.
+
+    Scale contract: the model is one aggregation over exploded bigrams
+    (≤ |charset|² rows, broadcast back), scoring is one per-doc
+    aggregation — two corpus scans, no wide join. Documents shorter
+    than 2 chars have no bigrams and are dropped (they carry no signal).
+    """
+    bigrams = F.expr(
+        f"CASE WHEN length({text_col}) >= 2 THEN"
+        f" transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2))"
+        f" ELSE array() END"
+    )
+    grams = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(F.broadcast(model), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c").alias("__sum_c"),
+        )
+        # both operands positive ⇒ DIV (truncating) == floor division in
+        # Spark AND DuckDB's integer `//` — engine-exact
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("CAST((__sum_c * 1000000) DIV n_bigrams AS BIGINT)").alias(
+                "fluency_e6"
+            ),
+        )
+    )
+
+
+def tertile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Append CCNet-style head/middle/tail bucket per group, cut at exact
+    within-group score tertiles (head = top third by score).
+
+    Exactness + scale in one design: rather than ntile() over each whole
+    group (one sort partition per group — a skew wall when one language
+    is billions of rows), the cut runs on the (group, score) HISTOGRAM:
+    per-score counts (map-side combinable groupBy), a cumulative sum over
+    the histogram's few rows, integer threshold tests (3·cum ≤ tot), and
+    an equi-join of the bucket decision back onto the docs. Ties share a
+    score row, so they land in the same bucket deterministically, and all
+    arithmetic is integer — a DuckDB oracle reproduces the cut exactly.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(group_col)
+    cum = F.sum("__n").over(w_cum)
+    tot = F.sum("__n").over(w_tot)
+    buckets = hist.select(
+        group_col,
+        score_col,
+        F.when(3 * cum <= tot, labels[0])
+        .when(3 * cum <= 2 * tot, labels[1])
+        .otherwise(labels[2])
+        .alias("bucket"),
+    )
+    return df.join(buckets, [group_col, score_col])
+
+
+# ---------------------------------------------------------------------------
+# UT1-style URL blocklist filtering (domain suffix match, longest wins)
+# ---------------------------------------------------------------------------
+
+
+def host_suffixes(host: Column | str, max_labels: int = 4) -> Column:
+    """All dot-suffixes of a hostname up to ``max_labels`` labels long:
+    'a.b.example.com' → ['com', 'example.com', 'b.example.com',
+    'a.b.example.com'].
+
+    This is the standard trick that turns "is this host or ANY parent
+    domain blocklisted?" from a prefix/suffix theta-join (broadcast
+    nested loop over the whole blocklist) into a plain EQUI-join: explode
+    the ≤ max_labels suffixes and hash-join suffix = blocked_domain. A
+    real UT1/commercial blocklist is millions of domains — far too many
+    for a nested-loop probe per URL, trivial for a hash join.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+    )
+
+
+def blocklist_categories(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Left-append the blocklist category for each row's host (null =
+    clean), matching any dot-suffix of the host against
+    ``blocklist(domain, category)``; the LONGEST matching domain wins
+    (most-specific rule, UT1 semantics), ties broken by category then
+    domain for full determinism.
+
+    One explode (≤ 4 rows per doc) + one equi-join on the suffix + a
+    min-by reduction back to one row per doc. The blocklist side is
+    keyed by domain — broadcastable when small, an ordinary shuffle
+    hash join when it's the multi-million-row UT1 dump.
+    """
+    from pyspark.sql import Window
+
+    cand = (
+        df.select(F.col(id_col), F.col(host_col))
+        .select(id_col, F.explode(host_suffixes(host_col)).alias("__sfx"))
+        .join(blocklist, F.col("__sfx") == F.col("domain"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("domain").desc(), F.col("category").asc(), F.col("domain").asc()
+    )
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("category"))
+    )
+    return df.join(best, id_col, "left")

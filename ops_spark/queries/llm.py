@@ -2492,3 +2492,185 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.char_bigram_lm_scores(docs).select("doc_id", "n_bigrams", "avg_logp")
+
+
+@register(
+    "llm_fasttext_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             list_concat(t,
+               CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])
+                 ELSE []::VARCHAR[] END) AS fs
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(fs) AS BIGINT) AS n_feats,
+             CAST(coalesce(list_sum(list_transform(fs, f ->
+               (('0x' || substr(md5('w#' || CAST(
+                   (('0x' || substr(md5(f), 1, 15))::BIGINT % 262144)
+                 AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000
+             )), 0) AS BIGINT) AS w_sum_units
+      FROM feats
+    )
+    SELECT doc_id, n_feats, w_sum_units, w_sum_units > 0 AS keep
+    FROM scored
+    """,
+    description="fastText-style hashed bag-of-n-grams linear classifier "
+    "inference (operators/text.py:hashed_bow_score): unigram+bigram "
+    "hashing trick into 2^18 weight buckets, exact integer micro-unit "
+    "weight sum, zero shuffle. The model-based quality-filter slot of "
+    "DCLM/fastText pipelines; swap the hash-derived weights for exported "
+    "trained weights via a broadcast map to productionize.",
+    tags=("llm", "text", "quality", "classifier"),
+)
+def llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.hashed_bow_score(docs)
+
+
+@register(
+    "llm_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS term
+      FROM documents
+    ), r AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM toks
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 64)),
+                           ',') AS postings
+    FROM r GROUP BY term
+    """,
+    description="Capped inverted-index build "
+    "(operators/retrieval.py:inverted_index): per-term document frequency "
+    "+ first 64 postings, rank-capped BEFORE the array is built so a "
+    "stopword's postings can never blow an aggregation buffer; window and "
+    "groupBy share the term key (one shuffle).",
+    tags=("llm", "retrieval", "index"),
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.retrieval import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=64)
+
+
+@register(
+    "llm_perplexity_buckets",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) >= 2
+               THEN list_transform(range(1, length(text)),
+                                   i -> substring(text, i, 2))
+               ELSE []::VARCHAR[] END) AS bg
+      FROM documents
+    ), model AS (
+      SELECT bg, count(*) AS c FROM grams GROUP BY bg
+    ), sc AS (
+      SELECT doc_id, count(*) AS n, sum(c) AS sum_c
+      FROM grams JOIN model USING (bg) GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST((sum_c * 1000000) // n AS BIGINT) AS fluency_e6
+      FROM sc JOIN documents d USING (doc_id)
+    ), hist AS (
+      SELECT lang, fluency_e6, count(*) AS hn FROM scored GROUP BY 1, 2
+    ), cuts AS (
+      SELECT lang, fluency_e6,
+        CASE WHEN 3 * sum(hn) OVER (PARTITION BY lang ORDER BY fluency_e6 DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 <= sum(hn) OVER (PARTITION BY lang) THEN 'head'
+             WHEN 3 * sum(hn) OVER (PARTITION BY lang ORDER BY fluency_e6 DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 <= 2 * sum(hn) OVER (PARTITION BY lang) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM hist
+    )
+    SELECT s.doc_id, s.lang, s.fluency_e6, c.bucket
+    FROM scored s JOIN cuts c USING (lang, fluency_e6)
+    """,
+    description="CCNet-style per-language head/middle/tail bucketing "
+    "(operators/text.py:fluency_score_e6 + tertile_buckets): exact-integer "
+    "bigram-frequency fluency proxy, tertile cut computed on the bounded "
+    "(lang, score) histogram instead of ntile over whole-language sort "
+    "partitions — the skew-safe form of CCNet's perplexity split.",
+    tags=("llm", "text", "quality", "ccnet"),
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        T.fluency_score_e6(docs), "doc_id"
+    )
+    return T.tertile_buckets(scored, "fluency_e6", "lang").select(
+        "doc_id", "lang", "fluency_e6", "bucket"
+    )
+
+
+@register(
+    "llm_url_blocklist",
+    oracle="""
+    WITH hosts AS (
+      SELECT doc_id,
+             source || '.example.' ||
+             CASE WHEN lang = 'de' THEN 'net' ELSE 'com' END AS host
+      FROM documents
+    ), bl(domain, category) AS (
+      VALUES ('example.net', 'geo'), ('src1.example.com', 'ads'),
+             ('src7.example.com', 'adult'), ('src1.example.net', 'ads-specific')
+    ), sfx AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, least(len(ls), 4) + 1),
+                    k -> array_to_string(ls[len(ls)-k+1:], '.'))) AS s
+      FROM (SELECT doc_id, string_split(host, '.') AS ls FROM hosts)
+    ), best AS (
+      SELECT doc_id, category FROM (
+        SELECT doc_id, category,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY length(domain) DESC, category ASC, domain ASC) AS rn
+        FROM sfx JOIN bl ON s = domain
+      ) WHERE rn = 1
+    )
+    SELECT h.doc_id, h.host, b.category
+    FROM hosts h LEFT JOIN best b USING (doc_id)
+    """,
+    description="UT1-style URL blocklist filter "
+    "(operators/text.py:host_suffixes + blocklist_categories): host "
+    "dot-suffix explode turns parent-domain matching into an EQUI-join "
+    "(hash-joinable against a multi-million-row blocklist, no nested "
+    "loop); longest matching domain wins. Null category = clean.",
+    tags=("llm", "text", "filter", "crawl"),
+)
+def llm_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.lit(".example."),
+            F.when(F.col("lang") == "de", "net").otherwise("com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("example.net", "geo"),
+            ("src1.example.com", "ads"),
+            ("src7.example.com", "adult"),
+            ("src1.example.net", "ads-specific"),
+        ],
+        "domain string, category string",
+    )
+    return T.blocklist_categories(hosts, bl)

@@ -1754,3 +1754,127 @@ def test_tfidf_topk_by_hand(spark):
     assert got[(3, "cherry")] == round(3 * idf(2), 4)
     # k=2 cap: doc 1 has exactly its 2 distinct terms, doc 2 both, doc 3 one.
     assert sorted(r.doc_id for r in out) == [1, 1, 2, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# round 7: hashed-BoW classifier, fluency buckets, inverted index, blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_bow_score_matches_manual_hash(spark):
+    """The Spark fold must equal a hand-computed md5 weight sum (pins the
+    hashing-trick pipeline end-to-end: tokenize → bigram → bucket → weight)."""
+    import hashlib
+
+    from ops_spark.operators.text import hashed_bow_score
+
+    text = "The quick FOX"
+    toks = ["the", "quick", "fox"]
+    feats = toks + ["the quick", "quick fox"]
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = sum((h64(f"w#{h64(f) % (1 << 18)}") % 2001) - 1000 for f in feats)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = hashed_bow_score(df).collect()[0]
+    assert row.n_feats == 5
+    assert row.w_sum_units == want
+    assert row.keep == (want > 0)
+
+
+def test_hashed_bow_score_empty_and_single_token(spark):
+    from ops_spark.operators.text import hashed_bow_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in hashed_bow_score(df).collect()}
+    assert rows[1].n_feats == 0 and rows[1].w_sum_units == 0 and not rows[1].keep
+    assert rows[2].n_feats == 0  # whitespace-only → no tokens
+    assert rows[3].n_feats == 1  # one unigram, no bigram
+
+
+def test_hashed_bow_score_is_zero_shuffle(spark):
+    """The classifier must stay a pure map — no Exchange in the plan
+    (the whole point of the hashing trick at 100 TB)."""
+    from ops_spark.operators.text import hashed_bow_score
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = hashed_bow_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fluency_score_e6_exact_integer(spark):
+    """fluency_e6 = floor(1e6 * sum(corpus-count of each bigram) / n_bigrams),
+    hand-checked on a 2-doc corpus; docs with <2 chars are dropped."""
+    from ops_spark.operators.text import fluency_score_e6
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "ab"), (3, "x")], "doc_id long, text string"
+    )
+    # corpus bigrams: doc1 → aa, aa; doc2 → ab. counts: aa=2, ab=1
+    rows = {r.doc_id: r for r in fluency_score_e6(df).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no bigram
+    assert rows[1].n_bigrams == 2 and rows[1].fluency_e6 == 2_000_000  # (2+2)/2
+    assert rows[2].n_bigrams == 1 and rows[2].fluency_e6 == 1_000_000  # 1/1
+
+
+def test_tertile_buckets_exact_thirds_and_tie_cohesion(spark):
+    from ops_spark.operators.text import tertile_buckets
+
+    # group g: 9 distinct scores → exact 3/3/3 head/middle/tail
+    rows = [("g", 90 - i) for i in range(9)]
+    # group t: 6 rows, ALL the same score → one histogram row; 3*cum(6) > 2*tot
+    # → every tie lands together in 'tail'
+    rows += [("t", 5)] * 6
+    df = spark.createDataFrame(rows, "lang string, score long")
+    out = tertile_buckets(df, "score", "lang").collect()
+    g = sorted((r.score, r.bucket) for r in out if r.lang == "g")
+    assert [b for _, b in g] == ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    t = {r.bucket for r in out if r.lang == "t"}
+    assert t == {"tail"}
+
+
+def test_inverted_index_caps_postings_keeps_exact_df(spark):
+    from ops_spark.operators.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "hot " + ("rare" if i == 3 else "x")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = {r.term: r for r in inverted_index(docs, max_postings=4).collect()}
+    assert idx["hot"].df == 10  # exact df, beyond the cap
+    assert idx["hot"].postings == "0,1,2,3"  # first 4 ascending doc ids
+    assert idx["rare"].df == 1 and idx["rare"].postings == "3"
+
+
+def test_host_suffixes_and_blocklist_longest_match(spark):
+    from ops_spark.operators.text import blocklist_categories, host_suffixes
+
+    sfx = (
+        spark.range(1)
+        .select(host_suffixes(F.lit("a.b.example.com")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert sfx == ["com", "example.com", "b.example.com", "a.b.example.com"]
+
+    hosts = spark.createDataFrame(
+        [
+            (1, "src1.example.net"),  # matches example.net AND src1.example.net
+            (2, "src9.example.net"),  # parent-domain match only
+            (3, "clean.example.com"),  # no match
+        ],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame(
+        [("example.net", "geo"), ("src1.example.net", "ads-specific")],
+        "domain string, category string",
+    )
+    out = {r.doc_id: r.category for r in blocklist_categories(hosts, bl).collect()}
+    assert out[1] == "ads-specific"  # longest domain wins over parent
+    assert out[2] == "geo"
+    assert out[3] is None
