@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 26
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 31
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
@@ -11,8 +11,10 @@ year-over-year CTE self-joins, cascaded window functions,
 scalar-subquery count buckets, frequent-item semi-filters, HAVING
 join-back, correlated scalar subqueries (decorrelated), EXISTS-OR
 existence joins, multi-column INTERSECT chains, NOT-EXISTS anti joins,
-conditional-pivot self-joins, FULL-OUTER null-pattern matrices, and
-exact-sum stddev chains — onto the TPC-H fixtures this harness ships,
+conditional-pivot self-joins, FULL-OUTER null-pattern matrices,
+exact-sum stddev chains, scalar-subquery CASE ladders, broadcast-chain
+join-order stress, coefficient-of-variation gates, and tolerance-band
+three-channel joins — onto the TPC-H fixtures this harness ships,
 as oracle-full
 queries (one ANSI SQL string runs through BOTH spark.sql and DuckDB).
 
@@ -716,6 +718,138 @@ WHERE cs1.syear = 1996 AND cs2.syear = 1997
 """
 
 
+SQL_Q09_BUCKET_CASE = f"""
+SELECT
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+            > 10000
+       THEN (SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+       ELSE (SELECT floor(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_quantity BETWEEN 1 AND 10)
+  END AS bucket1,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+            > 10000
+       THEN (SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+       ELSE (SELECT floor(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_quantity BETWEEN 11 AND 20)
+  END AS bucket2,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+            > 10000
+       THEN (SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+       ELSE (SELECT floor(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_quantity BETWEEN 21 AND 30)
+  END AS bucket3,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+            > 10000
+       THEN (SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+       ELSE (SELECT floor(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_quantity BETWEEN 31 AND 40)
+  END AS bucket4,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+            > 10000
+       THEN (SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+       ELSE (SELECT floor(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_quantity BETWEEN 41 AND 50)
+  END AS bucket5
+FROM region WHERE r_regionkey = 0
+"""
+
+SQL_Q72_BROADCAST_CHAIN = f"""
+SELECT p_brand, n_name,
+       count(*) AS n_lines,
+       count(neg.c_custkey) AS n_neg_acct,
+       CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+JOIN part      ON l_partkey = p_partkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation    ON s_nationkey = n_nationkey
+LEFT JOIN customer neg ON o_custkey = neg.c_custkey AND neg.c_acctbal < 0
+WHERE p_size BETWEEN 1 AND 15
+GROUP BY p_brand, n_name
+"""
+
+# cov = stddev_samp/mean > 0.5 tested as the EXACT integer inequality
+# 4·n·(n·Σx² − (Σx)²) > (n−1)·(Σx)² — no sqrt/division in the predicate, so
+# the gate cannot flip between engines (l_quantity is whole-valued 1..50,
+# so the BIGINT cast is exact; the integer products stay inside int64 up
+# to ~100k rows per (part, month) group — far past the derived scales, and
+# DuckDB's HUGEINT sums compare equal on the shared range).
+SQL_Q39_COV_SELFJOIN = """
+WITH stats AS (
+    SELECT l_partkey AS partkey, EXTRACT(MONTH FROM l_shipdate) AS mon,
+           count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS sx,
+           sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+    FROM lineitem
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+),
+cov AS (
+    SELECT partkey, mon, n, sx, sxx
+    FROM stats
+    WHERE 4 * n * (n * sxx - sx * sx) > (n - 1) * sx * sx
+)
+SELECT v1.partkey AS partkey,
+       CAST(v1.n AS BIGINT) AS n_mar, CAST(v2.n AS BIGINT) AS n_apr,
+       floor(sqrt((CAST(v1.n AS DOUBLE) * CAST(v1.sxx AS DOUBLE)
+                   - CAST(v1.sx AS DOUBLE) * CAST(v1.sx AS DOUBLE))
+                  / (CAST(v1.n AS DOUBLE) * (CAST(v1.n AS DOUBLE) - 1)))
+             / (CAST(v1.sx AS DOUBLE) / CAST(v1.n AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS cov_mar,
+       floor(sqrt((CAST(v2.n AS DOUBLE) * CAST(v2.sxx AS DOUBLE)
+                   - CAST(v2.sx AS DOUBLE) * CAST(v2.sx AS DOUBLE))
+                  / (CAST(v2.n AS DOUBLE) * (CAST(v2.n AS DOUBLE) - 1)))
+             / (CAST(v2.sx AS DOUBLE) / CAST(v2.n AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS cov_apr
+FROM cov v1 JOIN cov v2 ON v1.partkey = v2.partkey
+WHERE v1.mon = 3 AND v2.mon = 4
+"""
+
+# Tolerance-band predicates in exact decimal arithmetic:
+# s_i ∈ [0.9·S/3, 1.1·S/3]  ⇔  10·s_i ≥ 3·S AND 30·s_i ≤ 11·S (S = s_a+s_n+s_r)
+SQL_Q58_TOLERANCE_BAND = f"""
+WITH ch AS (
+    SELECT l_partkey AS partkey, l_returnflag AS flag,
+           sum(CAST(l_extendedprice AS {_DEC})) AS rev
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT a.partkey AS partkey,
+       CAST(a.rev AS DOUBLE) AS rev_a,
+       CAST(n.rev AS DOUBLE) AS rev_n,
+       CAST(r.rev AS DOUBLE) AS rev_r
+FROM ch a JOIN ch n ON a.partkey = n.partkey
+          JOIN ch r ON a.partkey = r.partkey
+WHERE a.flag = 'A' AND n.flag = 'N' AND r.flag = 'R'
+  AND 10 * a.rev >= 3 * (a.rev + n.rev + r.rev)
+  AND 30 * a.rev <= 11 * (a.rev + n.rev + r.rev)
+  AND 10 * n.rev >= 3 * (a.rev + n.rev + r.rev)
+  AND 30 * n.rev <= 11 * (a.rev + n.rev + r.rev)
+  AND 10 * r.rev >= 3 * (a.rev + n.rev + r.rev)
+  AND 30 * r.rev <= 11 * (a.rev + n.rev + r.rev)
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -921,6 +1055,47 @@ for name, sql, desc in [
         "then SELF-JOINED on the group key across two periods with a "
         "cnt guard. Plan-pinned: no cartesian product, dims broadcast, "
         "fact scanned once per self-join arm.",
+    ),
+    (
+        "sql_tpcds_q09_bucket_case",
+        SQL_Q09_BUCKET_CASE,
+        "TPC-DS q9 shape (tpcds/q9.sql): a CASE ladder of 15 "
+        "uncorrelated scalar subqueries (5 quantity buckets × "
+        "count-gate/then/else) hung off a 1-row dimension anchor — "
+        "Catalyst executes each scalar subquery as its own job and the "
+        "outer plan is a single-row Project. The count gate picks the "
+        "THEN branch at sf0.01+ and the ELSE branch at sf0.001, so both "
+        "arms stay oracle-covered across the harness's scales.",
+    ),
+    (
+        "sql_tpcds_q72_broadcast_chain",
+        SQL_Q72_BROADCAST_CHAIN,
+        "TPC-DS q72 shape (tpcds/q72.sql, the corpus's canonical "
+        "join-ORDER stress): one big fact joined through a chain of "
+        "small dimensions plus a second fact with a non-equi residual "
+        "on the equi key (l_shipdate > o_orderdate, q72's "
+        "d3.d_date > d1.d_date), and a LEFT JOIN whose null-extension "
+        "is COUNTED (q72's promotion split: count(neg.c_custkey) vs "
+        "count(*)). Plan-pinned: dims broadcast, fact scanned once.",
+    ),
+    (
+        "sql_tpcds_q39_cov_selfjoin",
+        SQL_Q39_COV_SELFJOIN,
+        "TPC-DS q39 shape (tpcds/q39a.sql): per-(item, month) mean/"
+        "stddev over the fact, coefficient-of-variation gate, then the "
+        "survivor set SELF-JOINED across consecutive months. The cov > 1 "
+        "gate runs as an exact integer inequality (no sqrt in a "
+        "predicate); only the displayed cov is floated and quantized.",
+    ),
+    (
+        "sql_tpcds_q58_tolerance_band",
+        SQL_Q58_TOLERANCE_BAND,
+        "TPC-DS q58 shape (tpcds/q58.sql): the same fact aggregated "
+        "into three channel CTEs, three-way equi-joined on the item "
+        "key, kept only where EVERY channel lies within ±10% of the "
+        "three-channel average — the tolerance band tested in exact "
+        "decimal arithmetic (10·s ≥ 3·S, 30·s ≤ 11·S), never on a "
+        "divided float.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

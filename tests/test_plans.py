@@ -729,3 +729,27 @@ def test_ivfpq_candidate_shuffle_excludes_query_vector(spark, sf_dir):
     assert any("BroadcastHashJoin [query_id" in l for l in between), plan
     # and NO re-exchange between the repartition and the grouped UDF
     assert not any("Exchange hashpartitioning" in l for l in between), plan
+
+
+def test_tpcds_q72_dims_broadcast_one_fact_scan(spark, sf_dir):
+    # q72's whole point is join ORDER: the dimension chain must ride
+    # broadcasts (no dim may force a fact shuffle), the lineitem fact is
+    # scanned exactly once, and the promotion-analog LEFT join survives
+    # as an outer join (never rewritten inner — the null-extension is
+    # COUNTED in the output).
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q72_broadcast_chain")
+    assert len(re.findall(r"FileScan parquet \[l_", plan)) == 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftOuter" in plan
+
+
+def test_tpcds_q09_fifteen_scalar_subqueries_one_row(spark, sf_dir):
+    # The q9 CASE ladder must plan as scalar subqueries hung off the
+    # 1-row anchor scan — 15 independent aggregates, each its own
+    # subquery (they run as separate small jobs and reuse exchange
+    # where Spark can), never a join explosion on the anchor.
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q09_bucket_case")
+    assert plan.count("Subquery") >= 10
+    assert "CartesianProduct" not in plan
