@@ -600,3 +600,60 @@ def source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "io_snapshot_timetravel",
+    oracle=f"""
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    """,
+    description="Versioned snapshot table end-to-end "
+    "(io/snapshots.py): append v0 (pre-1997 slice) + v1 (rest), "
+    "overwrite v2 with a corrupted aggregate, roll BACK to v1, read "
+    "latest. The oracle is the plain nation-by-year aggregate — so the "
+    "commit-log fold, the version-pinned file listing, AND the rollback "
+    "must all be exactly right for the hash to match (a torn read, a "
+    "leaked v2 file, or a mis-folded remove list all change the values). "
+    "Crash/race/vacuum behavior is pinned in test_io.py::test_snapshot_*.",
+    tags=("io", "snapshot", "timetravel", "maintenance"),
+)
+def io_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import load_table
+    from ops_spark.io.snapshots import read_snapshot, rollback, write_snapshot
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_snap_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .join(load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(load_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__t"),
+        )
+        .select("n_name", "yr", "n_orders", F.col("__t").cast("double").alias("total"))
+    )
+    write_snapshot(spark, agg.filter(F.col("yr") < 1997), tbl)  # v0
+    write_snapshot(spark, agg.filter(F.col("yr") >= 1997), tbl, mode="append")  # v1
+    corrupt = agg.withColumn("total", F.col("total") * 2)
+    write_snapshot(spark, corrupt, tbl, mode="overwrite")  # v2: the bad run
+    rollback(spark, tbl, 1)  # v3: the undo
+    return read_snapshot(spark, tbl)  # latest == v1 == the true aggregate

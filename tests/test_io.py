@@ -1266,3 +1266,125 @@ def test_dataframe_lateral_join_and_scalar_subquery_api(spark, sf_dir):
     rows = [r.c_acctbal for r in cust.collect()]
     mean = sum(rows) / len(rows)
     assert got == sum(1 for b in rows if b > mean)
+
+
+# ---------------------------------------------------------------------------
+# round 7: versioned snapshot tables (io/snapshots.py)
+# ---------------------------------------------------------------------------
+
+
+def _snap_rows(spark, path, version=None):
+    from ops_spark.io.snapshots import read_snapshot
+
+    return sorted(
+        (r.k, r.v) for r in read_snapshot(spark, path, version).collect()
+    )
+
+
+def test_snapshot_append_overwrite_time_travel(spark, tmp_path):
+    from ops_spark.io.snapshots import history, latest_version, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    assert write_snapshot(spark, d([(1, "a")]), t) == 0
+    assert write_snapshot(spark, d([(2, "b")]), t, mode="append") == 1
+    assert write_snapshot(spark, d([(9, "z")]), t, mode="overwrite") == 2
+
+    assert _snap_rows(spark, t, 0) == [(1, "a")]
+    assert _snap_rows(spark, t, 1) == [(1, "a"), (2, "b")]
+    assert _snap_rows(spark, t, 2) == [(9, "z")]
+    assert _snap_rows(spark, t) == [(9, "z")]  # latest
+    assert latest_version(t) == 2
+    assert [h["op"] for h in history(t)] == ["append", "append", "overwrite"]
+
+
+def test_snapshot_rollback_is_metadata_only(spark, tmp_path):
+    import os
+
+    from ops_spark.io.snapshots import rollback, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a")]), t)
+    write_snapshot(spark, d([(2, "bad")]), t, mode="overwrite")
+    n_files_before = len(os.listdir(os.path.join(t, "data")))
+    v = rollback(spark, t, 0)
+    assert v == 2
+    # no data bytes moved: same files on disk, live set re-pointed
+    assert len(os.listdir(os.path.join(t, "data"))) == n_files_before
+    assert _snap_rows(spark, t) == [(1, "a")]
+    assert _snap_rows(spark, t, 1) == [(2, "bad")]  # history preserved
+
+
+def test_snapshot_vacuum_bounds_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    from ops_spark.io.snapshots import SnapshotError, vacuum, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a")]), t)
+    write_snapshot(spark, d([(2, "b")]), t, mode="overwrite")
+    write_snapshot(spark, d([(3, "c")]), t, mode="overwrite")
+    rep = vacuum(t, retain_last=2)
+    assert rep["removed_files"] >= 1  # v0's file is unreferenced by v1/v2
+    assert _snap_rows(spark, t, 1) == [(2, "b")]  # inside retention: fine
+    assert _snap_rows(spark, t, 2) == [(3, "c")]
+    with _pytest.raises(SnapshotError, match="vacuum"):
+        _snap_rows(spark, t, 0)  # outside retention: clean error
+
+
+def test_snapshot_uncommitted_stage_is_invisible(spark, tmp_path):
+    import os
+
+    from ops_spark.io.snapshots import write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a")]), t)
+    # simulate a writer that crashed after materializing data files but
+    # BEFORE its commit: drop an orphan parquet into data/
+    orphan_src = os.path.join(t, "data")
+    victim = [n for n in os.listdir(orphan_src) if n.endswith(".parquet")][0]
+    import shutil
+
+    shutil.copy(
+        os.path.join(orphan_src, victim),
+        os.path.join(orphan_src, "v9-deadbeef-orphan.parquet"),
+    )
+    # readers fold the LOG, never list data/ → orphan invisible
+    assert _snap_rows(spark, t) == [(1, "a")]
+
+
+def test_snapshot_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ops_spark.io import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    S.write_snapshot(spark, d([(1, "a")]), t)
+    # simulate the real race: OUR writer reads the log (sees only v0),
+    # then another writer lands version 1 before our commit
+    real_read = S._read_commits
+
+    def stale_read(path):
+        return real_read(path)[:1]  # our writer saw only v0
+
+    with open(os.path.join(t, "_log", f"{1:011d}.json"), "w") as fh:
+        json.dump({"version": 1, "op": "append", "add": [], "remove": []}, fh)
+    monkeypatch.setattr(S, "_read_commits", stale_read)
+    with _pytest.raises(S.SnapshotError, match="concurrent"):
+        S.write_snapshot(spark, d([(2, "b")]), t, mode="append")
+    monkeypatch.setattr(S, "_read_commits", real_read)
+    # the loser's staged files were cleaned up: nothing unreferenced
+    commits = [
+        json.load(open(os.path.join(t, "_log", n)))
+        for n in sorted(os.listdir(os.path.join(t, "_log")))
+    ]
+    referenced = {os.path.basename(f) for c in commits for f in c["add"]}
+    on_disk = set(os.listdir(os.path.join(t, "data")))
+    assert on_disk == referenced
