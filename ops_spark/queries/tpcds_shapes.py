@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 31
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 35
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
@@ -850,6 +850,106 @@ WHERE a.flag = 'A' AND n.flag = 'N' AND r.flag = 'R'
 """
 
 
+SQL_Q87_EXCEPT_CHAIN = """
+SELECT count(*) AS n_only_urgent FROM (
+    SELECT DISTINCT c_name, EXTRACT(YEAR FROM o_orderdate) AS yr
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT c_name, EXTRACT(YEAR FROM o_orderdate) AS yr
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    EXCEPT
+    SELECT DISTINCT c_name, EXTRACT(YEAR FROM o_orderdate) AS yr
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000
+) t
+"""
+
+SQL_Q76_NULL_CHANNEL_UNION = f"""
+WITH channels AS (
+    SELECT 'urgent' AS channel, o_orderpriority AS col_name,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           CAST(NULL AS STRING) AS flag,
+           CAST(o_totalprice AS {_DEC}) AS amt
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    UNION ALL
+    SELECT 'returned', CAST(NULL AS STRING),
+           EXTRACT(YEAR FROM l_shipdate),
+           l_returnflag,
+           CAST(l_extendedprice AS {_DEC})
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT 'bigline', CAST(NULL AS STRING),
+           EXTRACT(YEAR FROM l_shipdate),
+           CAST(NULL AS STRING),
+           CAST(l_extendedprice AS {_DEC})
+    FROM lineitem WHERE l_quantity >= 48
+)
+SELECT channel, col_name, flag, CAST(yr AS INT) AS yr,
+       count(*) AS n_rows,
+       CAST(sum(amt) AS DOUBLE) AS total_amt
+FROM channels
+GROUP BY channel, col_name, flag, yr
+"""
+
+SQL_Q90_SCALAR_RATIO = """
+SELECT floor(CAST(h1.cnt AS DOUBLE) / h2.cnt * 10000 + 0.5) / 10000
+           AS half_year_ratio
+FROM (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        AND EXTRACT(MONTH FROM o_orderdate) <= 6) h1,
+     (SELECT count(*) AS cnt FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        AND EXTRACT(MONTH FROM o_orderdate) > 6) h2
+"""
+
+# q4's growth-ratio comparison t_97/t_96 (web) > t_97/t_96 (store) is done
+# by EXACT decimal cross-multiplication — w97·s96 > s97·w96 — so no
+# division result is ever compared.
+SQL_Q04_TRIPLE_CHANNEL_YOY = f"""
+WITH year_total AS (
+    SELECT o_custkey AS custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           'ord' AS channel, sum(CAST(o_totalprice AS {_DEC})) AS total
+    FROM orders GROUP BY 1, 2
+    UNION ALL
+    SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate), 'kept',
+           sum(CAST(l_extendedprice AS {_DEC}))
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag <> 'R'
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate), 'ret',
+           sum(CAST(l_extendedprice AS {_DEC}))
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2
+)
+SELECT o1.custkey AS custkey,
+       CAST(o1.total AS DOUBLE) AS ord_1996,
+       CAST(o2.total AS DOUBLE) AS ord_1997,
+       CAST(k1.total AS DOUBLE) AS kept_1996,
+       CAST(k2.total AS DOUBLE) AS kept_1997,
+       CAST(r1.total AS DOUBLE) AS ret_1996,
+       CAST(r2.total AS DOUBLE) AS ret_1997
+FROM year_total o1 JOIN year_total o2 ON o1.custkey = o2.custkey
+     JOIN year_total k1 ON o1.custkey = k1.custkey
+     JOIN year_total k2 ON o1.custkey = k2.custkey
+     JOIN year_total r1 ON o1.custkey = r1.custkey
+     JOIN year_total r2 ON o1.custkey = r2.custkey
+WHERE o1.channel = 'ord' AND o1.yr = 1996
+  AND o2.channel = 'ord' AND o2.yr = 1997
+  AND k1.channel = 'kept' AND k1.yr = 1996
+  AND k2.channel = 'kept' AND k2.yr = 1997
+  AND r1.channel = 'ret' AND r1.yr = 1996
+  AND r2.channel = 'ret' AND r2.yr = 1997
+  AND o1.total > 0 AND k1.total > 0 AND r1.total > 0
+  AND k2.total * o1.total > o2.total * k1.total
+  AND r2.total * o1.total > o2.total * r1.total
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1096,6 +1196,38 @@ for name, sql, desc in [
         "three-channel average — the tolerance band tested in exact "
         "decimal arithmetic (10·s ≥ 3·S, 30·s ≤ 11·S), never on a "
         "divided float.",
+    ),
+    (
+        "sql_tpcds_q87_except_chain",
+        SQL_Q87_EXCEPT_CHAIN,
+        "TPC-DS q87 shape (tpcds/q87.sql): multi-column DISTINCT sets "
+        "chained through TWO set-differences (EXCEPT ... EXCEPT), "
+        "counted — the set-difference sibling of q38's INTERSECT chain.",
+    ),
+    (
+        "sql_tpcds_q76_null_channel_union",
+        SQL_Q76_NULL_CHANNEL_UNION,
+        "TPC-DS q76 shape (tpcds/q76.sql): three channel scans UNION "
+        "ALL'd where each channel leaves DIFFERENT columns as typed "
+        "NULL literals, grouped with the null columns as keys — the "
+        "null-pattern schema-unification family.",
+    ),
+    (
+        "sql_tpcds_q90_scalar_ratio",
+        SQL_Q90_SCALAR_RATIO,
+        "TPC-DS q90 shape (tpcds/q90.sql): the ratio of two scalar "
+        "COUNT subqueries (am/pm in the original; half-years here) — "
+        "two 1-row aggregates cross-joined, one output row.",
+    ),
+    (
+        "sql_tpcds_q04_triple_channel_yoy",
+        SQL_Q04_TRIPLE_CHANNEL_YOY,
+        "TPC-DS q4 shape (tpcds/q4.sql, the corpus's widest self-join "
+        "of one CTE): a 3-channel UNION ALL year_total aggregate "
+        "SELF-JOINED SIX ways (channel x year), keeping customers whose "
+        "growth in two channels beats the anchor channel — growth "
+        "ratios compared by exact decimal CROSS-MULTIPLICATION "
+        "(k97*o96 > o97*k96), never on divided floats.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

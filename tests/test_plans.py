@@ -254,6 +254,8 @@ _ALL_PAIRS_OK = {
     # shape): every BNLJ side is one aggregate row, so the "cross join"
     # is 8 scalar broadcasts
     "sql_tpcds_q88_bucket_counts",
+    # same scalar shape, 2 single-row count(*) subqueries (q90's am/pm ratio)
+    "sql_tpcds_q90_scalar_ratio",
     # llm_embedding_dedup left this list in round 3: the exact tier is now
     # chunk-pair cogrouped GEMM — quadratic WORK, but no cross-join stage.
 }
@@ -753,3 +755,11 @@ def test_tpcds_q09_fifteen_scalar_subqueries_one_row(spark, sf_dir):
     plan = _exec_plan(spark, sf_dir, "sql_tpcds_q09_bucket_case")
     assert plan.count("Subquery") >= 10
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q87_plans_two_excepts_as_anti_joins(spark, sf_dir):
+    # the EXCEPT chain must lower to anti joins on the distinct sets (a
+    # per-branch distinct-and-subtract materialization would rescan), and
+    # there must be exactly TWO of them for the two set differences
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q87_except_chain")
+    assert plan.count("LeftAnti") == 2
