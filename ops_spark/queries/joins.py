@@ -260,7 +260,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
          s AS (SELECT nullif(s_nationkey, 3) AS k, s_acctbal
                FROM supplier)
     SELECT c.k AS k, CAST(count(*) AS BIGINT) AS n,
-           round(sum(c.c_acctbal + s.s_acctbal), 2) AS bal
+           CAST(sum(CAST(floor((c.c_acctbal + s.s_acctbal) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100 AS bal
     FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
     GROUP BY c.k
     """,
@@ -282,5 +283,15 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(s, c["ck"].eqNullSafe(s["sk"]))
     return joined.groupBy(F.col("ck").alias("k")).agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("c_acctbal") + F.col("s_acctbal")), 2).alias("bal"),
+        # exact integer cents, not round(sum(double), 2): the double sum
+        # drifts with partition summation order — found at 100× where this
+        # group's 1.5M-pair sum flipped the 2nd decimal between engines
+        (
+            F.sum(
+                F.floor((F.col("c_acctbal") + F.col("s_acctbal")) * 100 + 0.5).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 100
+        ).alias("bal"),
     )
