@@ -880,6 +880,7 @@ def hashed_bow_score(
     n_buckets: int = FASTTEXT_BUCKETS,
     bigrams: bool = True,
     threshold_units: int = 0,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-shaped quality-classifier inference: hashed bag of
     unigrams+bigrams → per-bucket weight lookup → summed linear score.
@@ -927,6 +928,7 @@ def hashed_bow_score(
     n = F.size(feats).cast("bigint")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n.alias("n_feats"),
         w_sum.alias("w_sum_units"),
         (w_sum > F.lit(threshold_units) * n).alias("keep"),

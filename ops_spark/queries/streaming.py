@@ -328,3 +328,55 @@ def x_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one emission per co-bucketed band -> distinct; agreement is a pure
     # function of the pair so it never forks a row
     return out.select("id_a", "id_b", "agreement").distinct()
+
+
+@register(
+    "stream_fasttext_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang,
+             list_concat(t,
+               CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])
+                 ELSE []::VARCHAR[] END) AS fs
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(coalesce(list_sum(list_transform(fs, f ->
+               (('0x' || substr(md5('w#' || CAST(
+                   (('0x' || substr(md5(f), 1, 15))::BIGINT % 262144)
+                 AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000
+             )), 0) AS BIGINT) AS w
+      FROM feats
+    )
+    SELECT lang, count(*) AS n_kept, CAST(sum(w) AS BIGINT) AS sum_units
+    FROM scored WHERE w > 0
+    GROUP BY lang
+    """,
+    description="Streaming model-based quality filter: the fastText-style "
+    "hashed-BoW classifier (operators/text.py:hashed_bow_score) applied "
+    "INSIDE the micro-batch pipeline — a stateless whole-stage-codegen "
+    "map, so it rides the stream with zero state and zero extra shuffle "
+    "(the ingest-time slot where DCLM-style pipelines drop low-quality "
+    "docs before anything stateful sees them). Post-sink batch aggregate "
+    "keeps the oracle comparison compact.",
+    tags=("streaming", "llm", "quality", "classifier"),
+)
+def stream_fasttext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.text import hashed_bow_score
+    from ops_spark.streaming import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    scored = hashed_bow_score(docs, extra_cols=("lang",))
+    kept = scored.filter(F.col("keep")).select("doc_id", "lang", "w_sum_units")
+    out = run_bounded(kept, "append")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("w_sum_units").cast("bigint").alias("sum_units"),
+    )

@@ -1227,7 +1227,10 @@ for name, sql, desc in [
         "SELF-JOINED SIX ways (channel x year), keeping customers whose "
         "growth in two channels beats the anchor channel — growth "
         "ratios compared by exact decimal CROSS-MULTIPLICATION "
-        "(k97*o96 > o97*k96), never on divided floats.",
+        "(k97*o96 > o97*k96), never on divided floats. Scale note: "
+        "Spark inlines the CTE per reference (stock behavior on the "
+        "real q4, same caveat as the q31 shape); exchange reuse "
+        "collapses the repeats at runtime — 12.6 s at 100×.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

@@ -272,3 +272,71 @@ def test_histogram_matches_numpy(spark, vals):
         b = 0 if v < 0 else 11 if v >= 100 else int(np.floor(v / 10.0)) + 1
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+_SCORES = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),  # group
+        st.integers(min_value=-50, max_value=50),  # score
+    ),
+    min_size=1,
+    max_size=90,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_SCORES)
+def test_tertile_buckets_matches_counting_model(spark, rows):
+    # tertile_buckets (operators/text.py) == the direct counting model:
+    # a row's bucket is decided by how many rows in its group have a
+    # score >= its own (ties included), against exact integer thirds.
+    from ops_spark.operators.text import tertile_buckets
+
+    df = spark.createDataFrame(
+        [(i, g, s) for i, (g, s) in enumerate(rows)],
+        "rid long, lang string, score long",
+    )
+    got = {r.rid: r.bucket for r in tertile_buckets(df, "score", "lang").collect()}
+    by_g: dict[str, list] = {}
+    for _, (g, s) in enumerate(rows):
+        by_g.setdefault(g, []).append(s)
+    for rid, (g, s) in enumerate(rows):
+        tot = len(by_g[g])
+        cum = sum(1 for x in by_g[g] if x >= s)
+        want = "head" if 3 * cum <= tot else ("middle" if 3 * cum <= 2 * tot else "tail")
+        assert got[rid] == want, (rid, g, s, got[rid], want)
+    # every row is bucketed exactly once (the histogram join drops nothing)
+    assert len(got) == len(rows)
+
+
+_DOCS = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=6),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_DOCS)
+def test_inverted_index_matches_dict_model(spark, docs):
+    # inverted_index (operators/retrieval.py) == the obvious dict build:
+    # exact df always, postings = first min(df, cap) doc ids ascending.
+    from ops_spark.operators.retrieval import inverted_index
+
+    cap = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.term: (r.df, r.postings)
+        for r in inverted_index(df, max_postings=cap).collect()
+    }
+    model: dict[str, list] = {}
+    for i, toks in enumerate(docs):
+        for t in sorted(set(toks)):
+            model.setdefault(t, []).append(i)
+    assert set(got) == set(model)
+    for t, ids in model.items():
+        assert got[t][0] == len(ids)
+        assert got[t][1] == ",".join(str(i) for i in ids[:cap])
