@@ -203,6 +203,56 @@ def _v_gap_fill(spark, sf_dir):
     return n_out == expected, f"rows={n_out} expected={expected}"
 
 
+def _v_stream_lsh_batch_eq(spark, sf_dir):
+    """Batch-equality at scale: the streamed candidate pair set must
+    EQUAL the batch path's co-bucketed candidates filtered by the same
+    full-signature agreement (5·Σeq ≥ 4·k ⇔ mean ≥ 0.8), both computed
+    with the identical hash family/seed. Distributed compare — two
+    anti-joins — so 125k-doc signature sets never reach the driver
+    (the fixture-scale pin in test_streaming_extra collects; this one
+    cannot)."""
+    from pyspark.sql import functions as F
+
+    import ops_spark.queries as q
+    from ops_spark.io import load_table
+    from ops_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    got = (
+        q.get_query("x_stream_lsh_dedup")
+        .builder(spark, sf_dir)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    a = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sa"))
+    b = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sb"))
+    eq = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    want = (
+        minhash_lsh_candidates(docs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__eq", eq)
+        .filter(5 * F.col("__eq") >= 4 * F.size("sa"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n_want = want.count()
+    missing = want.join(got, ["id_a", "id_b"], "left_anti").count()
+    extra = got.join(want, ["id_a", "id_b"], "left_anti").count()
+    return (
+        missing == 0 and extra == 0 and n_want > 0,
+        f"pairs={n_want} missing={missing} extra={extra}",
+    )
+
+
 def _v_topk(spark, sf_dir):
     """Cross-operator algebra against the independently-computed count
     query: every point must emit exactly min(n_neighbors, k) top-k rows
@@ -337,9 +387,14 @@ INVARIANT_VERIFIERS = {
     "llm_minhash_lsh_dedup": _v_jaccard_completeness,
     "llm_transitive_dedup": _v_transitive,
     "an_spatial_join": _v_spatial,
+    # the same Σcounts == 2×pairs algebra verifies BOTH directions; the
+    # count query's own output (1 row per point) exceeds the driver-
+    # compare row cap at 100×, so this is its at-scale evidence
+    "geo_radius_count": _v_spatial,
     "geo_radius_topk": _v_topk,
     "ts_gap_fill": _v_gap_fill,
     "x_llm_knn_graph": _v_knn_recall,
+    "x_stream_lsh_dedup": _v_stream_lsh_batch_eq,
 }
 
 
