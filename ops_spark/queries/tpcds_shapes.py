@@ -950,6 +950,60 @@ WHERE o1.channel = 'ord' AND o1.yr = 1996
 """
 
 
+SQL_Q54_SEGMENT_HISTOGRAM = f"""
+WITH spend AS (
+    SELECT o_custkey AS custkey,
+           sum(CAST(o_totalprice AS {_DEC})) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    GROUP BY o_custkey
+)
+SELECT CAST(floor(CAST(total AS DOUBLE) / 50000) AS BIGINT) AS segment,
+       count(*) AS n_customers
+FROM spend
+GROUP BY 1
+"""
+
+SQL_Q48_DISJUNCT_BLOCKS = f"""
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS total_price
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE (c_mktsegment = 'BUILDING'
+       AND l_extendedprice BETWEEN 1000 AND 20000
+       AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+   OR (c_mktsegment = 'AUTOMOBILE'
+       AND l_extendedprice BETWEEN 20000 AND 40000
+       AND n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+   OR (c_mktsegment = 'MACHINERY'
+       AND l_extendedprice BETWEEN 40000 AND 90000
+       AND n_name IN ('NATION_7', 'NATION_8', 'NATION_9'))
+"""
+
+# before/after band in exact integer quantities: keep suppliers where
+# 2·after ≤ 3·before AND 2·before ≤ 3·after (the [2/3, 3/2] ratio band)
+SQL_Q21_BEFORE_AFTER_BAND = """
+WITH split AS (
+    SELECT s_name,
+           sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_before,
+           sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_after
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+)
+SELECT s_name, CAST(qty_before AS BIGINT) AS qty_before,
+       CAST(qty_after AS BIGINT) AS qty_after
+FROM split
+WHERE qty_before > 0 AND qty_after > 0
+  AND 2 * qty_after <= 3 * qty_before
+  AND 2 * qty_before <= 3 * qty_after
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1231,6 +1285,31 @@ for name, sql, desc in [
         "Spark inlines the CTE per reference (stock behavior on the "
         "real q4, same caveat as the q31 shape); exchange reuse "
         "collapses the repeats at runtime — 12.6 s at 100×.",
+    ),
+    (
+        "sql_tpcds_q54_segment_histogram",
+        SQL_Q54_SEGMENT_HISTOGRAM,
+        "TPC-DS q54 shape (tpcds/q54.sql): histogram OF AN AGGREGATE — "
+        "per-customer revenue totals bucketed into fixed-width segments "
+        "and counted (two chained aggregations; the bucket key is "
+        "floor() over a double derived from the exact decimal sum).",
+    ),
+    (
+        "sql_tpcds_q48_disjunct_blocks",
+        SQL_Q48_DISJUNCT_BLOCKS,
+        "TPC-DS q48/q13 shape (tpcds/q48.sql): disjunctive AND-blocks — "
+        "an OR of three conjunctions, each pairing a different segment "
+        "with a different price range and country set, over a fact-dim "
+        "join; the CBO selectivity stress where the filter cannot be "
+        "pushed as a single conjunct but the scan must stay single.",
+    ),
+    (
+        "sql_tpcds_q21_before_after_band",
+        SQL_Q21_BEFORE_AFTER_BAND,
+        "TPC-DS q21 shape (tpcds/q21.sql): one-scan conditional split "
+        "into before/after sums around a pivot date, kept where the "
+        "ratio lies in [2/3, 3/2] — the band tested in exact integer "
+        "quantities (2·a ≤ 3·b ∧ 2·b ≤ 3·a), never on a divided float.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",
