@@ -128,27 +128,12 @@ def latest_version(path: str) -> int:
     return commits[-1]["version"]
 
 
-def write_snapshot(
-    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
-) -> int:
-    """Commit ``df`` as a new version. mode='append' adds files;
-    mode='overwrite' adds files and removes every previously-live file
-    (logically — bytes stay for time travel until vacuum). Returns the
-    committed version.
-
-    Write path: stage through Spark's own committer into a scratch dir
-    (so executor-side task retries stay exactly-once), move the finished
-    parts into data/ under version-unique names, then publish with one
-    exclusive commit. A crash before the commit leaves only unreferenced
-    files — invisible to every reader, swept by vacuum.
-    """
-    if mode not in ("append", "overwrite"):
-        raise SnapshotError(f"unsupported mode: {mode}")
-    commits = _read_commits(path)
-    version = len(commits)
-    data_dir = os.path.join(path, _DATA)
-    os.makedirs(data_dir, exist_ok=True)
-
+def _stage_add(df: DataFrame, path: str, version: int) -> list[str]:
+    """Write ``df`` through Spark's own committer into a scratch dir (so
+    executor-side task retries stay exactly-once), then move the finished
+    parts into data/ under version-unique names. Returns the relative
+    paths; nothing is visible to readers until a commit references them."""
+    os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     added = []
@@ -158,7 +143,33 @@ def write_snapshot(
             os.rename(os.path.join(stage, nm), os.path.join(path, rel))
             added.append(rel)
     shutil.rmtree(stage, ignore_errors=True)
+    return added
 
+
+def _unstage(path: str, added: list[str]) -> None:
+    for rel in added:  # lost the commit race: un-stage our orphans
+        try:
+            os.remove(os.path.join(path, rel))
+        except OSError:
+            pass
+
+
+def write_snapshot(
+    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as a new version. mode='append' adds files;
+    mode='overwrite' adds files and removes every previously-live file
+    (logically — bytes stay for time travel until vacuum). Returns the
+    committed version.
+
+    A crash before the commit leaves only unreferenced files — invisible
+    to every reader, swept by vacuum (see _stage_add).
+    """
+    if mode not in ("append", "overwrite"):
+        raise SnapshotError(f"unsupported mode: {mode}")
+    commits = _read_commits(path)
+    version = len(commits)
+    added = _stage_add(df, path, version)
     removed = _live_files(commits, version - 1) if (mode == "overwrite" and commits) else []
     try:
         _atomic_commit(
@@ -166,11 +177,7 @@ def write_snapshot(
             {"version": version, "op": mode, "add": added, "remove": removed},
         )
     except SnapshotError:
-        for rel in added:  # lost the race: un-stage our orphans
-            try:
-                os.remove(os.path.join(path, rel))
-            except OSError:
-                pass
+        _unstage(path, added)
         raise
     return version
 
@@ -221,6 +228,222 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
         },
     )
     return new_version
+
+
+def _stats_prune(path: str, files: list[str], key: str, lo, hi) -> tuple[list[str], int]:
+    """Driver-side parquet-footer pruning for the merge's find-touched
+    phase: keep only files whose row-group min/max range on ``key``
+    intersects the source key range [lo, hi]. O(files) footer reads of a
+    few KB each — the same data-skipping a table format stores in its
+    manifest, read from the files themselves. Any file without usable
+    stats stays a candidate (pruning is only ever a safe over-approx)."""
+    import pyarrow.parquet as pq
+
+    if lo is None or hi is None:
+        return files, 0
+    keep, pruned = [], 0
+    for rel in files:
+        try:
+            md = pq.ParquetFile(os.path.join(path, rel)).metadata
+            idx = md.schema.to_arrow_schema().names.index(key)
+            fmin = fmax = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if ok and fmin is not None and (fmax < lo or fmin > hi):
+                pruned += 1
+                continue
+        except Exception:
+            pass  # unreadable stats → keep as candidate
+        keep.append(rel)
+    return keep, pruned
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict:
+    """MERGE INTO for snapshot tables — the CDC upsert every continuously
+    refreshed corpus needs (Delta/Iceberg MERGE semantics, single writer):
+    target rows whose ``on`` key matches a source row are updated (or
+    deleted), source rows matching nothing are inserted, and everything
+    lands as ONE atomic commit, so readers see pre-merge or post-merge
+    state, never a mix, and time travel to the pre-merge version keeps
+    working.
+
+    The 100 TB property is copy-on-write over the TOUCHED FILE FRACTION
+    only, found in two phases:
+      1. footer min/max pruning on ``on[0]`` vs the source key range —
+         driver-side metadata reads, no data I/O (CDC batches are usually
+         range-concentrated on a time/sequence key, so this drops most of
+         the table before any scan);
+      2. an exact key semi-join over the survivors reading ONLY the key
+         columns + input_file_name() (column-pruned scan; the source side
+         is a distinct key projection, broadcast-sized for any sane CDC
+         batch).
+    Files containing no matched key keep their name and bytes; only
+    touched files are rewritten through one full-outer join with the
+    source. A source key matching zero target rows appears in no file, so
+    evaluating NOT MATCHED against the touched subset alone is exact.
+
+    when_matched: 'update' (source row replaces target row) | 'delete'.
+    when_not_matched: 'insert' | 'ignore'. Duplicate ``on`` keys in the
+    source make the merge ambiguous and raise (Delta's rule). Plain SQL
+    equality on the keys — NULL keys never match, like MERGE.
+
+    Returns {version, files_live, files_pruned_by_stats, files_rewritten,
+    rows_updated/deleted/inserted/copied} — version is -1 when the merge
+    is a provable no-op (nothing touched, nothing to insert).
+    """
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise SnapshotError(f"unsupported when_matched: {when_matched}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise SnapshotError(f"unsupported when_not_matched: {when_not_matched}")
+    commits = _read_commits(path)
+    if not commits:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    target_schema = read_snapshot(spark, path).schema
+    target_cols = [f.name for f in target_schema.fields]
+    missing = [k for k in on if k not in source.columns or k not in target_cols]
+    if missing:
+        raise SnapshotError(f"merge keys absent from source or target: {missing}")
+    needs_full = when_matched == "update" or when_not_matched == "insert"
+    if needs_full and set(source.columns) != set(target_cols):
+        raise SnapshotError(
+            "update/insert merge needs the full target column set in the "
+            f"source; missing {sorted(set(target_cols) - set(source.columns))}"
+        )
+
+    # ambiguity guard (Delta semantics): >1 source row per key is an error
+    dup = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise SnapshotError(f"source has duplicate merge keys, e.g. {dup[0][:-1]}")
+
+    live = _live_files(commits, commits[-1]["version"])
+
+    # phase 1: footer-stats pruning on the leading key's source range
+    rng = source.agg(
+        F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
+    ).first()
+    candidates, pruned = _stats_prune(path, live, on[0], rng.lo, rng.hi)
+
+    # phase 2: exact touch detection — key-column-only scan + semi-join
+    touched: list[str] = []
+    if candidates:
+        cand_df = spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+        by_base = {os.path.basename(f): f for f in live}
+        hits = (
+            cand_df.select(*on, F.input_file_name().alias("__f"))
+            .join(source.select(*on).distinct(), on=on, how="leftsemi")
+            .select("__f").distinct().collect()
+        )
+        touched = sorted(by_base[os.path.basename(r["__f"])] for r in hits)
+
+    version = len(commits)
+    t = None
+    if touched:
+        t = spark.read.schema(target_schema).parquet(
+            *[os.path.join(path, f) for f in touched]
+        )
+    elif when_not_matched == "ignore":
+        return {
+            "version": -1, "files_live": len(live),
+            "files_pruned_by_stats": pruned, "files_rewritten": 0,
+            "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
+            "rows_copied": 0,
+        }
+
+    s = source.withColumn("__s", F.lit(1)).alias("s")
+    if t is not None:
+        t = t.withColumn("__t", F.lit(1)).alias("t")
+        cond = None
+        for k in on:
+            eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = eq if cond is None else (cond & eq)
+        j = t.join(s, cond, "full_outer")
+        t_here = F.col("t.__t").isNotNull()
+        s_here = F.col("s.__s").isNotNull()
+        action = (
+            F.when(t_here & ~s_here, F.lit("copy"))
+            .when(t_here & s_here, F.lit(when_matched))
+            .otherwise(F.lit(when_not_matched))
+        )
+        use_s = (t_here & s_here & F.lit(when_matched == "update")) | ~t_here
+        merged = j.select(
+            *[
+                F.when(
+                    use_s,
+                    F.col(f"s.{c}") if c in source.columns
+                    else F.lit(None).cast(target_schema[c].dataType),
+                ).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in target_cols
+            ],
+            action.alias("__action"),
+        )
+    else:  # nothing touched: every source row is an insert
+        merged = s.select(
+            *[F.col(c) for c in target_cols], F.lit("insert").alias("__action")
+        )
+
+    merged = merged.filter(~F.col("__action").isin("delete", "ignore"))
+    merged.persist()
+    try:
+        counts = {
+            r["__action"]: r["n"]
+            for r in merged.groupBy("__action").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        added = _stage_add(merged.drop("__action"), path, version) if counts else []
+    finally:
+        merged.unpersist()
+    if not counts and not touched:  # empty source, nothing touched
+        return {
+            "version": -1, "files_live": len(live),
+            "files_pruned_by_stats": pruned, "files_rewritten": 0,
+            "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
+            "rows_copied": 0,
+        }
+    # matched-but-dropped rows never reach `counts`; recover the delete
+    # count from the touched rows minus the survivors that came from t
+    rows_deleted = 0
+    if when_matched == "delete" and touched:
+        n_touched = spark.read.schema(target_schema).parquet(
+            *[os.path.join(path, f) for f in touched]
+        ).count()
+        rows_deleted = n_touched - counts.get("copy", 0)
+    try:
+        _atomic_commit(
+            path,
+            {"version": version, "op": "merge", "add": added, "remove": touched},
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    return {
+        "version": version,
+        "files_live": len(live),
+        "files_pruned_by_stats": pruned,
+        "files_rewritten": len(touched),
+        "rows_updated": counts.get("update", 0),
+        "rows_deleted": rows_deleted,
+        "rows_inserted": counts.get("insert", 0),
+        "rows_copied": counts.get("copy", 0),
+    }
 
 
 def vacuum(path: str, retain_last: int = 2) -> dict:

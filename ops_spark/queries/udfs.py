@@ -657,3 +657,77 @@ def io_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(spark, corrupt, tbl, mode="overwrite")  # v2: the bad run
     rollback(spark, tbl, 1)  # v3: the undo
     return read_snapshot(spark, tbl)  # latest == v1 == the true aggregate
+
+
+@register(
+    "x_io_merge",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, '6-SYNTH', o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderpriority
+    """,
+    description="MERGE INTO on a snapshot table (io/snapshots.py:"
+    "merge_snapshot) — the CDC upsert a continuously refreshed corpus "
+    "needs (Delta/Iceberg MERGE shape). Orders becomes a range-"
+    "partitioned snapshot table; a CDC batch doubles every 97th "
+    "order's price and inserts synthetic '6-SYNTH' orders; the merge "
+    "finds touched files via footer min/max pruning + an exact key "
+    "semi-join, rewrites ONLY those, and publishes one atomic commit. "
+    "The oracle re-derives the post-merge state from the raw table, so "
+    "a lost update, a duplicated copy row, or a leaked pre-merge file "
+    "all flip the hash. File-level incrementality + time travel across "
+    "the merge are pinned in test_io.py::test_snapshot_merge_*.",
+    tags=("io", "snapshot", "merge", "cdc", "maintenance"),
+)
+def x_io_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.snapshots import merge_snapshot, read_snapshot, write_snapshot
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_merge_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    # range layout on the merge key → disjoint footer min/max per file,
+    # the property phase-1 pruning exploits
+    write_snapshot(spark, base.repartitionByRange(8, "o_orderkey"), tbl)
+
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "price", F.col("price") * 2
+    )
+    inserts = base.filter(F.col("o_orderkey") % 89 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("6-SYNTH").alias("o_orderpriority"),
+        "price",
+    )
+    merge_snapshot(spark, tbl, updates.unionByName(inserts), on=["o_orderkey"])
+
+    cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+    )

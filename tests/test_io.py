@@ -1388,3 +1388,114 @@ def test_snapshot_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
     referenced = {os.path.basename(f) for c in commits for f in c["add"]}
     on_disk = set(os.listdir(os.path.join(t, "data")))
     assert on_disk == referenced
+
+
+def test_snapshot_merge_upsert_and_time_travel(spark, tmp_path):
+    from ops_spark.io.snapshots import history, merge_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a"), (2, "b")]).coalesce(1), t)
+    write_snapshot(spark, d([(3, "c"), (4, "d")]).coalesce(1), t, mode="append")
+
+    stats = merge_snapshot(
+        spark, t, d([(2, "B2"), (5, "e")]), on=["k"]
+    )
+    assert stats["rows_updated"] == 1
+    assert stats["rows_inserted"] == 1
+    assert stats["rows_copied"] == 1  # k=1 shares a file with k=2
+    assert stats["files_rewritten"] == 1  # only the (1,2) file is touched
+    assert _snap_rows(spark, t) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (5, "e")]
+    # pre-merge version still readable (time travel across the merge)
+    assert _snap_rows(spark, t, 1) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert history(t)[-1]["op"] == "merge"
+
+
+def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
+    import os
+
+    from ops_spark.io.snapshots import merge_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    # four files with disjoint key ranges → footer min/max can prune
+    for base in (0, 100, 200, 300):
+        write_snapshot(
+            spark,
+            d([(base + i, f"v{base + i}") for i in range(10)]).coalesce(1),
+            t,
+            mode="append",
+        )
+    before = {
+        n: os.path.getsize(os.path.join(t, "data", n))
+        for n in os.listdir(os.path.join(t, "data"))
+    }
+    stats = merge_snapshot(spark, t, d([(205, "UPD")]), on=["k"])
+    assert stats["files_live"] == 4
+    assert stats["files_pruned_by_stats"] == 3  # ranges are disjoint
+    assert stats["files_rewritten"] == 1
+    assert stats["rows_updated"] == 1 and stats["rows_copied"] == 9
+    # untouched files keep their exact name + bytes AND stay in the live
+    # set; the touched file leaves the live set (its bytes remain on disk
+    # for time travel until vacuum)
+    from ops_spark.io.snapshots import _live_files, _read_commits
+
+    commits = _read_commits(t)
+    live = {os.path.basename(f) for f in _live_files(commits, commits[-1]["version"])}
+    still_live = {n for n in before if n in live}
+    assert len(still_live) == 3
+    assert all(
+        os.path.getsize(os.path.join(t, "data", n)) == before[n]
+        for n in still_live
+    )
+    rows = _snap_rows(spark, t)
+    assert (205, "UPD") in rows and len(rows) == 40
+
+
+def test_snapshot_merge_delete_mode(spark, tmp_path):
+    from ops_spark.io.snapshots import merge_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    # key-only source: delete matched, ignore the rest
+    keys = spark.createDataFrame([(2,), (99,)], "k long")
+    stats = merge_snapshot(
+        spark, t, keys, on=["k"], when_matched="delete", when_not_matched="ignore"
+    )
+    assert stats["rows_deleted"] == 1
+    assert stats["rows_copied"] == 2
+    assert stats["rows_inserted"] == 0
+    assert _snap_rows(spark, t) == [(1, "a"), (3, "c")]
+
+
+def test_snapshot_merge_duplicate_source_keys_raise(spark, tmp_path):
+    import pytest as _pytest
+
+    from ops_spark.io.snapshots import SnapshotError, merge_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a")]), t)
+    with _pytest.raises(SnapshotError, match="duplicate"):
+        merge_snapshot(spark, t, d([(1, "x"), (1, "y")]), on=["k"])
+
+
+def test_snapshot_merge_no_op_and_insert_only(spark, tmp_path):
+    from ops_spark.io.snapshots import latest_version, merge_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a")]).coalesce(1), t)
+    # no key overlap → pure insert, the base file is never rewritten
+    stats = merge_snapshot(spark, t, d([(7, "g")]), on=["k"])
+    assert stats["rows_inserted"] == 1 and stats["files_rewritten"] == 0
+    assert _snap_rows(spark, t) == [(1, "a"), (7, "g")]
+    # delete-mode merge with no matches is a provable no-op: no commit
+    v = latest_version(t)
+    keys = spark.createDataFrame([(42,)], "k long")
+    stats = merge_snapshot(
+        spark, t, keys, on=["k"], when_matched="delete", when_not_matched="ignore"
+    )
+    assert stats["version"] == -1
+    assert latest_version(t) == v
