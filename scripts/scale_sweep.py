@@ -381,7 +381,86 @@ def _v_ivfpq_recall(spark, sf_dir, k=10):
     )
 
 
+def _v_nearest_hub_sample(spark, sf_dir, n_sample=500):
+    """Sampled EXACT re-verify for the bipartite kNN (its full output —
+    one row per point — exceeds the driver-compare row cap at 100×):
+    for ~500 hash-picked points, brute-force every point×hub distance
+    with the same equirect_km arithmetic but NO grid candidate stage
+    (grid completeness is exactly what's under test), rank, and demand
+    set equality on (id, neighbor, dist_e6, rank). Hub count is |pts|/500,
+    so the probe is n_sample × hubs — bounded, all-Spark."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import ops_spark.queries as q
+    from ops_spark.io import load_table
+    from ops_spark.operators.geo import equirect_km
+    from ops_spark.queries.analytics import _spatial_pts
+
+    pts = _spatial_pts(load_table(spark, sf_dir, "customer"))
+    sample = pts.orderBy(F.xxhash64("id")).limit(n_sample).select("id", "lat", "lon")
+    hubs = pts.filter(F.col("id") % 500 == 0).select(
+        F.col("id").alias("neighbor"),
+        F.col("lat").alias("hlat"),
+        F.col("lon").alias("hlon"),
+    )
+    d = equirect_km(F.col("lat"), F.col("lon"), F.col("hlat"), F.col("hlon"))
+    w = Window.partitionBy("id").orderBy("dist_km", "neighbor")
+    want = (
+        sample.crossJoin(F.broadcast(hubs))
+        .filter(F.col("id") != F.col("neighbor"))
+        .withColumn("dist_km", d)
+        .filter(F.col("dist_km") <= 800.0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "id",
+            "neighbor",
+            F.floor(F.col("dist_km") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("dist_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    got = (
+        q.get_query("geo_nearest_hub")
+        .builder(spark, sf_dir)
+        .join(sample.select("id"), "id", "leftsemi")
+    )
+    cols = ["id", "neighbor", "dist_e6", "rank"]
+    missing = want.join(got, cols, "left_anti").count()
+    extra = got.join(want, cols, "left_anti").count()
+    n_want = want.count()
+    return (
+        missing == 0 and extra == 0 and n_want > 0,
+        f"sample_rows={n_want} missing={missing} extra={extra}",
+    )
+
+
+def _v_compact_flags(spark, sf_dir):
+    """x_io_compact's own output row carries its invariants (lossless
+    checksum, untouched-bytes-identical, incrementality); assert them
+    here so the file-layout op has an explicit at-scale verifier instead
+    of a verify_skipped slot."""
+    import ops_spark.queries as q
+
+    r = q.get_query("x_io_compact").builder(spark, sf_dir).first()
+    ok = (
+        bool(r.lossless)
+        and bool(r.untouched_bytes_identical)
+        and r.rewritten_files > 0
+        and r.files_after < r.files_before
+        and r.untouched_files > 0
+    )
+    return ok, (
+        f"lossless={r.lossless} untouched_identical={r.untouched_bytes_identical} "
+        f"files {r.files_before}->{r.files_after} rewritten={r.rewritten_files}"
+    )
+
+
 INVARIANT_VERIFIERS = {
+    "geo_nearest_hub": _v_nearest_hub_sample,
+    "x_io_compact": _v_compact_flags,
     "x_llm_ann_ivfpq": _v_ivfpq_recall,
     "llm_ngram_jaccard_pairs": _v_jaccard_pairs,
     "llm_minhash_lsh_dedup": _v_jaccard_completeness,
