@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 35
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 46
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
@@ -13,8 +13,13 @@ join-back, correlated scalar subqueries (decorrelated), EXISTS-OR
 existence joins, multi-column INTERSECT chains, NOT-EXISTS anti joins,
 conditional-pivot self-joins, FULL-OUTER null-pattern matrices,
 exact-sum stddev chains, scalar-subquery CASE ladders, broadcast-chain
-join-order stress, coefficient-of-variation gates, and tolerance-band
-three-channel joins — onto the TPC-H fixtures this harness ships,
+join-order stress, coefficient-of-variation gates, tolerance-band
+three-channel joins, best/worst dual-rank self-joins, ratio-to-report
+window shares, cross-multiplied deviation bands, correlated-count
+attribute blocks, shared-subquery triple-channel returns,
+latency-bucket matrices, integer-cross-multiplied excess thresholds,
+and existence-join demographic gates — onto
+the TPC-H fixtures this harness ships,
 as oracle-full
 queries (one ANSI SQL string runs through BOTH spark.sql and DuckDB).
 
@@ -1004,6 +1009,176 @@ WHERE qty_before > 0 AND qty_after > 0
 """
 
 
+SQL_Q44_BEST_WORST_RANK = f"""
+WITH perf AS (
+    SELECT p_type AS class, l_partkey AS pk,
+           CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / count(*)
+             AS avg_rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type, l_partkey
+),
+best AS (
+    SELECT class, pk,
+           row_number() OVER (PARTITION BY class
+                              ORDER BY avg_rev DESC NULLS LAST, pk ASC) AS r
+    FROM perf
+),
+worst AS (
+    SELECT class, pk,
+           row_number() OVER (PARTITION BY class
+                              ORDER BY avg_rev ASC NULLS FIRST, pk ASC) AS r
+    FROM perf
+)
+SELECT b.class AS class, b.r AS rnk,
+       pb.p_name AS best_name, pw.p_name AS worst_name
+FROM best b JOIN worst w ON b.class = w.class AND b.r = w.r
+            JOIN part pb ON b.pk = pb.p_partkey
+            JOIN part pw ON w.pk = pw.p_partkey
+WHERE b.r <= 10
+"""
+
+SQL_Q98_RATIO_TO_REPORT = f"""
+WITH agg AS (
+    SELECT p_type AS class, p_brand AS brand,
+           sum(CAST(l_extendedprice AS {_DEC})) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY p_type, p_brand
+)
+SELECT class, brand, CAST(rev AS DOUBLE) AS revenue,
+       CAST(floor(CAST(rev AS DOUBLE) * 100000.0 /
+                  CAST(sum(rev) OVER (PARTITION BY class) AS DOUBLE) + 0.5)
+            AS BIGINT) AS ratio_e5
+FROM agg
+"""
+
+SQL_Q89_ROLLING_DEVIATION = f"""
+WITH m AS (
+    SELECT p_brand AS brand,
+           CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mo,
+           sum(CAST(l_extendedprice AS {_DEC})) AS s
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY p_brand, CAST(EXTRACT(MONTH FROM l_shipdate) AS INT)
+),
+w AS (
+    SELECT brand, mo, s,
+           sum(s)   OVER (PARTITION BY brand) AS tot,
+           count(*) OVER (PARTITION BY brand) AS n
+    FROM m
+)
+SELECT brand, mo, CAST(s AS DOUBLE) AS sales,
+       CAST(floor(CAST(tot AS DOUBLE) / n * 100.0 + 0.5) AS BIGINT)
+         AS avg_cents
+FROM w
+WHERE 10 * abs(s * n - tot) > tot
+"""
+
+SQL_Q41_ATTRIBUTE_BLOCKS = """
+SELECT DISTINCT p1.p_name AS p_name
+FROM part p1
+WHERE p1.p_size BETWEEN 1 AND 8
+  AND (SELECT count(*) FROM part p2
+       WHERE p2.p_brand = p1.p_brand
+         AND ((p2.p_type IN ('ECONOMY', 'STANDARD')
+               AND p2.p_size BETWEEN 1 AND 3)
+           OR (p2.p_type IN ('LARGE', 'PROMO')
+               AND p2.p_size BETWEEN 45 AND 50)
+           OR (p2.p_type = 'SMALL' AND p2.p_retailprice < 905.0))) > 0
+"""
+
+SQL_Q83_TRIPLE_CHANNEL_RETURNS = """
+WITH months AS (SELECT 3 AS m UNION ALL SELECT 6 UNION ALL SELECT 9),
+ret AS (
+    SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS q
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND EXTRACT(YEAR FROM l_shipdate) = 1996
+      AND EXTRACT(MONTH FROM l_shipdate) IN (SELECT m FROM months)
+    GROUP BY l_partkey
+),
+avail AS (
+    SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS q
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+      AND EXTRACT(YEAR FROM l_shipdate) = 1996
+      AND EXTRACT(MONTH FROM l_shipdate) IN (SELECT m FROM months)
+    GROUP BY l_partkey
+),
+none_ch AS (
+    SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS q
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+      AND EXTRACT(YEAR FROM l_shipdate) = 1996
+      AND EXTRACT(MONTH FROM l_shipdate) IN (SELECT m FROM months)
+    GROUP BY l_partkey
+)
+SELECT p.p_brand AS brand,
+       CAST(sum(r.q) AS BIGINT) AS r_qty,
+       CAST(sum(a.q) AS BIGINT) AS a_qty,
+       CAST(sum(n.q) AS BIGINT) AS n_qty,
+       CAST(sum(r.q + a.q + n.q) AS BIGINT) AS total_qty
+FROM ret r JOIN avail a ON r.pk = a.pk
+           JOIN none_ch n ON r.pk = n.pk
+           JOIN part p ON r.pk = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+SQL_Q50_LAG_BUCKET_MATRIX = """
+WITH lags AS (
+    SELECT n_name,
+           (EXTRACT(YEAR FROM l_shipdate) - EXTRACT(YEAR FROM o_orderdate)) * 12
+           + (EXTRACT(MONTH FROM l_shipdate) - EXTRACT(MONTH FROM o_orderdate))
+             AS lagm
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name,
+       CAST(sum(CASE WHEN lagm <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS same_month,
+       CAST(sum(CASE WHEN lagm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+       CAST(sum(CASE WHEN lagm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+       CAST(sum(CASE WHEN lagm = 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+       CAST(sum(CASE WHEN lagm > 3 THEN 1 ELSE 0 END) AS BIGINT) AS m4_plus
+FROM lags GROUP BY n_name
+"""
+
+SQL_Q32_EXCESS_THRESHOLD = """
+SELECT count(*) AS n_excess,
+       CAST(sum(CAST(floor(l1.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS excess_cents
+FROM lineitem l1
+WHERE l1.l_quantity <= 5
+  AND CAST(floor(l1.l_extendedprice * 100 + 0.5) AS BIGINT) * 10
+      * (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = l1.l_partkey)
+    > 13 * (SELECT sum(CAST(floor(l3.l_extendedprice * 100 + 0.5) AS BIGINT))
+            FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+"""
+
+SQL_Q10_EXISTENCE_DEMOGRAPHICS = """
+SELECT c_mktsegment, n_name,
+       count(*) AS cnt,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00')
+  AND (EXISTS (SELECT 1
+               FROM orders o2 JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+               WHERE o2.o_custkey = c_custkey AND l.l_returnflag = 'R')
+    OR EXISTS (SELECT 1 FROM orders o3
+               WHERE o3.o_custkey = c_custkey
+                 AND o3.o_totalprice > 350000.0))
+GROUP BY c_mktsegment, n_name
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1310,6 +1485,79 @@ for name, sql, desc in [
         "into before/after sums around a pivot date, kept where the "
         "ratio lies in [2/3, 3/2] — the band tested in exact integer "
         "quantities (2·a ≤ 3·b ∧ 2·b ≤ 3·a), never on a divided float.",
+    ),
+    (
+        "sql_tpcds_q44_best_worst_rank",
+        SQL_Q44_BEST_WORST_RANK,
+        "TPC-DS q44 shape (tpcds/q44.sql): best/worst rank SELF-JOIN — "
+        "one aggregate ranked ascending AND descending per class (two "
+        "windows over the same stream), the two rank tables equi-joined "
+        "on (class, rank) and each joined back to the dimension for "
+        "names; rn <= 10 engages WindowGroupLimit on both directions "
+        "(global/unpartitioned rankings never get the pushdown — found "
+        "while pinning the plan, so the shape ranks within class like "
+        "the real q44 ranks within store).",
+    ),
+    (
+        "sql_tpcds_q98_ratio_to_report",
+        SQL_Q98_RATIO_TO_REPORT,
+        "TPC-DS q98/q86 shape (tpcds/q98.sql): ratio-to-report — each "
+        "row's share of its class via sum() OVER (PARTITION BY class) "
+        "on top of a grouped aggregate; the window sums EXACT decimals "
+        "(order-independent) and the share quantizes via floor e5.",
+    ),
+    (
+        "sql_tpcds_q89_rolling_deviation",
+        SQL_Q89_ROLLING_DEVIATION,
+        "TPC-DS q89/q53 shape (tpcds/q89.sql): monthly sales vs the "
+        "brand's across-months average, keeping rows deviating >10% — "
+        "the deviation band tested by exact decimal CROSS-"
+        "MULTIPLICATION (10*|s*n - tot| > tot), never on divided "
+        "floats; the reported average divides exact-decimal-derived "
+        "doubles once.",
+    ),
+    (
+        "sql_tpcds_q41_attribute_blocks",
+        SQL_Q41_ATTRIBUTE_BLOCKS,
+        "TPC-DS q41 shape (tpcds/q41.sql): dimension-only query with a "
+        "CORRELATED COUNT subquery over deep OR-of-AND attribute "
+        "blocks, HAVING-style > 0 gate — the decorrelation stress "
+        "where the correlated aggregate must become one grouped "
+        "semi-structure over a SINGLE extra dimension scan.",
+    ),
+    (
+        "sql_tpcds_q83_triple_channel_returns",
+        SQL_Q83_TRIPLE_CHANNEL_RETURNS,
+        "TPC-DS q83 shape (tpcds/q83.sql): three return channels, EACH "
+        "gated by the SAME months IN-subquery (subquery reuse), "
+        "aggregated per item, triple-equi-joined on item, then rolled "
+        "to brand — the multi-CTE shared-subplan shape.",
+    ),
+    (
+        "sql_tpcds_q50_lag_bucket_matrix",
+        SQL_Q50_LAG_BUCKET_MATRIX,
+        "TPC-DS q50/q62/q99 shape (tpcds/q50.sql): fulfilment-latency "
+        "bucket MATRIX — one conditional-sum column per lag band over a "
+        "three-dim star join; the lag is month arithmetic on EXTRACT "
+        "parts (engine-portable integers, no date subtraction).",
+    ),
+    (
+        "sql_tpcds_q32_excess_threshold",
+        SQL_Q32_EXCESS_THRESHOLD,
+        "TPC-DS q32/q92 shape (tpcds/q32.sql): 'excess discount' — rows "
+        "beating 1.3x their part's average, as TWO correlated scalar "
+        "subqueries (count + exact-cents sum) over the same inner "
+        "table, compared by integer cross-multiplication (10*cents*n > "
+        "13*sum) so no float average exists anywhere.",
+    ),
+    (
+        "sql_tpcds_q10_existence_demographics",
+        SQL_Q10_EXISTENCE_DEMOGRAPHICS,
+        "TPC-DS q10 shape (tpcds/q10.sql): demographic counts gated by "
+        "an AND of a plain EXISTS (active this half-year) with an OR of "
+        "two more EXISTS over different fact paths — one semi join plus "
+        "two ExistenceJoin columns feeding a disjunction, then "
+        "count/sum per (segment, nation).",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

@@ -763,3 +763,26 @@ def test_tpcds_q87_plans_two_excepts_as_anti_joins(spark, sf_dir):
     # there must be exactly TWO of them for the two set differences
     plan = _exec_plan(spark, sf_dir, "sql_tpcds_q87_except_chain")
     assert plan.count("LeftAnti") == 2
+
+
+def test_tpcds_q44_window_group_limit_both_directions(spark, sf_dir):
+    # Best/worst dual ranking: rn <= 10 must push a WindowGroupLimit
+    # below EACH of the two row_number windows (per-partition top-k
+    # state instead of a full per-partition sort buffer — the property
+    # that makes a global ranking survive 2M+ aggregate rows), and the
+    # rank-to-rank self-join must not plan a cartesian.
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q44_best_worst_rank")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q10_existence_join_under_disjunction(spark, sf_dir):
+    # The AND-ed EXISTS may plan as a true semi join, but the two EXISTS
+    # under the OR must become ExistenceJoin marker columns (a semi
+    # would drop rows the other branch still needs); customer is
+    # scanned exactly once.
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q10_existence_demographics")
+    assert "ExistenceJoin" in plan
+    assert len(re.findall(r"FileScan parquet \[c_", plan)) == 1
