@@ -319,3 +319,68 @@ def label_propagation(
         labels = new_labels
     free_checkpoint(sym)
     return adopt_tracking(labels, labels.select("id", "label"))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    rounds: int | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    GraphX/GraphFrames-adjacent structural filter a similarity graph
+    needs before community detection: drop the weakly-connected fringe
+    so near-dup clusters are cohesive, not chained through one-off
+    pairs).
+
+    Each round removes every vertex whose CURRENT degree is < k along
+    with its edges; the maximal k-core is the unique fixed point, so the
+    result is deterministic and order-independent. ``rounds=None`` peels
+    to convergence (detected by a stable surviving-vertex count — one
+    bounded count job per round); a fixed ``rounds`` runs exactly that
+    many peels, which lets a conformance oracle unroll the identical
+    rounds as chained SQL CTEs (the LPA discipline).
+
+    Scale contract, per round: one map-combinable degree count (shuffle
+    keyed on the vertex), two semi joins edge⋉survivors (same key — AQE
+    reuses the exchange), lineage cut via localCheckpoint so the plan
+    never grows with iterations. Peel rounds needed = core number spread,
+    typically O(log n) for similarity graphs.
+
+    Returns (id, core_degree): the vertices of the k-core with their
+    degree INSIDE the core (all >= k once converged).
+    """
+    ein = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = tracked_local_checkpoint(
+        ein.union(ein.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_nv = None
+    i = 0
+    while True:
+        i += 1
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        if rounds is None:
+            nv = keep.count()
+            if nv == prev_nv or nv == 0:
+                break
+            prev_nv = nv
+        new_sym = tracked_local_checkpoint(
+            sym.join(keep, "u", "leftsemi").join(
+                keep.select(F.col("u").alias("v")), "v", "leftsemi"
+            )
+        )
+        free_checkpoint(sym)
+        sym = new_sym
+        if rounds is not None and i >= rounds:
+            break
+    out = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("u").alias("id"), "core_degree")
+    )
+    return adopt_tracking(sym, out)

@@ -394,3 +394,85 @@ def ewma_chunked(
             + F.col("__carry") * F.pow(F.lit(1.0 - alpha), F.col("i") + 1)
         ).alias("ewma"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Temporal INTERVAL OVERLAP equi-join: every (left, right) pair
+    sharing ``key`` whose [start, end] microsecond intervals intersect
+    (closed intervals: touch counts). The temporal-correlation shape —
+    "which error windows overlapped which deploy windows" — that naive
+    SQL writes as a per-key theta join (BroadcastNestedLoop at scale:
+    quadratic per key, the skew wall).
+
+    Spark-first plan: each interval explodes to its covered time buckets
+    of width ``bucket_us`` (sequence() — bounded fan-out of
+    span/bucket + 1 rows), the join runs as a plain HASH equi-join on
+    (key, bucket) with the exact overlap predicate as a post-filter, and
+    each surviving pair is emitted from exactly ONE bucket — the bucket
+    containing the overlap's start (greatest of the two starts) — so no
+    distinct/dedup shuffle is ever needed. Cost: |input| × fan-out
+    through one shuffle, vs |left|×|right| per key for the nested loop.
+    Pick bucket_us ≈ the median interval span: fan-out stays O(1) while
+    bucket populations stay small.
+
+    Inputs carry (key, start_col, end_col BIGINT epoch-microseconds) plus
+    any payload columns; output is the joined pairs with left payload
+    columns prefixed l_/r_ kept as-is plus overlap_us (exact BIGINT).
+
+    Bucket arithmetic note: bucket = cast(us / width AS BIGINT) is exact
+    for any positive epoch-us < 2^53 (≈ year 2255) — the double division
+    is exactly representable, so the truncation equals integer division.
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_us).cast("bigint"),
+                (F.col(end_col) / bucket_us).cast("bigint"),
+            )
+        ),
+    ).alias("l")
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_us).cast("bigint"),
+                (F.col(end_col) / bucket_us).cast("bigint"),
+            )
+        ),
+    ).alias("r")
+    ls, le = F.col(f"l.{start_col}"), F.col(f"l.{end_col}")
+    rs, re_ = F.col(f"r.{start_col}"), F.col(f"r.{end_col}")
+    overlap_start = F.greatest(ls, rs)
+    pairs = lb.join(
+        rb,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l.__bucket") == F.col("r.__bucket"))
+        # exact overlap (closed intervals)
+        & (ls <= re_) & (rs <= le)
+        # canonical-bucket guard: emit the pair ONLY from the bucket
+        # holding the overlap start — exactly one bucket qualifies, so
+        # no post-join dedup
+        & (F.col("l.__bucket") == (overlap_start / bucket_us).cast("bigint")),
+    )
+    return pairs.select(
+        F.col(f"l.{key}").alias(key),
+        *[
+            F.col(f"l.{c}").alias(f"l_{c}")
+            for c in left.columns
+            if c != key
+        ],
+        *[
+            F.col(f"r.{c}").alias(f"r_{c}")
+            for c in right.columns
+            if c != key
+        ],
+        (F.least(le, re_) - overlap_start).alias("overlap_us"),
+    )

@@ -639,3 +639,55 @@ def x_ts_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "ts", "value", F.round("ewma", 6).alias("ewma")
     )
+
+
+@register(
+    "ts_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT)
+               + CAST(floor(value * 60000000.0 + 0.5) AS BIGINT) AS e
+      FROM events WHERE event_type IN ('error', 'click')
+    ),
+    p AS (
+      SELECT a.user_id AS user_id,
+             least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+      WHERE a.event_type = 'error' AND b.event_type = 'click'
+    )
+    SELECT user_id, count(*) AS n_overlaps,
+           CAST(sum(ov) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY user_id
+    """,
+    description="Temporal INTERVAL OVERLAP join "
+    "(operators/timeseries.py:interval_overlap_join): per-user 'error' "
+    "windows [ts, ts + value minutes] intersected with 'click' windows. "
+    "Naive SQL is a per-key theta join (nested-loop at scale); the "
+    "operator explodes each interval to its covered hour buckets "
+    "(bounded sequence() fan-out), hash-joins on (user, bucket), and "
+    "emits each pair from exactly ONE bucket — the one holding the "
+    "overlap start — so no dedup shuffle exists. Overlap durations are "
+    "exact BIGINT microseconds; the oracle is the direct inequality "
+    "join (DuckDB IEJoin).",
+    tags=("aggregate", "timeseries", "join", "custom-operator"),
+)
+def ts_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.timeseries import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def iv(etype: str) -> DataFrame:
+        s = F.unix_micros("ts")
+        dur = F.floor(F.col("value") * 60000000.0 + F.lit(0.5)).cast("bigint")
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id", s.alias("start_us"), (s + dur).alias("end_us")
+        )
+
+    pairs = interval_overlap_join(iv("error"), iv("click"), "user_id")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+    )

@@ -274,3 +274,45 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.filter(F.col("dist").isNotNull()).select(
         "id", F.col("dist").cast("int").alias("dist")
     )
+
+
+@register(
+    "graph_k_core",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
+      FROM lineitem WHERE l_orderkey <= 150
+    ),
+    e0 AS (SELECT a AS u, b AS v FROM base UNION SELECT b, a FROM base),
+    d1 AS (SELECT u, count(*) AS c FROM e0 GROUP BY u),
+    k1 AS (SELECT u FROM d1 WHERE c >= 2),
+    e1 AS (SELECT e.u, e.v FROM e0 e JOIN k1 x ON e.u = x.u
+                                     JOIN k1 y ON e.v = y.u),
+    d2 AS (SELECT u, count(*) AS c FROM e1 GROUP BY u),
+    k2 AS (SELECT u FROM d2 WHERE c >= 2),
+    e2 AS (SELECT e.u, e.v FROM e1 e JOIN k2 x ON e.u = x.u
+                                     JOIN k2 y ON e.v = y.u),
+    d3 AS (SELECT u, count(*) AS c FROM e2 GROUP BY u),
+    k3 AS (SELECT u FROM d3 WHERE c >= 2),
+    e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 x ON e.u = x.u
+                                     JOIN k3 y ON e.v = y.u),
+    deg AS (SELECT u, count(*) AS c FROM e3 GROUP BY u)
+    SELECT u AS id, CAST(c AS BIGINT) AS core_degree
+    FROM deg WHERE c >= 2
+    """,
+    description="k-core decomposition (operators/graph.py:k_core; "
+    "Seidman 1983) over the bipartite order-part graph: 3 synchronous "
+    "peel rounds at k=2, each removing every vertex whose current "
+    "degree is < k plus its edges — the structural fringe filter run "
+    "on near-dup similarity graphs before community detection. Fixed "
+    "round count makes the peel fully deterministic, so the oracle "
+    "unrolls the identical rounds as chained CTEs (the LPA "
+    "discipline); the operator also supports peel-to-convergence "
+    "(pytest-pinned against NetworkX-style reference peeling).",
+    tags=("graph", "iterative", "custom-operator", "llm"),
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.operators.graph import k_core
+
+    edges = _order_part_edges(spark, sf_dir, max_order=150)
+    return k_core(edges, src="a", dst="b", k=2, rounds=3)

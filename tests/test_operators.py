@@ -1878,3 +1878,97 @@ def test_host_suffixes_and_blocklist_longest_match(spark):
     assert out[1] == "ads-specific"  # longest domain wins over parent
     assert out[2] == "geo"
     assert out[3] is None
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Property pin: bucketed overlap join == brute-force theta join,
+    with tiny buckets so intervals span MANY buckets (the dedup-free
+    canonical-bucket emission is what's under test) plus exact boundary
+    touches (closed intervals: touch counts, gap of 1 us does not)."""
+    import random
+
+    from ops_spark.operators.timeseries import interval_overlap_join
+
+    rnd = random.Random(7)
+    rows = [
+        (i % 5, rnd.randrange(0, 2000), rnd.randrange(0, 600))
+        for i in range(120)
+    ]
+    mk = lambda tag: spark.createDataFrame(  # noqa: E731
+        [(k, s, s + d, f"{tag}{i}") for i, (k, s, d) in enumerate(rows)],
+        "k int, start_us long, end_us long, rid string",
+    )
+    left, right = mk("L"), mk("R")
+    # boundary probes: exact touch (overlap 0) and 1-us gap (no match)
+    left = left.union(
+        spark.createDataFrame(
+            [(9, 100, 200, "Ltouch"), (9, 400, 500, "Lgap")],
+            "k int, start_us long, end_us long, rid string",
+        )
+    )
+    right = right.union(
+        spark.createDataFrame(
+            [(9, 200, 300, "Rtouch"), (9, 501, 600, "Rgap")],
+            "k int, start_us long, end_us long, rid string",
+        )
+    )
+    got = sorted(
+        (r.k, r.l_rid, r.r_rid, r.overlap_us)
+        for r in interval_overlap_join(
+            left, right, "k", bucket_us=100
+        ).collect()
+    )
+    want = sorted(
+        (lk, lr, rr, min(le, re) - max(ls, rs))
+        for (lk, ls, le, lr) in left.collect()
+        for (rk, rs, re, rr) in right.collect()
+        if lk == rk and ls <= re and rs <= le
+    )
+    assert got == want and len(got) > 50
+    assert ((9, "Ltouch", "Rtouch", 0) in got) and not any(
+        r == "Rgap" for (_, l, r, _) in got if l == "Lgap"
+    )
+
+
+def test_k_core_converges_to_true_core(spark):
+    """Peel-to-convergence must equal reference Python peeling: a 6-clique
+    (5-core) survives k=3, a chain fringe peels away entirely, a 4-cycle
+    is exactly a 2-core, and random noise resolves identically."""
+    import random
+    from collections import defaultdict
+
+    from ops_spark.operators.graph import k_core
+
+    rnd = random.Random(11)
+    edges = set()
+    for i in range(6):  # clique: every vertex degree 5
+        for j in range(i + 1, 6):
+            edges.add((i, j))
+    edges |= {(5, 10), (10, 11), (11, 12)}  # chain fringe
+    edges |= {(20, 21), (21, 22), (22, 23), (23, 20)}  # 2-core cycle
+    for _ in range(40):  # noise
+        a, b = rnd.randrange(30, 60), rnd.randrange(30, 60)
+        if a != b:
+            edges.add((a, b))
+    df = spark.createDataFrame(sorted(edges), "id_a int, id_b int")
+
+    def reference_core(k):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        while True:
+            weak = [v for v, ns in adj.items() if len(ns) < k]
+            if not weak:
+                return {(v, len(ns)) for v, ns in adj.items()}
+            for v in weak:
+                for u in adj.pop(v, set()):
+                    adj[u].discard(v)
+
+    for k in (2, 3):
+        got = {
+            (r.id, r.core_degree)
+            for r in k_core(df, k=k, rounds=None).collect()
+        }
+        assert got == reference_core(k), f"k={k}"
+    assert {v for v, _ in reference_core(2)} >= {20, 21, 22, 23}
