@@ -94,6 +94,7 @@ def compact_parquet(
     target_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
     min_file_bytes: int | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> dict:
     """OPTIMIZE-style INCREMENTAL small-file compaction — the
     table-maintenance pass a 100 TB pipeline runs continuously (streaming
@@ -114,6 +115,16 @@ def compact_parquet(
     within the new files so parquet footer min/max stats make THOSE
     files skippable on that key; untouched files keep whatever ordering
     they had (full-table clustering is a different, table-sized job).
+
+    With zorder_by=(colA, colB) — Delta/Iceberg's OPTIMIZE ZORDER BY —
+    the rewritten rows are clustered on a Morton key instead: each
+    numeric column is quantized to 1024 uniform width_bucket cells
+    between its min and max (one bounded agg; pure codegen, no UDF),
+    the two cell ids bit-interleave (operators/analytics.py:zorder_key),
+    and rows range-partition + sort on that key. Every new file then
+    covers a bounded sub-RECTANGLE of (A, B), so footer min/max stats
+    prune scans filtering on EITHER column — a linear sort only ever
+    skips on its leading column. Mutually exclusive with sort_by.
 
     Swap discipline (crash-correct, single-writer): replacement files
     land in the live directory HIDDEN (dot-prefixed — Spark and this
@@ -200,11 +211,42 @@ def compact_parquet(
         if n >= len(small):
             continue  # packing cannot reduce this directory's file count
         df = spark.read.parquet(*sorted(small))
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if sort_by:
             from pyspark.sql import functions as F
 
             cols = [F.col(c) for c in sort_by]
             out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        elif zorder_by:
+            from pyspark.sql import functions as F
+
+            from ops_spark.operators.analytics import zorder_key
+
+            a, b = zorder_by
+            st = df.agg(
+                F.min(a).alias("alo"), F.max(a).alias("ahi"),
+                F.min(b).alias("blo"), F.max(b).alias("bhi"),
+            ).first()
+
+            def cell(c, lo, hi):
+                if lo is None or hi is None or hi <= lo:
+                    return F.lit(0)
+                # 1024 uniform cells; clamp the max value into the top cell
+                return F.least(
+                    F.floor(
+                        (F.col(c) - F.lit(lo)) * 1024.0 / (F.lit(hi) - F.lit(lo))
+                    ).cast("int"),
+                    F.lit(1023),
+                )
+
+            z = zorder_key(cell(a, st.alo, st.ahi), cell(b, st.blo, st.bhi))
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         else:
             out = df.repartition(n)
         stage_d = os.path.join(staging, str(i))

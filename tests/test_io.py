@@ -1499,3 +1499,71 @@ def test_snapshot_merge_no_op_and_insert_only(spark, tmp_path):
     )
     assert stats["version"] == -1
     assert latest_version(t) == v
+
+
+def test_compact_parquet_zorder_bounds_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after z-order compaction every new file covers
+    a bounded sub-rectangle of (x, y) — per-file footer min/max spans
+    shrink on BOTH columns — while a linear sort on x leaves y spanning
+    ~the full domain in every file. Data equality must hold."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ops_spark.io.sinks import compact_parquet
+
+    base = (
+        spark.range(40_000)
+        .select(
+            F.col("id"),
+            (F.xxhash64(F.col("id")) % 10_000).alias("x"),
+            (F.xxhash64(F.col("id") + 7) % 10_000).alias("y"),
+        )
+        .select("id", F.abs("x").alias("x"), F.abs("y").alias("y"))
+    )
+
+    def spans(path):
+        out = []
+        for nm in sorted(os.listdir(path)):
+            if not nm.endswith(".parquet") or nm.startswith("."):
+                continue
+            md = pq.ParquetFile(os.path.join(path, nm)).metadata
+            names = md.schema.to_arrow_schema().names
+            mm = {}
+            for c in ("x", "y"):
+                idx = names.index(c)
+                los, his = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    los.append(st.min)
+                    his.append(st.max)
+                mm[c] = (max(his) - min(los)) / 10_000.0
+            out.append(mm)
+        return out
+
+    results = {}
+    for mode, kw in (
+        ("zorder", {"zorder_by": ("x", "y")}),
+        ("linear", {"sort_by": ["x"]}),
+    ):
+        d = str(tmp_path / mode)
+        base.repartition(64).write.parquet(d)
+        compact_parquet(spark, d, target_bytes=60_000, **kw)
+        files = spans(d)
+        assert len(files) >= 10, f"{mode}: want many packed files"
+        results[mode] = {
+            c: sum(f[c] for f in files) / len(files) for c in ("x", "y")
+        }
+        got = spark.read.parquet(d).agg(
+            F.count(F.lit(1)), F.sum("x"), F.sum("y")
+        ).first()
+        want = base.agg(F.count(F.lit(1)), F.sum("x"), F.sum("y")).first()
+        assert tuple(got) == tuple(want), f"{mode}: compaction lost data"
+    # linear sort: x tight but y spans ~everything; zorder: BOTH bounded
+    assert results["linear"]["y"] > 0.9
+    assert results["zorder"]["x"] < 0.6 and results["zorder"]["y"] < 0.6
+    assert (
+        results["zorder"]["y"]
+        < results["linear"]["y"] - 0.2
+    )
