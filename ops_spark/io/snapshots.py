@@ -174,7 +174,13 @@ def write_snapshot(
     try:
         _atomic_commit(
             path,
-            {"version": version, "op": mode, "add": added, "remove": removed},
+            {
+                "version": version,
+                "op": mode,
+                "add": added,
+                "remove": removed,
+                "schema": df.schema.json(),
+            },
         )
     except SnapshotError:
         _unstage(path, added)
@@ -203,7 +209,16 @@ def read_snapshot(
             "time travel is bounded by the vacuum retention window"
         )
     if not files:
-        raise SnapshotError(f"version {version} is empty")
+        # a legal state (e.g. a merge deleted every row): empty DataFrame
+        # with the last schema any commit <= version recorded
+        from pyspark.sql.types import StructType
+
+        for c in reversed(commits[: version + 1]):
+            if c.get("schema"):
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(c["schema"]))
+                )
+        raise SnapshotError(f"version {version} is empty (no schema recorded)")
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
@@ -429,7 +444,13 @@ def merge_snapshot(
     try:
         _atomic_commit(
             path,
-            {"version": version, "op": "merge", "add": added, "remove": touched},
+            {
+                "version": version,
+                "op": "merge",
+                "add": added,
+                "remove": touched,
+                "schema": target_schema.json(),
+            },
         )
     except SnapshotError:
         _unstage(path, added)

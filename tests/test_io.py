@@ -1567,3 +1567,26 @@ def test_compact_parquet_zorder_bounds_both_dimensions(spark, tmp_path):
         results["zorder"]["y"]
         < results["linear"]["y"] - 0.2
     )
+
+
+def test_snapshot_merge_delete_all_leaves_readable_empty_table(spark, tmp_path):
+    """Deleting every row is a legal state: the commit records the
+    schema, so the empty version reads as an empty DataFrame (and time
+    travel to the pre-delete version still works)."""
+    from ops_spark.io.snapshots import merge_snapshot, read_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    d = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_snapshot(spark, d, t)
+    merge_snapshot(
+        spark,
+        t,
+        spark.createDataFrame([(1,), (2,)], "k long"),
+        on=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    empty = read_snapshot(spark, t)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    assert read_snapshot(spark, t, 0).count() == 2

@@ -340,3 +340,49 @@ def test_inverted_index_matches_dict_model(spark, docs):
     for t, ids in model.items():
         assert got[t][0] == len(ids)
         assert got[t][1] == ",".join(str(i) for i in ids[:cap])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=-999, max_value=999),
+        min_size=1,
+        max_size=25,
+    ),
+    updates=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=-999, max_value=999),
+        max_size=15,
+    ),
+    deletes=st.sets(st.integers(min_value=0, max_value=60), max_size=10),
+)
+def test_snapshot_merge_matches_dict_model(spark, tmp_path_factory, base, updates, deletes):
+    """merge_snapshot == the obvious dict model, for arbitrary CDC
+    batches: an update merge applies dict.update (keys beyond the base
+    insert), a delete merge applies dict del on matched keys only —
+    across any file layout the staged writes happened to produce."""
+    from ops_spark.io.snapshots import merge_snapshot, read_snapshot, write_snapshot
+
+    t = str(tmp_path_factory.mktemp("merge_prop") / "tbl")
+    d = lambda m: spark.createDataFrame(  # noqa: E731
+        [(k, v) for k, v in sorted(m.items())], "k long, v long"
+    )
+    write_snapshot(spark, d(base), t)
+    model = dict(base)
+    if updates:
+        merge_snapshot(spark, t, d(updates), on=["k"])
+        model.update(updates)
+    if deletes:
+        merge_snapshot(
+            spark,
+            t,
+            spark.createDataFrame([(k,) for k in sorted(deletes)], "k long"),
+            on=["k"],
+            when_matched="delete",
+            when_not_matched="ignore",
+        )
+        for k in deletes:
+            model.pop(k, None)
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got == model
