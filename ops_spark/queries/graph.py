@@ -281,7 +281,7 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
-      FROM lineitem WHERE l_orderkey <= 150
+      FROM lineitem WHERE l_orderkey % 971 < 15
     ),
     e0 AS (SELECT a AS u, b AS v FROM base UNION SELECT b, a FROM base),
     d1 AS (SELECT u, count(*) AS c FROM e0 GROUP BY u),
@@ -312,7 +312,17 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative", "custom-operator", "llm"),
 )
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ops_spark.io import load_table
     from ops_spark.operators.graph import k_core
 
-    edges = _order_part_edges(spark, sf_dir, max_order=150)
+    # modulo subset, not a key-range cut: stays a fixed FRACTION of the
+    # corpus at any derived scale (a <=N range degenerates to near-empty
+    # under the 100x key multiplication)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 971 < 15
+    )
+    edges = li.select(
+        F.col("l_orderkey").alias("a"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("b"),
+    ).distinct()
     return k_core(edges, src="a", dst="b", k=2, rounds=3)
