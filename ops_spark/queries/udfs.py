@@ -731,3 +731,92 @@ def x_io_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "x_io_zorder",
+    oracle=None,  # file-layout op (Morton clustering quality is not
+    # SQL-expressible); data equality + bounded-span invariants pinned in
+    # test_io.py::test_compact_parquet_zorder_bounds_both_dimensions and
+    # re-asserted at 100x by the sweep verifier reading this query's flags
+    description="OPTIMIZE ZORDER BY (io/sinks.py:compact_parquet "
+    "zorder_by): a small-file shower of the orders table re-clusters on "
+    "the Morton interleave of (o_custkey, o_orderkey-derived day). "
+    "Returns per-file footer min/max span stats for BOTH dimensions "
+    "plus a lossless checksum — the measurable claim is that every "
+    "packed file covers a bounded sub-rectangle, so scans filtering on "
+    "EITHER column skip files; a linear sort only skips on its leading "
+    "column.",
+    tags=("io", "compaction", "zorder", "maintenance"),
+)
+def x_io_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ops_spark.io.sinks import compact_parquet
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"ops_spark_zorder_{digest}")
+    shutil.rmtree(work, ignore_errors=True)
+    base = spark.read.parquet(src).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        (F.dayofyear("o_orderdate").cast("bigint")).alias("y"),
+    )
+    before = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    ).first()
+    base.repartition(64).write.parquet(work)
+    sizes = sorted(
+        os.path.getsize(os.path.join(work, n))
+        for n in os.listdir(work)
+        if n.endswith(".parquet")
+    )
+    stats = compact_parquet(
+        spark,
+        work,
+        target_bytes=max(sum(sizes) // 12, 4096),
+        zorder_by=("x", "y"),
+        min_file_bytes=max(sizes[-1] + 1, 8192),  # every file is "small"
+    )
+    xs = {"x": [], "y": []}
+    glob = {"x": [None, None], "y": [None, None]}
+    for nm in sorted(os.listdir(work)):
+        if not nm.endswith(".parquet") or nm.startswith("."):
+            continue
+        md = pq.ParquetFile(os.path.join(work, nm)).metadata
+        names = md.schema.to_arrow_schema().names
+        for c in ("x", "y"):
+            idx = names.index(c)
+            los = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            his = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            xs[c].append((min(los), max(his)))
+            glob[c][0] = min(los) if glob[c][0] is None else min(glob[c][0], min(los))
+            glob[c][1] = max(his) if glob[c][1] is None else max(glob[c][1], max(his))
+    span = {}
+    for c in ("x", "y"):
+        width = max(1, glob[c][1] - glob[c][0])
+        span[c] = sum((hi - lo) / width for lo, hi in xs[c]) / len(xs[c])
+    after = spark.read.parquet(work).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["files_before"]),
+                int(stats["files_after"]),
+                float(round(span["x"], 4)),
+                float(round(span["y"], 4)),
+                bool(tuple(before) == tuple(after)),
+            )
+        ],
+        "files_before int, files_after int, avg_span_x double, "
+        "avg_span_y double, lossless boolean",
+    )

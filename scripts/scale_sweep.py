@@ -458,9 +458,30 @@ def _v_compact_flags(spark, sf_dir):
     )
 
 
+def _v_zorder_flags(spark, sf_dir):
+    """x_io_zorder's output carries the measurable clustering claim:
+    per-file footer spans bounded on BOTH dimensions (each packed file a
+    sub-rectangle — a linear sort leaves the trailing column ~1.0) plus
+    the lossless checksum and a real file-count reduction."""
+    import ops_spark.queries as q
+
+    r = q.get_query("x_io_zorder").builder(spark, sf_dir).first()
+    ok = (
+        bool(r.lossless)
+        and r.files_after < r.files_before
+        and r.avg_span_x < 0.8
+        and r.avg_span_y < 0.8
+    )
+    return ok, (
+        f"lossless={r.lossless} files {r.files_before}->{r.files_after} "
+        f"avg_span_x={r.avg_span_x} avg_span_y={r.avg_span_y}"
+    )
+
+
 INVARIANT_VERIFIERS = {
     "geo_nearest_hub": _v_nearest_hub_sample,
     "x_io_compact": _v_compact_flags,
+    "x_io_zorder": _v_zorder_flags,
     "x_llm_ann_ivfpq": _v_ivfpq_recall,
     "llm_ngram_jaccard_pairs": _v_jaccard_pairs,
     "llm_minhash_lsh_dedup": _v_jaccard_completeness,
