@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 46
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 48
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
@@ -1179,6 +1179,32 @@ GROUP BY c_mktsegment, n_name
 """
 
 
+SQL_Q45_IN_SUBQUERY_OR = f"""
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+   OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9200.0)
+GROUP BY n_name
+"""
+
+SQL_Q16_MULTI_SUPPLIER_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(DISTINCT l1.l_suppkey) AS n_suppliers
+FROM orders JOIN lineitem l1 ON l1.l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = o_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = o_orderkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1558,6 +1584,24 @@ for name, sql, desc in [
         "two more EXISTS over different fact paths — one semi join plus "
         "two ExistenceJoin columns feeding a disjunction, then "
         "count/sum per (segment, nation).",
+    ),
+    (
+        "sql_tpcds_q45_in_subquery_or",
+        SQL_Q45_IN_SUBQUERY_OR,
+        "TPC-DS q45 shape (tpcds/q45.sql): a plain IN-list predicate "
+        "OR-ed with an IN-SUBQUERY — the subquery cannot plan as a semi "
+        "join under the disjunction, so it must become an ExistenceJoin "
+        "marker feeding the OR filter (the IN decorrelation twin of the "
+        "q10/q35 EXISTS family).",
+    ),
+    (
+        "sql_tpcds_q16_multi_supplier_distinct",
+        SQL_Q16_MULTI_SUPPLIER_DISTINCT,
+        "TPC-DS q16/q94 shape (tpcds/q16.sql): 'ships from more than "
+        "one supplier, never returned' — a correlated EXISTS whose "
+        "predicate references TWO outer relations (the order key AND "
+        "the probing line's supplier), a NOT EXISTS anti path, and "
+        "multi-column COUNT(DISTINCT) aggregation on top.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

@@ -786,3 +786,15 @@ def test_tpcds_q10_existence_join_under_disjunction(spark, sf_dir):
     plan = _exec_plan(spark, sf_dir, "sql_tpcds_q10_existence_demographics")
     assert "ExistenceJoin" in plan
     assert len(re.findall(r"FileScan parquet \[c_", plan)) == 1
+
+
+def test_tpcds_q45_in_subquery_under_or_plans_existence_join(spark, sf_dir):
+    # An IN-subquery under OR cannot be a semi join (it would drop rows
+    # the IN-list branch still needs) — it must plan as an ExistenceJoin
+    # marker feeding the disjunctive Filter, with no subquery re-scan of
+    # orders.
+    import re
+
+    plan = _exec_plan(spark, sf_dir, "sql_tpcds_q45_in_subquery_or")
+    assert "ExistenceJoin" in plan
+    assert len(re.findall(r"FileScan parquet \[o_", plan)) == 1
