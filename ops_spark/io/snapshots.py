@@ -154,6 +154,40 @@ def _unstage(path: str, added: list[str]) -> None:
             pass
 
 
+def _schema_of(commits: list[dict], version: int):
+    """The table schema as of ``version``: the latest commit <= version
+    that recorded one (rollbacks record none — readers walk past them)."""
+    from pyspark.sql.types import StructType
+
+    for c in reversed(commits[: version + 1]):
+        if c.get("schema"):
+            return StructType.fromJson(json.loads(c["schema"]))
+    return None
+
+
+def _evolve_schema(prev, new):
+    """Union of two schemas, previous column order first (the Delta
+    schema-evolution rule: new columns append, existing columns must
+    keep their type). Raises on a dtype conflict."""
+    if prev is None:
+        return new
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in new.fields}
+    out = []
+    for f in prev.fields:
+        nf = by_name.get(f.name)
+        if nf is not None and nf.dataType != f.dataType:
+            raise SnapshotError(
+                f"schema evolution cannot change column '{f.name}' from "
+                f"{f.dataType.simpleString()} to {nf.dataType.simpleString()}"
+            )
+        out.append(f)
+    prev_names = {f.name for f in prev.fields}
+    out += [f for f in new.fields if f.name not in prev_names]
+    return StructType(out)
+
+
 def write_snapshot(
     spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
 ) -> int:
@@ -162,6 +196,11 @@ def write_snapshot(
     (logically — bytes stay for time travel until vacuum). Returns the
     committed version.
 
+    Appending a df with NEW columns evolves the table schema (columns
+    append; a dtype change raises): the commit records the UNION schema,
+    and reads project older files through it, null-filling the missing
+    columns. An overwrite replaces the schema outright.
+
     A crash before the commit leaves only unreferenced files — invisible
     to every reader, swept by vacuum (see _stage_add).
     """
@@ -169,6 +208,9 @@ def write_snapshot(
         raise SnapshotError(f"unsupported mode: {mode}")
     commits = _read_commits(path)
     version = len(commits)
+    schema = df.schema
+    if mode == "append" and commits:
+        schema = _evolve_schema(_schema_of(commits, version - 1), df.schema)
     added = _stage_add(df, path, version)
     removed = _live_files(commits, version - 1) if (mode == "overwrite" and commits) else []
     try:
@@ -179,7 +221,7 @@ def write_snapshot(
                 "op": mode,
                 "add": added,
                 "remove": removed,
-                "schema": df.schema.json(),
+                "schema": schema.json(),
             },
         )
     except SnapshotError:
@@ -208,18 +250,19 @@ def read_snapshot(
             f"version {version} was vacuumed ({len(missing)} files gone); "
             "time travel is bounded by the vacuum retention window"
         )
+    schema = _schema_of(commits, version)
     if not files:
         # a legal state (e.g. a merge deleted every row): empty DataFrame
-        # with the last schema any commit <= version recorded
-        from pyspark.sql.types import StructType
-
-        for c in reversed(commits[: version + 1]):
-            if c.get("schema"):
-                return spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(c["schema"]))
-                )
+        # with the schema the version recorded
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         raise SnapshotError(f"version {version} is empty (no schema recorded)")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    paths = [os.path.join(path, f) for f in files]
+    if schema is not None:
+        # project through the version's recorded schema: files written
+        # before a schema evolution null-fill the appended columns
+        return spark.read.schema(schema).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def rollback(spark: SparkSession, path: str, version: int) -> int:
@@ -286,6 +329,7 @@ def merge_snapshot(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO for snapshot tables — the CDC upsert every continuously
     refreshed corpus needs (Delta/Iceberg MERGE semantics, single writer):
@@ -315,6 +359,13 @@ def merge_snapshot(
     source make the merge ambiguous and raise (Delta's rule). Plain SQL
     equality on the keys — NULL keys never match, like MERGE.
 
+    allow_schema_evolution=True applies Delta's evolution rules: columns
+    only in the source APPEND to the table schema (pre-existing rows and
+    files null-fill on read), columns the source omits keep their target
+    values on matched rows, and a dtype change raises. The commit
+    records the evolved schema; time travel to pre-merge versions still
+    reads the old schema.
+
     Returns {version, files_live, files_pruned_by_stats, files_rewritten,
     rows_updated/deleted/inserted/copied} — version is -1 when the merge
     is a provable no-op (nothing touched, nothing to insert).
@@ -333,12 +384,20 @@ def merge_snapshot(
     missing = [k for k in on if k not in source.columns or k not in target_cols]
     if missing:
         raise SnapshotError(f"merge keys absent from source or target: {missing}")
-    needs_full = when_matched == "update" or when_not_matched == "insert"
-    if needs_full and set(source.columns) != set(target_cols):
-        raise SnapshotError(
-            "update/insert merge needs the full target column set in the "
-            f"source; missing {sorted(set(target_cols) - set(source.columns))}"
-        )
+    if allow_schema_evolution:
+        # Delta rule: source-only columns APPEND to the table (old rows
+        # null-fill), matched rows keep target values for columns the
+        # source omits, dtype changes raise
+        out_schema = _evolve_schema(target_schema, source.schema)
+    else:
+        out_schema = target_schema
+        needs_full = when_matched == "update" or when_not_matched == "insert"
+        if needs_full and set(source.columns) != set(target_cols):
+            raise SnapshotError(
+                "update/insert merge needs the full target column set in the "
+                f"source; missing {sorted(set(target_cols) - set(source.columns))}"
+                " (or pass allow_schema_evolution=True)"
+            )
 
     # ambiguity guard (Delta semantics): >1 source row per key is an error
     dup = (
@@ -398,20 +457,30 @@ def merge_snapshot(
             .otherwise(F.lit(when_not_matched))
         )
         use_s = (t_here & s_here & F.lit(when_matched == "update")) | ~t_here
+
+        def _val(c: str, dtype):
+            t_expr = (
+                F.col(f"t.{c}") if c in target_cols else F.lit(None).cast(dtype)
+            )
+            if c not in source.columns:  # source omits it: keep target value
+                return t_expr
+            return F.when(use_s, F.col(f"s.{c}")).otherwise(t_expr)
+
         merged = j.select(
-            *[
-                F.when(
-                    use_s,
-                    F.col(f"s.{c}") if c in source.columns
-                    else F.lit(None).cast(target_schema[c].dataType),
-                ).otherwise(F.col(f"t.{c}")).alias(c)
-                for c in target_cols
-            ],
+            *[_val(f.name, f.dataType).alias(f.name) for f in out_schema.fields],
             action.alias("__action"),
         )
     else:  # nothing touched: every source row is an insert
         merged = s.select(
-            *[F.col(c) for c in target_cols], F.lit("insert").alias("__action")
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in source.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in out_schema.fields
+            ],
+            F.lit("insert").alias("__action"),
         )
 
     merged = merged.filter(~F.col("__action").isin("delete", "ignore"))
@@ -449,7 +518,7 @@ def merge_snapshot(
                 "op": "merge",
                 "add": added,
                 "remove": touched,
-                "schema": target_schema.json(),
+                "schema": out_schema.json(),
             },
         )
     except SnapshotError:

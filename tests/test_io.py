@@ -1590,3 +1590,64 @@ def test_snapshot_merge_delete_all_leaves_readable_empty_table(spark, tmp_path):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["k", "v"]
     assert read_snapshot(spark, t, 0).count() == 2
+
+
+def test_snapshot_schema_evolution_on_append_and_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    from ops_spark.io.snapshots import SnapshotError, read_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.createDataFrame([(1, "a")], "k long, v string"), t)
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, w double"),
+        t,
+        mode="append",
+    )
+    latest = read_snapshot(spark, t)
+    assert [f.name for f in latest.schema.fields] == ["k", "v", "w"]
+    rows = {r.k: (r.v, r.w) for r in latest.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old file null-fills
+    # time travel: version 0 still shows the ORIGINAL two-column schema
+    assert [f.name for f in read_snapshot(spark, t, 0).schema.fields] == ["k", "v"]
+    # dtype change is never evolution
+    with _pytest.raises(SnapshotError, match="cannot change column"):
+        write_snapshot(
+            spark,
+            spark.createDataFrame([(3, 4)], "k long, v long"),
+            t,
+            mode="append",
+        )
+
+
+def test_snapshot_merge_schema_evolution(spark, tmp_path):
+    import pytest as _pytest
+
+    from ops_spark.io.snapshots import (
+        SnapshotError,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        t,
+    )
+    # strict mode still refuses a column-set mismatch
+    src = spark.createDataFrame([(2, "B", 7), (5, "e", 9)], "k long, v string, w long")
+    with _pytest.raises(SnapshotError, match="schema_evolution"):
+        merge_snapshot(spark, t, src, on=["k"])
+    stats = merge_snapshot(spark, t, src, on=["k"], allow_schema_evolution=True)
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r.k: (r.v, r.w) for r in read_snapshot(spark, t).collect()}
+    # copied row null-fills the new column; matched/inserted take source
+    assert got == {1: ("a", None), 2: ("B", 7), 5: ("e", 9)}
+    # a source OMITTING a target column keeps target values on update
+    src2 = spark.createDataFrame([(2, 42)], "k long, w long")
+    merge_snapshot(spark, t, src2, on=["k"], allow_schema_evolution=True)
+    got2 = {r.k: (r.v, r.w) for r in read_snapshot(spark, t).collect()}
+    assert got2[2] == ("B", 42) and got2[1] == ("a", None) and got2[5] == ("e", 9)
