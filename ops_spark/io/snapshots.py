@@ -565,3 +565,62 @@ def vacuum(path: str, retain_last: int = 2) -> dict:
         "removed_bytes": removed_bytes,
         "retained_from_version": keep_from,
     }
+
+
+def merge_stream(
+    stream_df: DataFrame,
+    path: str,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    checkpoint: str | None = None,
+    allow_schema_evolution: bool = False,
+):
+    """Streaming CDC upsert sink — the Delta `foreachBatch + MERGE`
+    pattern: every micro-batch merges into the snapshot table, so the
+    table is always a consistent upserted view of the stream (not an
+    append log the reader must re-deduplicate).
+
+    Exactly-once story: foreachBatch is AT-LEAST-ONCE under failure (a
+    batch can replay after a crash between the merge and the checkpoint
+    commit), and the upsert merge is IDEMPOTENT for replays — re-merging
+    an identical batch updates matched rows to the values they already
+    hold and inserts nothing new — so the final table equals the
+    exactly-once result. Delete-mode replays are likewise no-ops. The
+    duplicate-key guard still applies per batch: a batch carrying two
+    rows for one key is ambiguous and fails the query rather than
+    racing itself.
+
+    The first batch on a fresh path bootstraps the table by committing
+    an EMPTY version with the batch schema, then merging — so the dup
+    guard and the insert path run uniformly from batch one.
+
+    Returns the started StreamingQuery (use trigger/availableNow and
+    awaitTermination at the call site via the returned handle).
+    """
+    import tempfile
+
+    spark = stream_df.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not _read_commits(path):
+            write_snapshot(spark, batch_df.limit(0), path)
+        merge_snapshot(
+            spark,
+            path,
+            batch_df,
+            on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            allow_schema_evolution=allow_schema_evolution,
+        )
+
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ops_spark_merge_stream_ckpt_")
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

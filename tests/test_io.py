@@ -1651,3 +1651,36 @@ def test_snapshot_merge_schema_evolution(spark, tmp_path):
     merge_snapshot(spark, t, src2, on=["k"], allow_schema_evolution=True)
     got2 = {r.k: (r.v, r.w) for r in read_snapshot(spark, t).collect()}
     assert got2[2] == ("B", 42) and got2[1] == ("a", None) and got2[5] == ("e", 9)
+
+
+def test_merge_stream_upserts_per_batch_and_replay_is_idempotent(spark, tmp_path):
+    """Streaming CDC sink: maxFilesPerTrigger=1 forces one micro-batch
+    per CDC file; the table must equal the upserted view after the
+    stream drains, and manually replaying the last batch (the
+    at-least-once failure mode foreachBatch exposes) must not change
+    the table — the idempotence that makes merge a safe streaming sink."""
+    import os
+
+    from ops_spark.io.snapshots import merge_snapshot, read_snapshot, merge_stream
+
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    d([(1, "a"), (2, "b"), (3, "c")]).coalesce(1).write.mode("append").parquet(src)
+    d([(2, "B2"), (9, "i")]).coalesce(1).write.mode("append").parquet(src)
+
+    t = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = merge_stream(stream, t, on=["k"], checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    want = [(1, "a"), (2, "B2"), (3, "c"), (9, "i")]
+    assert _snap_rows(spark, t) == want
+    # replay the second batch: at-least-once delivery must be a no-op
+    from ops_spark.io.snapshots import latest_version
+
+    merge_snapshot(spark, t, d([(2, "B2"), (9, "i")]), on=["k"])
+    assert _snap_rows(spark, t) == want
