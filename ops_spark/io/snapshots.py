@@ -624,3 +624,156 @@ def merge_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    on: list[str],
+) -> DataFrame:
+    """Change data feed between two versions — row-level changes with
+    Delta-CDF semantics, computed WITHOUT change files: the two live
+    sets share every file a commit didn't touch (files are immutable),
+    so those cancel by name and the diff reads ONLY the churned files.
+    After an incremental merge that is the touched fraction, not the
+    table — the property that makes "what changed since the run that
+    trained model X" affordable at 100 TB.
+
+    Requires ``on`` to be a unique key in both versions (the CDC table
+    shape merge maintains). Rows rewritten byte-unchanged (the copy
+    rows of a merge) cancel in the key join. Across a schema evolution
+    both sides project through the WIDER version's schema, so pre-images
+    null-fill columns that did not exist yet.
+
+    Output: the table columns plus __change ∈
+    {'insert', 'delete', 'update_pre', 'update_post'} (updates emit the
+    pre- and post-image as two rows, like Delta CDF).
+    """
+    from pyspark.sql import functions as F
+
+    commits = _read_commits(path)
+    if not commits:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    last = commits[-1]["version"]
+    for v in (v_from, v_to):
+        if not 0 <= v <= last:
+            raise SnapshotError(f"no such version: {v}")
+    a = set(_live_files(commits, v_from))
+    b = set(_live_files(commits, v_to))
+    schema = _schema_of(commits, max(v_from, v_to))
+    if schema is None:
+        raise SnapshotError("no schema recorded; cannot diff")
+    cols = [f.name for f in schema.fields]
+    missing = [k for k in on if k not in cols]
+    if missing:
+        raise SnapshotError(f"diff keys absent from table: {missing}")
+    payload = [c for c in cols if c not in on]
+
+    def _side(rels):
+        files = sorted(rels)
+        gone = [f for f in files if not os.path.exists(os.path.join(path, f))]
+        if gone:
+            raise SnapshotError(
+                f"{len(gone)} churned files were vacuumed; the diff window "
+                "is bounded by the vacuum retention"
+            )
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+
+    pre = _side(a - b).withColumn("__p", F.lit(1)).alias("p")
+    post = _side(b - a).withColumn("__q", F.lit(1)).alias("q")
+    cond = None
+    for k in on:
+        eq = F.col(f"p.{k}") == F.col(f"q.{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = pre.join(post, cond, "full_outer")
+    p_here = F.col("p.__p").isNotNull()
+    q_here = F.col("q.__q").isNotNull()
+    if payload:
+        changed = ~(
+            F.struct(*[F.col(f"p.{c}") for c in payload]).eqNullSafe(
+                F.struct(*[F.col(f"q.{c}") for c in payload])
+            )
+        )
+    else:
+        changed = F.lit(False)  # key-only table: a matched key is a copy
+    pre_rows = j.filter(p_here & (~q_here | (q_here & changed))).select(
+        *[F.col(f"p.{c}").alias(c) for c in cols],
+        F.when(q_here, F.lit("update_pre")).otherwise(F.lit("delete")).alias("__change"),
+    )
+    post_rows = j.filter(q_here & (~p_here | (p_here & changed))).select(
+        *[F.col(f"q.{c}").alias(c) for c in cols],
+        F.when(p_here, F.lit("update_post")).otherwise(F.lit("insert")).alias("__change"),
+    )
+    return pre_rows.unionByName(post_rows)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: int | None = None,
+) -> dict:
+    """OPTIMIZE for snapshot tables: bin-pack the CURRENT version's
+    undersized live files into ~target_bytes replacements and publish
+    ONE commit (add packed, remove packed-away) — a pure layout change,
+    so the data is identical, readers are never torn (they fold the
+    log), and time travel still reaches the pre-compaction layout until
+    vacuum. Files at or above ``min_file_bytes`` (default
+    target_bytes/2) keep their name and bytes: rewrite I/O tracks the
+    small-file fraction, exactly like compact_parquet on bare
+    directories — this is the commit-log-aware sibling the streaming
+    merge sink needs (per-batch merges mint small files continuously).
+
+    Returns {version, files_before, files_after, rewritten_files,
+    rewritten_bytes}; version -1 = nothing worth packing (no commit).
+    """
+    import math
+
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    commits = _read_commits(path)
+    if not commits:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    version = len(commits)
+    live = _live_files(commits, version - 1)
+    sizes = {f: os.path.getsize(os.path.join(path, f)) for f in live}
+    small = sorted(f for f, sz in sizes.items() if sz < min_file_bytes)
+    small_bytes = sum(sizes[f] for f in small)
+    n = max(1, math.ceil(small_bytes / target_bytes))
+    if n >= len(small):  # packing cannot reduce the file count
+        return {
+            "version": -1, "files_before": len(live),
+            "files_after": len(live), "rewritten_files": 0,
+            "rewritten_bytes": 0,
+        }
+    schema = _schema_of(commits, version - 1)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*[os.path.join(path, f) for f in small]).repartition(n)
+    added = _stage_add(df, path, version)
+    try:
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": "compact",
+                "add": added,
+                "remove": small,
+                **({"schema": schema.json()} if schema is not None else {}),
+            },
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    return {
+        "version": version,
+        "files_before": len(live),
+        "files_after": len(live) - len(small) + len(added),
+        "rewritten_files": len(small),
+        "rewritten_bytes": small_bytes,
+    }

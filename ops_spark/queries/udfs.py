@@ -820,3 +820,78 @@ def x_io_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_before int, files_after int, avg_span_x double, "
         "avg_span_y double, lossless boolean",
     )
+
+
+@register(
+    "io_snapshot_cdf",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           'update_pre' AS change_type
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 2 * 100 + 0.5) AS BIGINT),
+           'update_post'
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey + 100000000, '6-SYNTH',
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+           'insert'
+    FROM orders WHERE o_orderkey % 89 = 0
+    """,
+    description="Change data feed between snapshot versions "
+    "(io/snapshots.py:snapshot_diff): after the x_io_merge CDC batch, "
+    "the v0→v1 diff must contain EXACTLY the update pre/post images "
+    "and the inserts — and none of the thousands of copy rows the "
+    "copy-on-write rewrite carried along (shared immutable files "
+    "cancel by NAME, matched-equal rows cancel in the key join). The "
+    "oracle re-derives the change set from the raw table, so a leaked "
+    "copy row, a lost image, or a wrong change label all flip the "
+    "hash.",
+    tags=("io", "snapshot", "cdf", "cdc", "maintenance"),
+)
+def io_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.snapshots import (
+        latest_version,
+        merge_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_cdf_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    write_snapshot(spark, base.repartitionByRange(8, "o_orderkey"), tbl)
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "price", F.col("price") * 2
+    )
+    inserts = base.filter(F.col("o_orderkey") % 89 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("6-SYNTH").alias("o_orderpriority"),
+        "price",
+    )
+    merge_snapshot(spark, tbl, updates.unionByName(inserts), on=["o_orderkey"])
+    diff = snapshot_diff(spark, tbl, 0, latest_version(tbl), on=["o_orderkey"])
+    return diff.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("__change").alias("change_type"),
+    )

@@ -1684,3 +1684,88 @@ def test_merge_stream_upserts_per_batch_and_replay_is_idempotent(spark, tmp_path
 
     merge_snapshot(spark, t, d([(2, "B2"), (9, "i")]), on=["k"])
     assert _snap_rows(spark, t) == want
+
+
+def test_snapshot_diff_change_data_feed(spark, tmp_path):
+    """CDF between versions: rewritten-but-unchanged copy rows cancel,
+    updates emit pre+post images, inserts/deletes appear once, a
+    same-version diff is empty, and the diff only ever reads churned
+    files (shared immutable files cancel by name)."""
+    from ops_spark.io.snapshots import (
+        latest_version,
+        merge_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_snapshot(spark, d([(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    merge_snapshot(spark, t, d([(2, "B"), (9, "i")]), on=["k"])  # v1
+    keys = spark.createDataFrame([(3,)], "k long")
+    merge_snapshot(
+        spark, t, keys, on=["k"], when_matched="delete", when_not_matched="ignore"
+    )  # v2
+    v = latest_version(t)
+    got = sorted(
+        (r.k, r.v, r["__change"])
+        for r in snapshot_diff(spark, t, 0, v, on=["k"]).collect()
+    )
+    assert got == [
+        (2, "B", "update_post"),
+        (2, "b", "update_pre"),
+        (3, "c", "delete"),
+        (9, "i", "insert"),
+    ]
+    assert snapshot_diff(spark, t, v, v, on=["k"]).count() == 0
+    # reverse diff flips the roles
+    rev = sorted(
+        (r.k, r["__change"])
+        for r in snapshot_diff(spark, t, v, 0, on=["k"]).collect()
+    )
+    assert rev == [(2, "update_post"), (2, "update_pre"), (3, "insert"), (9, "delete")]
+
+
+def test_compact_snapshot_packs_small_live_files_as_one_commit(spark, tmp_path):
+    """OPTIMIZE on a versioned table: many small appends (the streaming
+    merge sink's debris) pack into few files via ONE metadata commit —
+    data identical, big files untouched by name+bytes, pre-compaction
+    layout still time-travelable."""
+    import os
+
+    from ops_spark.io.snapshots import (
+        _live_files,
+        _read_commits,
+        compact_snapshot,
+        history,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    big = d([(i, f"v{i}") for i in range(5000)]).coalesce(1)
+    write_snapshot(spark, big, t)
+    for i in range(8):  # small-file shower
+        write_snapshot(spark, d([(10000 + i, "s")]).coalesce(1), t, mode="append")
+    commits = _read_commits(t)
+    pre_live = _live_files(commits, commits[-1]["version"])
+    big_file = max(pre_live, key=lambda f: os.path.getsize(os.path.join(t, f)))
+    big_size = os.path.getsize(os.path.join(t, big_file))
+    before = sorted((r.k, r.v) for r in read_snapshot(spark, t).collect())
+    v_pre = commits[-1]["version"]
+
+    stats = compact_snapshot(
+        spark, t, target_bytes=big_size, min_file_bytes=big_size - 1
+    )
+    assert stats["rewritten_files"] == 8
+    assert stats["files_after"] < stats["files_before"]
+    commits = _read_commits(t)
+    live = _live_files(commits, commits[-1]["version"])
+    assert big_file in live  # compliant file untouched, by name
+    assert os.path.getsize(os.path.join(t, big_file)) == big_size
+    assert sorted((r.k, r.v) for r in read_snapshot(spark, t).collect()) == before
+    assert sorted((r.k, r.v) for r in read_snapshot(spark, t, v_pre).collect()) == before
+    assert history(t)[-1]["op"] == "compact"
+    # idempotence: a second pass finds nothing worth packing
+    assert compact_snapshot(spark, t, target_bytes=big_size, min_file_bytes=big_size - 1)["version"] == -1
