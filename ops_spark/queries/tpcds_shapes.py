@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 48
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 49
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
@@ -1205,6 +1205,21 @@ GROUP BY o_orderpriority
 """
 
 
+SQL_Q24_CTE_SCALAR_GATE = f"""
+WITH ssales AS (
+    SELECT n_name, c_custkey,
+           sum(CAST(o_totalprice AS {_DEC})) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_custkey
+)
+SELECT n_name, c_custkey, CAST(total AS DOUBLE) AS total
+FROM ssales
+WHERE 5 * total * (SELECT count(*) FROM ssales)
+      > 6 * (SELECT sum(total) FROM ssales)
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1602,6 +1617,17 @@ for name, sql, desc in [
         "predicate references TWO outer relations (the order key AND "
         "the probing line's supplier), a NOT EXISTS anti path, and "
         "multi-column COUNT(DISTINCT) aggregation on top.",
+    ),
+    (
+        "sql_tpcds_q24_cte_scalar_gate",
+        SQL_Q24_CTE_SCALAR_GATE,
+        "TPC-DS q24 shape (tpcds/q24a.sql): rows of an aggregate CTE "
+        "kept only if they beat a fraction of a SCALAR SUBQUERY over "
+        "the SAME CTE — the shared-subplan stress where the aggregate "
+        "must not recompute per row (TWO scalars — count and sum — share "
+        "it); the 1.2x-of-average gate is exact decimal cross-"
+        "multiplication (5*total*n > 6*sum), scale-free by construction "
+        "and with no float average anywhere.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",
