@@ -159,6 +159,8 @@ def compact_parquet(
             ]
         return out
 
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     root = path.rstrip("/")
@@ -211,8 +213,6 @@ def compact_parquet(
         if n >= len(small):
             continue  # packing cannot reduce this directory's file count
         df = spark.read.parquet(*sorted(small))
-        if sort_by and zorder_by:
-            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if sort_by:
             from pyspark.sql import functions as F
 

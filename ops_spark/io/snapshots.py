@@ -33,6 +33,20 @@ staying pure Spark + JSON:
   range; time travel inside the range keeps working, older versions
   raise cleanly.
 
+- Each commit carries per-file min/max stats for its added files
+  (``stats``), recorded once at write time — so MERGE's data-skipping
+  reads the log, not 10⁵ parquet footers per merge (the Delta
+  AddFile.stats / Iceberg manifest-bounds idea).
+
+Concurrency contract: SINGLE WRITER PER VERSION. Two writers may race;
+exactly one claims version N (the hard-link commit), the loser raises
+``SnapshotError`` with its staged files un-staged, and may re-read the
+log and retry against N+1. Readers are never torn either way. The
+atomicity primitives are POSIX ``link(2)``/``rename(2)`` plus
+``os.listdir`` of the log directory — local-FS/HDFS semantics ONLY; an
+object-store port needs a conditional-put commit and a manifest-based
+log listing (out of engine scope, as with compact_parquet).
+
 Scale notes: the log is O(commits) JSON files of O(files-per-commit)
 entries; fold cost is driver-side and tiny next to a 100 TB scan. For
 million-commit tables real formats checkpoint the fold — out of scope
@@ -50,6 +64,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG = "_log"
 _DATA = "data"
+
+# Observability counter: footer opens taken by the merge's stats-pruning
+# FALLBACK path (legacy commits with no log stats / unencodable types).
+# Commits written by this version carry per-file min/max in the log, so a
+# merge over them must prune with ZERO footer reads — tests assert on this.
+FOOTER_PRUNE_READS = 0
 
 
 class SnapshotError(RuntimeError):
@@ -154,9 +174,90 @@ def _unstage(path: str, added: list[str]) -> None:
             pass
 
 
+def _stat_val(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a parquet min/max value.
+    Only types whose encoding compares like the value are recorded:
+    int/float stay numbers, str stays str, date → ISO string (where
+    lexicographic order == chronological). Everything else (timestamps —
+    tz-awareness differs between footer stats and Spark rows — decimals,
+    binary) returns None: that column's stats are simply not logged and
+    pruning falls back to the footer for it."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v if v == v else None  # never record NaN bounds
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        return None
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _collect_stats(path: str, added: list[str]) -> dict:
+    """Per-file {rows, minmax:{col:[lo,hi]}} for a commit's ``stats`` map,
+    read once from the just-written footers AT COMMIT TIME (the writer is
+    already touching these files). Later merges then prune from the LOG —
+    O(1) JSON already in memory — instead of re-opening every live file's
+    footer on the driver, which at CDC posture (10⁵–10⁶ live files) is
+    minutes of serial metadata I/O per merge. This is the Delta/Iceberg
+    manifest idea: per-file stats live with the metadata, not the data
+    (delta: AddFile.stats; iceberg: manifest entry lower/upper bounds).
+
+    Only top-level leaf columns with usable, order-safely-encodable
+    min/max are recorded (see _stat_val); anything else is omitted and
+    the pruner falls back to that file's footer."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for rel in added:
+        try:
+            md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        except Exception:
+            continue  # unreadable footer → no log stats, pruner falls back
+        minmax: dict[str, list] = {}
+        for idx in range(md.num_columns):
+            col = md.schema.column(idx).path
+            if "." in col:
+                continue  # nested leaf: not addressable as a merge key
+            lo = hi = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            jlo, jhi = _stat_val(lo), _stat_val(hi)
+            if jlo is not None and jhi is not None:
+                minmax[col] = [jlo, jhi]
+        stats[rel] = {"rows": md.num_rows, "minmax": minmax}
+    return stats
+
+
+def _log_stats(commits: list[dict]) -> dict:
+    """Fold every commit's ``stats`` map into one rel→stats dict. Data
+    files are immutable and uniquely named, so stats recorded by ANY
+    commit stay valid for the file's whole life (rollback/compact commits
+    that re-add old paths inherit them for free)."""
+    out: dict[str, dict] = {}
+    for c in commits:
+        out.update(c.get("stats") or {})
+    return out
+
+
 def _schema_of(commits: list[dict], version: int):
     """The table schema as of ``version``: the latest commit <= version
-    that recorded one (rollbacks record none — readers walk past them)."""
+    that recorded one. Rollback commits record the schema of the version
+    they restore (so rolling back a schema-changing overwrite restores
+    the OLD schema, not the undone run's); legacy logs whose rollbacks
+    recorded none are walked past."""
     from pyspark.sql.types import StructType
 
     for c in reversed(commits[: version + 1]):
@@ -222,6 +323,7 @@ def write_snapshot(
                 "add": added,
                 "remove": removed,
                 "schema": schema.json(),
+                "stats": _collect_stats(path, added),
             },
         )
     except SnapshotError:
@@ -276,6 +378,11 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     new_version = len(commits)
     cur = set(_live_files(commits, new_version - 1))
     want = set(_live_files(commits, version))
+    # Record the restored version's schema: without it, _schema_of would
+    # walk past the rollback to the schema of the very overwrite being
+    # UNDONE, and reads of the restored files would project through the
+    # wrong schema (restored columns dropped, the bad run's null-filled).
+    restored = _schema_of(commits, version)
     _atomic_commit(
         path,
         {
@@ -283,24 +390,48 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
             "op": f"rollback:{version}",
             "add": sorted(want - cur),
             "remove": sorted(cur - want),
+            **({"schema": restored.json()} if restored is not None else {}),
         },
     )
     return new_version
 
 
-def _stats_prune(path: str, files: list[str], key: str, lo, hi) -> tuple[list[str], int]:
-    """Driver-side parquet-footer pruning for the merge's find-touched
-    phase: keep only files whose row-group min/max range on ``key``
-    intersects the source key range [lo, hi]. O(files) footer reads of a
-    few KB each — the same data-skipping a table format stores in its
-    manifest, read from the files themselves. Any file without usable
-    stats stays a candidate (pruning is only ever a safe over-approx)."""
+def _stats_prune(
+    path: str,
+    files: list[str],
+    key: str,
+    lo,
+    hi,
+    log_stats: dict | None = None,
+) -> tuple[list[str], int]:
+    """Data-skipping for the merge's find-touched phase: keep only files
+    whose min/max range on ``key`` intersects the source key range
+    [lo, hi]. The min/max comes from the COMMIT LOG (``log_stats``,
+    recorded at write time by _collect_stats — already in driver memory,
+    zero I/O); only files the log carries no usable ``key`` stats for
+    (legacy commits, unencodable types) fall back to a driver-side footer
+    read, counted in FOOTER_PRUNE_READS. Any file without usable stats
+    anywhere stays a candidate — pruning is only ever a safe over-approx."""
+    global FOOTER_PRUNE_READS
     import pyarrow.parquet as pq
 
     if lo is None or hi is None:
         return files, 0
+    qlo, qhi = _stat_val(lo), _stat_val(hi)
     keep, pruned = [], 0
     for rel in files:
+        mm = (log_stats or {}).get(rel, {}).get("minmax", {}).get(key)
+        if mm is not None and qlo is not None and qhi is not None:
+            fmin, fmax = mm
+            try:
+                if fmax < qlo or fmin > qhi:
+                    pruned += 1
+                else:
+                    keep.append(rel)
+                continue  # log stats decided — no footer open
+            except TypeError:
+                pass  # incomparable encodings → fall back to the footer
+        FOOTER_PRUNE_READS += 1
         try:
             md = pq.ParquetFile(os.path.join(path, rel)).metadata
             idx = md.schema.to_arrow_schema().names.index(key)
@@ -341,10 +472,11 @@ def merge_snapshot(
 
     The 100 TB property is copy-on-write over the TOUCHED FILE FRACTION
     only, found in two phases:
-      1. footer min/max pruning on ``on[0]`` vs the source key range —
-         driver-side metadata reads, no data I/O (CDC batches are usually
-         range-concentrated on a time/sequence key, so this drops most of
-         the table before any scan);
+      1. min/max pruning on ``on[0]`` vs the source key range, read from
+         the COMMIT LOG's per-file stats (recorded at write time — zero
+         I/O; footer fallback only for legacy commits). CDC batches are
+         usually range-concentrated on a time/sequence key, so this drops
+         most of the table before any scan;
       2. an exact key semi-join over the survivors reading ONLY the key
          columns + input_file_name() (column-pruned scan; the source side
          is a distinct key projection, broadcast-sized for any sane CDC
@@ -366,9 +498,12 @@ def merge_snapshot(
     records the evolved schema; time travel to pre-merge versions still
     reads the old schema.
 
-    Returns {version, files_live, files_pruned_by_stats, files_rewritten,
-    rows_updated/deleted/inserted/copied} — version is -1 when the merge
-    is a provable no-op (nothing touched, nothing to insert).
+    Returns {version, files_live, files_pruned_by_stats,
+    footer_fallback_reads, files_rewritten, rows_updated/deleted/
+    inserted/copied} — version is -1 when the merge is a provable no-op
+    (nothing touched, nothing to insert). footer_fallback_reads is the
+    number of driver-side footer opens the pruning phase needed: 0 on a
+    table whose commits all carry log stats.
     """
     from pyspark.sql import functions as F
 
@@ -398,6 +533,20 @@ def merge_snapshot(
                 f"source; missing {sorted(set(target_cols) - set(source.columns))}"
                 " (or pass allow_schema_evolution=True)"
             )
+        # dtype check even in strict mode: when/otherwise would silently
+        # coerce (source double vs target long → double), staging files
+        # whose physical type diverges from the committed target_schema —
+        # a committed-but-unreadable latest version
+        by_name = {f.name: f for f in source.schema.fields}
+        for f in target_schema.fields:
+            sf = by_name.get(f.name)
+            if sf is not None and sf.dataType != f.dataType:
+                raise SnapshotError(
+                    f"source column '{f.name}' is {sf.dataType.simpleString()} "
+                    f"but the target is {f.dataType.simpleString()}; cast the "
+                    "source to the target dtype (implicit coercion would commit "
+                    "files that diverge from the table schema)"
+                )
 
     # ambiguity guard (Delta semantics): >1 source row per key is an error
     dup = (
@@ -409,16 +558,27 @@ def merge_snapshot(
 
     live = _live_files(commits, commits[-1]["version"])
 
-    # phase 1: footer-stats pruning on the leading key's source range
+    # phase 1: log-stats pruning on the leading key's source range (the
+    # per-file min/max recorded at commit time; footer reads only for
+    # legacy commits without them — see _stats_prune)
     rng = source.agg(
         F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
     ).first()
-    candidates, pruned = _stats_prune(path, live, on[0], rng.lo, rng.hi)
+    pre_footer = FOOTER_PRUNE_READS
+    candidates, pruned = _stats_prune(
+        path, live, on[0], rng.lo, rng.hi, log_stats=_log_stats(commits)
+    )
+    footer_reads = FOOTER_PRUNE_READS - pre_footer
 
-    # phase 2: exact touch detection — key-column-only scan + semi-join
+    # phase 2: exact touch detection — key-column-only scan + semi-join,
+    # read through the recorded schema so files predating a schema
+    # evolution null-fill an evolved-in key (and correctly never match)
+    # instead of failing inference-dependent analysis
     touched: list[str] = []
     if candidates:
-        cand_df = spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+        cand_df = spark.read.schema(target_schema).parquet(
+            *[os.path.join(path, f) for f in candidates]
+        )
         by_base = {os.path.basename(f): f for f in live}
         hits = (
             cand_df.select(*on, F.input_file_name().alias("__f"))
@@ -437,6 +597,7 @@ def merge_snapshot(
         return {
             "version": -1, "files_live": len(live),
             "files_pruned_by_stats": pruned, "files_rewritten": 0,
+            "footer_fallback_reads": footer_reads,
             "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
             "rows_copied": 0,
         }
@@ -499,6 +660,7 @@ def merge_snapshot(
         return {
             "version": -1, "files_live": len(live),
             "files_pruned_by_stats": pruned, "files_rewritten": 0,
+            "footer_fallback_reads": footer_reads,
             "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
             "rows_copied": 0,
         }
@@ -519,6 +681,7 @@ def merge_snapshot(
                 "add": added,
                 "remove": touched,
                 "schema": out_schema.json(),
+                "stats": _collect_stats(path, added),
             },
         )
     except SnapshotError:
@@ -528,6 +691,7 @@ def merge_snapshot(
         "version": version,
         "files_live": len(live),
         "files_pruned_by_stats": pruned,
+        "footer_fallback_reads": footer_reads,
         "files_rewritten": len(touched),
         "rows_updated": counts.get("update", 0),
         "rows_deleted": rows_deleted,
@@ -586,7 +750,10 @@ def merge_stream(
     commit), and the upsert merge is IDEMPOTENT for replays — re-merging
     an identical batch updates matched rows to the values they already
     hold and inserts nothing new — so the final table equals the
-    exactly-once result. Delete-mode replays are likewise no-ops. The
+    exactly-once result. Delete-mode replays are idempotent ONLY with
+    when_not_matched='ignore': under the default 'insert', a replayed
+    delete batch matches nothing and would be re-INSERTED, resurrecting
+    the deleted rows — so that combination raises here. The
     duplicate-key guard still applies per batch: a batch carrying two
     rows for one key is ambiguous and fails the query rather than
     racing itself.
@@ -600,6 +767,13 @@ def merge_stream(
     """
     import tempfile
 
+    if when_matched == "delete" and when_not_matched == "insert":
+        raise SnapshotError(
+            "merge_stream(when_matched='delete') requires "
+            "when_not_matched='ignore': an at-least-once replayed delete "
+            "batch matches nothing and would be re-inserted, resurrecting "
+            "the rows it deleted"
+        )
     spark = stream_df.sparkSession
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -765,6 +939,7 @@ def compact_snapshot(
                 "add": added,
                 "remove": small,
                 **({"schema": schema.json()} if schema is not None else {}),
+                "stats": _collect_stats(path, added),
             },
         )
     except SnapshotError:
