@@ -337,10 +337,17 @@ def k_core(
     Each round removes every vertex whose CURRENT degree is < k along
     with its edges; the maximal k-core is the unique fixed point, so the
     result is deterministic and order-independent. ``rounds=None`` peels
-    to convergence (detected by a stable surviving-vertex count — one
-    bounded count job per round); a fixed ``rounds`` runs exactly that
-    many peels, which lets a conformance oracle unroll the identical
-    rounds as chained SQL CTEs (the LPA discipline).
+    to convergence, detected INSIDE the peel job itself: a ``df.observe``
+    surviving-edge count rides the ROOT of the peeled plan and is
+    collected as a side effect of the localCheckpoint that materializes
+    it — so convergence costs ZERO extra jobs (one job per round, not a
+    count job plus a peel job). Edge-count fixpoint ⟺ vertex fixpoint:
+    every vertex in the edge list has degree ≥ 1, so any drop removes
+    edges. (The metric sits at the plan root, not on the ``keep`` branch
+    — a branch metric is silently lost in the round AQE empty-propagates
+    the semi-join.) A fixed ``rounds`` runs exactly that many peels,
+    which lets a conformance oracle unroll the identical rounds as
+    chained SQL CTEs (the LPA discipline).
 
     Scale contract, per round: one map-combinable degree count (shuffle
     keyed on the vertex), two semi joins edge⋉survivors (same key — AQE
@@ -351,30 +358,35 @@ def k_core(
     Returns (id, core_degree): the vertices of the k-core with their
     degree INSIDE the core (all >= k once converged).
     """
+    from pyspark.sql import Observation
+
     ein = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = tracked_local_checkpoint(
         ein.union(ein.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev_nv = None
+    prev_ne = None
     i = 0
     while True:
         i += 1
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
-        if rounds is None:
-            nv = keep.count()
-            if nv == prev_nv or nv == 0:
-                break
-            prev_nv = nv
-        new_sym = tracked_local_checkpoint(
-            sym.join(keep, "u", "leftsemi").join(
-                keep.select(F.col("u").alias("v")), "v", "leftsemi"
-            )
+        peeled = sym.join(keep, "u", "leftsemi").join(
+            keep.select(F.col("u").alias("v")), "v", "leftsemi"
         )
+        obs = None
+        if rounds is None:
+            obs = Observation()
+            peeled = peeled.observe(obs, F.count(F.lit(1)).alias("ne"))
+        new_sym = tracked_local_checkpoint(peeled)
         free_checkpoint(sym)
         sym = new_sym
+        if obs is not None:
+            ne = obs.get["ne"]  # already collected by the eager checkpoint
+            if ne == prev_ne or ne == 0:
+                break  # fixed point (or empty core): nothing was removed
+            prev_ne = ne
         if rounds is not None and i >= rounds:
             break
     out = (

@@ -1972,3 +1972,24 @@ def test_k_core_converges_to_true_core(spark):
         }
         assert got == reference_core(k), f"k={k}"
     assert {v for v, _ in reference_core(2)} >= {20, 21, 22, 23}
+
+def test_k_core_convergence_costs_one_query_per_round(spark):
+    """VERDICT r7 #6: peel-to-convergence detects the fixed point via an
+    observed metric collected by the peel's OWN checkpoint query — no
+    separate count() query per round. A 6-path with k=2 peels empty in 3
+    rounds; the whole call must fit in rounds+3 SQL executions (the old
+    shape ran 2 executions per round and blows this bound). Executions,
+    not jobs: AQE legitimately splits one query into several jobs."""
+    from ops_spark.operators.graph import k_core
+
+    edges = [(i, i + 1) for i in range(5)]  # path 0-1-2-3-4-5
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    out = k_core(df, k=2, rounds=None).collect()
+    n_exec = store.executionsCount() - before
+    assert out == []  # a path has no 2-core
+    # 1 symmetrize-checkpoint + 3 peel checkpoints (fixpoint detected by
+    # the 3rd's observed metric) + the empty-result collect = 5; the old
+    # count-per-round shape needed >= 8
+    assert n_exec <= 6, f"k-core ran {n_exec} queries - convergence is not folded"
