@@ -420,7 +420,11 @@ def _stats_prune(
     qlo, qhi = _stat_val(lo), _stat_val(hi)
     keep, pruned = [], 0
     for rel in files:
-        mm = (log_stats or {}).get(rel, {}).get("minmax", {}).get(key)
+        entry = (log_stats or {}).get(rel, {})
+        if entry.get("rows") == 0:  # an empty file can never contain a match
+            pruned += 1
+            continue
+        mm = entry.get("minmax", {}).get(key)
         if mm is not None and qlo is not None and qhi is not None:
             fmin, fmax = mm
             try:
@@ -434,6 +438,9 @@ def _stats_prune(
         FOOTER_PRUNE_READS += 1
         try:
             md = pq.ParquetFile(os.path.join(path, rel)).metadata
+            if md.num_rows == 0:
+                pruned += 1
+                continue
             idx = md.schema.to_arrow_schema().names.index(key)
             fmin = fmax = None
             ok = True

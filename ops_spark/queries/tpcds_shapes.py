@@ -3,7 +3,7 @@ plan-coverage corpus).
 
 The reference carries 103 TPC-DS queries as its plan-coverage corpus
 (reference: sql/core/src/test/resources/tpcds/q1.sql … q99.sql, run by
-TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 49
+TPCDSQuerySuite); this repo's battery was TPC-H-shaped only. These 51
 queries port the REPRESENTATIVE TPC-DS plan shapes — grouping-sets/
 rollup hierarchies with grouping()-derived levels, rank-within-rollup,
 multi-channel UNION ALL + rollup, INTERSECT-driven dim selection,
@@ -1220,6 +1220,73 @@ WHERE 5 * total * (SELECT count(*) FROM ssales)
 """
 
 
+SQL_Q70_RANKED_ROLLUP_GATE = f"""
+WITH gate AS (
+    SELECT n_name
+    FROM (
+        SELECT n_name,
+               rank() OVER (ORDER BY sum(CAST(o_totalprice AS {_DEC}))
+                            DESC NULLS LAST, n_name ASC NULLS FIRST) AS ranking
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ) t
+    WHERE ranking <= 5
+)
+SELECT n_name, c_mktsegment,
+       CAST(grouping(n_name) AS INT)
+         + CAST(grouping(c_mktsegment) AS INT) AS lochierarchy,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total_sales,
+       rank() OVER (
+           PARTITION BY CAST(grouping(n_name) AS INT)
+                          + CAST(grouping(c_mktsegment) AS INT),
+                        CASE WHEN CAST(grouping(c_mktsegment) AS INT) = 0
+                             THEN n_name END
+           ORDER BY sum(CAST(o_totalprice AS {_DEC})) DESC NULLS LAST,
+                    n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+       ) AS rank_within_parent
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN (SELECT n_name FROM gate)
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+SQL_Q75_YOY_DECLINE_UNION = f"""
+WITH all_sales AS (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, c_nationkey AS nk,
+           CAST(o_totalprice AS {_DEC}) AS amt, 1 AS qty
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS yr, s_nationkey AS nk,
+           CAST(l_extendedprice AS {_DEC}) AS amt,
+           CAST(l_quantity AS INT) AS qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    UNION ALL
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS yr, s_nationkey AS nk,
+           CAST(0 AS {_DEC}) - CAST(l_extendedprice AS {_DEC}) AS amt,
+           -CAST(l_quantity AS INT) AS qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_returnflag = 'R'
+),
+yearly AS (
+    SELECT yr, nk,
+           sum(CAST(qty AS BIGINT)) AS qty, sum(amt) AS amt
+    FROM all_sales GROUP BY yr, nk
+)
+SELECT CAST(prev.yr AS INT) AS prev_year, CAST(curr.yr AS INT) AS yr,
+       n_name,
+       CAST(prev.qty AS BIGINT) AS prev_qty,
+       CAST(curr.qty AS BIGINT) AS curr_qty,
+       CAST(prev.amt AS DOUBLE) AS prev_amt,
+       CAST(curr.amt AS DOUBLE) AS curr_amt
+FROM yearly curr JOIN yearly prev
+  ON curr.nk = prev.nk AND curr.yr = prev.yr + 1
+JOIN nation ON curr.nk = n_nationkey
+WHERE 10 * curr.qty < 9 * prev.qty
+"""
+
+
 def _sql_query(sql: str):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1628,6 +1695,22 @@ for name, sql, desc in [
         "it); the 1.2x-of-average gate is exact decimal cross-"
         "multiplication (5*total*n > 6*sum), scale-free by construction "
         "and with no float average anywhere.",
+    ),
+    (
+        "sql_tpcds_q70_ranked_rollup_gate",
+        SQL_Q70_RANKED_ROLLUP_GATE,
+        "TPC-DS q70 shape (tpcds/q70.sql): ROLLUP hierarchy whose dimension "
+        "membership is GATED by a windowed-rank IN-subquery (top-5 states "
+        "by a ranked aggregate), rank() partitioned by hierarchy level and "
+        "parent. The window-inside-semi-subquery plan family.",
+    ),
+    (
+        "sql_tpcds_q75_yoy_decline_union",
+        SQL_Q75_YOY_DECLINE_UNION,
+        "TPC-DS q75 shape (tpcds/q75.sql): three-channel UNION ALL with a "
+        "returns channel as negative quantities, yearly per-dimension "
+        "aggregate, consecutive-year self-join with an integer "
+        "cross-multiplied >10%-decline filter.",
     ),
     (
         "sql_tpcds_q97_channel_matrix",

@@ -615,6 +615,124 @@ def streaming_lsh_bounded_probe(
     }
 
 
+def cdc_soak_probe(
+    spark, out_dir: str, n_batches: int = 24, maint_every: int = 6
+) -> dict:
+    """Streaming-CDC maintenance soak AT SCALE (VERDICT r7 #5): merge the
+    100x documents corpus into a snapshot table as ``n_batches``
+    micro-batches (16 insert waves + 8 update waves over the same keys),
+    interleaving compact_snapshot + vacuum every ``maint_every`` batches —
+    the maintenance loop a production CDC sink runs continuously.
+
+    Evidence recorded:
+    - live-file PLATEAU: per-cycle live-file counts must stop growing once
+      compaction engages (the CDC sink mints small files every batch);
+    - zero footer fallback reads: every merge's pruning phase must be
+      served from the commit-log stats (the round-8 metadata-plane fix) —
+      footer_fallback_reads summed over all merges == 0;
+    - final-state equality: the table must equal the upserted view of the
+      source (count + distinct-key count + update-wave spot check);
+    - time travel reaches pre-compaction versions inside the vacuum
+      retention, and vacuumed history fails cleanly.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ops_spark.io import snapshots as S
+
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).select(
+        "doc_id", F.substring("text", 1, 200).alias("v")
+    )
+    n_docs = docs.count()
+    stage = tempfile.mkdtemp(prefix="ops_cdc_soak_")
+    tbl = tempfile.mkdtemp(prefix="ops_cdc_tbl_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="ops_cdc_ckpt_")
+    t0 = time.perf_counter()
+    n_insert_waves = n_batches - 8
+    live_per_cycle: list[int] = []
+    footer0 = S.FOOTER_PRUNE_READS
+    written = 0
+    for b in range(n_batches):
+        if b < n_insert_waves:  # insert wave: disjoint key slices
+            batch = docs.filter(F.pmod("doc_id", n_insert_waves) == b)
+        else:  # update wave: re-upsert a slice with a marked value
+            batch = docs.filter(
+                F.pmod("doc_id", n_insert_waves) == (b - n_insert_waves)
+            ).withColumn("v", F.concat(F.lit("UPD:"), "v"))
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"_b{b}")
+        )
+        sub = os.path.join(stage, f"_b{b}")
+        (part,) = [
+            n for n in os.listdir(sub) if n.endswith(".parquet") and n[0] != "."
+        ]
+        os.rename(os.path.join(sub, part), os.path.join(stage, f"b{b:03d}.parquet"))
+        written += 1
+        if written % maint_every == 0 or b == n_batches - 1:
+            stream = (
+                spark.readStream.schema("doc_id long, v string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            q = S.merge_stream(stream, tbl, on=["doc_id"], checkpoint=ckpt)
+            if not q.awaitTermination(600):
+                q.stop()
+                return {"error": "soak stream did not drain in 600s"}
+            S.compact_snapshot(spark, tbl, target_bytes=64 * 1024 * 1024)
+            S.vacuum(tbl, retain_last=4)
+            commits = S._read_commits(tbl)
+            live_per_cycle.append(
+                len(S._live_files(commits, commits[-1]["version"]))
+            )
+    footer_reads = S.FOOTER_PRUNE_READS - footer0
+    out = S.read_snapshot(spark, tbl)
+    n_rows = out.count()
+    n_keys = out.select("doc_id").distinct().count()
+    n_upd = out.filter(F.col("v").startswith("UPD:")).count()
+    want_upd = docs.filter(F.pmod("doc_id", n_insert_waves) < 8).count()
+    last_v = S.latest_version(tbl)
+    tt_ok = S.read_snapshot(spark, tbl, last_v - 1).count() >= 0
+    try:
+        S.read_snapshot(spark, tbl, 0).count()
+        vacuum_clean = False  # v0 should be gone
+    except S.SnapshotError:
+        vacuum_clean = True
+    plateau = (
+        len(live_per_cycle) >= 3
+        and max(live_per_cycle[2:]) <= max(live_per_cycle[:2]) + 2
+    )
+    report = {
+        "n_batches": n_batches,
+        "n_docs": n_docs,
+        "rows_final": n_rows,
+        "distinct_keys": n_keys,
+        "updated_rows": n_upd,
+        "updated_rows_expected": want_upd,
+        "live_files_per_cycle": live_per_cycle,
+        "data_files_on_disk": len(os.listdir(os.path.join(tbl, "data"))),
+        "merge_footer_fallback_reads": footer_reads,
+        "plateau_held": plateau,
+        "time_travel_in_retention_ok": bool(tt_ok),
+        "vacuumed_history_fails_cleanly": vacuum_clean,
+        "state_ok": bool(
+            n_rows == n_docs
+            and n_keys == n_docs
+            and n_upd == want_upd
+            and footer_reads == 0
+            and plateau
+            and tt_ok
+            and vacuum_clean
+        ),
+        "wall_sec": round(time.perf_counter() - t0, 1),
+    }
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
@@ -625,6 +743,7 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true", help="rate-source throughput probe (500k rows/s windowed agg)")
     ap.add_argument("--zipf", action="store_true", help="zipf-skewed-key flagship runs (hot near-dup cluster, hot user, star graph)")
     ap.add_argument("--zipf-only", action="store_true", help="run ONLY the zipf probe (plus derive if needed)")
+    ap.add_argument("--cdc-soak", action="store_true", help="streaming-CDC maintenance soak: merge_stream + compact/vacuum interleave at scale")
     ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH_SCALE.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     args = ap.parse_args()
 
@@ -655,6 +774,8 @@ def main() -> None:
             )
         if args.zipf:
             report["zipf_probe"] = zipf_probe(spark, args.out)
+        if args.cdc_soak:
+            report["cdc_soak"] = cdc_soak_probe(spark, args.out)
         if not args.skip_spill:
             report["spill_probe"] = spill_probe(args.out)
     spark.stop()

@@ -1906,6 +1906,24 @@ def test_snapshot_merge_prunes_from_log_stats_zero_footer_reads(spark, tmp_path)
     assert stats2["files_pruned_by_stats"] >= 3
     assert stats2["footer_fallback_reads"] > 0
 
+    # the CDC posture the log stats exist for: a 100+-file table must
+    # merge with ZERO footer opens and prune nearly everything
+    big = str(tmp_path / "big")
+    from pyspark.sql import functions as F
+
+    S.write_snapshot(
+        spark,
+        spark.range(120_000)
+        .select(F.col("id").alias("k"), F.col("id").cast("string").alias("v"))
+        .repartitionByRange(120, "k"),
+        big,
+    )
+    stats3 = S.merge_snapshot(spark, big, d([(60_000, "MID")]), on=["k"])
+    assert stats3["files_live"] >= 100
+    assert stats3["footer_fallback_reads"] == 0
+    assert stats3["files_pruned_by_stats"] >= stats3["files_live"] - 2
+    assert stats3["files_rewritten"] == 1 and stats3["rows_updated"] == 1
+
 
 def test_snapshot_concurrent_writers_serialize_loser_retries(spark, tmp_path):
     """VERDICT r7 #4: two writers racing one table must SERIALIZE — both
