@@ -333,11 +333,23 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    key_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). The scan gets
     the explicit live-file list — never a directory listing — so
-    concurrent stage/commit activity can't tear a read."""
+    concurrent stage/commit activity can't tear a read.
+
+    ``key_range=(col, lo, hi)`` is the READ-side data-skipping path (the
+    Delta/Iceberg "file skipping" a time-keyed 100 TB table lives on):
+    files whose commit-log min/max on ``col`` cannot intersect [lo, hi]
+    are dropped from the scan BEFORE Spark sees them — driver-side log
+    lookups, zero I/O — and the matching ``col BETWEEN lo AND hi`` filter
+    is applied on top (pruning is a safe over-approximation, never a
+    substitute for the predicate). A None bound is unbounded on that
+    side. Files without usable log stats stay in the scan."""
     commits = _read_commits(path)
     if not commits:
         raise SnapshotError(f"not a snapshot table: {path}")
@@ -346,16 +358,47 @@ def read_snapshot(
     if not 0 <= version <= commits[-1]["version"]:
         raise SnapshotError(f"no such version: {version}")
     files = _live_files(commits, version)
+    schema = _schema_of(commits, version)
+    pred = None
+    if key_range is not None:
+        from pyspark.sql import functions as F
+
+        key, lo, hi = key_range
+        cols = [f.name for f in schema.fields] if schema is not None else None
+        if cols is not None and key not in cols:
+            raise SnapshotError(f"key_range column not in table schema: {key}")
+        qlo, qhi = _stat_val(lo), _stat_val(hi)
+        stats = _log_stats(commits)
+        kept = []
+        for rel in files:
+            entry = stats.get(rel, {})
+            if entry.get("rows") == 0:
+                continue  # empty file: no rows to scan
+            mm = entry.get("minmax", {}).get(key)
+            if mm is not None:
+                try:
+                    if (qhi is not None and mm[0] > qhi) or (
+                        qlo is not None and mm[1] < qlo
+                    ):
+                        continue  # provably disjoint from [lo, hi]
+                except TypeError:
+                    pass  # incomparable encodings → keep
+            kept.append(rel)
+        files = kept
+        if lo is not None:
+            pred = F.col(key) >= F.lit(lo)
+        if hi is not None:
+            p2 = F.col(key) <= F.lit(hi)
+            pred = p2 if pred is None else (pred & p2)
     missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
     if missing:
         raise SnapshotError(
             f"version {version} was vacuumed ({len(missing)} files gone); "
             "time travel is bounded by the vacuum retention window"
         )
-    schema = _schema_of(commits, version)
     if not files:
-        # a legal state (e.g. a merge deleted every row): empty DataFrame
-        # with the schema the version recorded
+        # a legal state (e.g. a merge deleted every row, or the key range
+        # pruned everything): empty DataFrame with the recorded schema
         if schema is not None:
             return spark.createDataFrame([], schema)
         raise SnapshotError(f"version {version} is empty (no schema recorded)")
@@ -363,8 +406,10 @@ def read_snapshot(
     if schema is not None:
         # project through the version's recorded schema: files written
         # before a schema evolution null-fill the appended columns
-        return spark.read.schema(schema).parquet(*paths)
-    return spark.read.parquet(*paths)
+        out = spark.read.schema(schema).parquet(*paths)
+    else:
+        out = spark.read.parquet(*paths)
+    return out.filter(pred) if pred is not None else out
 
 
 def rollback(spark: SparkSession, path: str, version: int) -> int:

@@ -660,6 +660,76 @@ def io_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_read_skip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT)
+                         FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    description="READ-side data skipping on a snapshot table "
+    "(io/snapshots.py:read_snapshot key_range): orders lands as 8 "
+    "range-keyed commits (disjoint per-file min/max in the commit-log "
+    "stats), then a key-range read prunes the non-intersecting files on "
+    "the driver — zero I/O — and applies the matching predicate on top. "
+    "The oracle is the plain filtered aggregate, so a file pruned "
+    "wrongly (missing rows) or kept wrongly WITHOUT the predicate "
+    "(extra rows) both flip the hash. That the scan actually touches "
+    "only the intersecting files is pinned via df.inputFiles() in "
+    "test_io.py::test_snapshot_read_key_range_skips_files.",
+    tags=("io", "snapshot", "data-skipping", "scan"),
+)
+def io_snapshot_read_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.snapshots import read_snapshot, write_snapshot
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_skip_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bounds = base.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    # 8 disjoint-range commits: a CDC-ish ingest keyed on a monotone id,
+    # the layout read-side skipping exists for
+    span = (bounds.hi - bounds.lo + 1) / 8.0
+    for i in range(8):
+        s = bounds.lo + int(math.floor(i * span))
+        e = bounds.lo + int(math.floor((i + 1) * span)) - 1
+        write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey").between(s, e)).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    cut = int(math.floor(bounds.hi / 4.0))
+    return (
+        read_snapshot(spark, tbl, key_range=("o_orderkey", None, cut))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
     "x_io_merge",
     oracle="""
     WITH final AS (

@@ -796,10 +796,16 @@ def _v_doremi(spark, sf_dir):
 
 
 def _v_embedding_clusters(spark, sf_dir):
-    """x_llm_embedding_clusters: planted near-identical pairs co-cluster,
-    BIT-IDENTICAL vectors co-cluster (the 100x derivation replicates
-    embeddings verbatim), cluster_size equals the actual per-cluster row
-    count, and the output covers corpus+planted exactly once."""
+    """x_llm_embedding_clusters: BIT-IDENTICAL vectors co-cluster (the
+    100x derivation replicates embeddings verbatim), cluster_size equals
+    the actual per-cluster row count, and the output covers
+    corpus+planted exactly once. The planted-pair co-cluster claim is
+    only checkable when a planted vector's k=5 nearest CAN include its
+    original — at 100x each planted vector has 24 identical planted
+    siblings (cos 1.0) that fill its entire top-k before the cos-0.99995
+    original, so the kNN graph CORRECTLY cannot bridge the groups; there
+    the check becomes per-identical-planted-group cluster consistency
+    instead."""
     import ops_spark.queries as q
     from pyspark.sql import functions as F
 
@@ -809,16 +815,6 @@ def _v_embedding_clusters(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n_base = emb.count()
     n_out = out.count()
-    a = out.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("i"), F.col("cluster_id").alias("ca")
-    )
-    b = out.filter(F.col("vec_id") >= 1_000_000).select(
-        (F.col("vec_id") - 1_000_000).alias("i"), F.col("cluster_id").alias("cb")
-    )
-    j = a.join(b, "i", "full_outer")
-    split = j.filter(
-        F.col("ca").isNull() | F.col("cb").isNull() | (F.col("ca") != F.col("cb"))
-    ).count()
     size_bad = (
         out.groupBy("cluster_id", "cluster_size")
         .agg(F.count("*").alias("n"))
@@ -833,9 +829,47 @@ def _v_embedding_clusters(spark, sf_dir):
         .filter(F.col("nc") > 1)
         .count()
     )
-    ok = split == 0 and size_bad == 0 and ident_split == 0 and n_out == n_base + 100
+    # replica multiplicity among the planted source slice (1 at sf0.1,
+    # 25 at the 100x derivation)
+    rep = (
+        emb.filter(F.col("vec_id") < 100)
+        .groupBy(F.hash("embedding").alias("vh"))
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    ) or 1
+    planted = out.filter(F.col("vec_id") >= 1_000_000)
+    if rep < 5:  # planted top-k reaches its original: pairs must co-cluster
+        a = out.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("i"), F.col("cluster_id").alias("ca")
+        )
+        b = planted.select(
+            (F.col("vec_id") - 1_000_000).alias("i"),
+            F.col("cluster_id").alias("cb"),
+        )
+        j = a.join(b, "i", "full_outer")
+        planted_bad = j.filter(
+            F.col("ca").isNull() | F.col("cb").isNull() | (F.col("ca") != F.col("cb"))
+        ).count()
+        mode = f"planted_split={planted_bad}"
+    else:  # identical planted groups must each resolve to ONE cluster
+        planted_bad = (
+            planted.groupBy(
+                F.floor((F.col("vec_id") - 1_000_000) / rep).alias("grp")
+            )
+            .agg(F.countDistinct("cluster_id").alias("nc"))
+            .filter(F.col("nc") > 1)
+            .count()
+        )
+        mode = f"planted_group_split={planted_bad} (rep={rep} >= k, bridge unreachable)"
+    ok = (
+        planted_bad == 0
+        and size_bad == 0
+        and ident_split == 0
+        and n_out == n_base + 100
+    )
     return ok, (
-        f"rows={n_out} (want {n_base + 100}) planted_split={split} "
+        f"rows={n_out} (want {n_base + 100}) {mode} "
         f"size_mismatch={size_bad} identical_vectors_split={ident_split}"
     )
 

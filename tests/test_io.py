@@ -2070,3 +2070,57 @@ def test_merge_stream_maintenance_soak(spark, tmp_path):
 
     with _pytest.raises(S.SnapshotError, match="vacuum"):
         S.read_snapshot(spark, t, 0).collect()
+
+
+def test_snapshot_read_key_range_skips_files(spark, tmp_path):
+    """READ-side data skipping: a key_range read must hand Spark ONLY the
+    files whose log min/max intersects the range (pinned via
+    df.inputFiles()), apply the matching predicate on top (pruning is an
+    over-approximation, never a row filter), return exactly the
+    full-scan-filtered rows, and prune to an empty-but-schema'd frame
+    when the range misses everything."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.io.snapshots import read_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    # 5 disjoint-range commits of 100 keys each
+    for base in range(0, 500, 100):
+        df = spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)], "k long, v string"
+        )
+        write_snapshot(spark, df.coalesce(1), t, mode="append")
+
+    got = read_snapshot(spark, t, key_range=("k", 150, 249))
+    assert len(got.inputFiles()) == 2  # files [100,199] and [200,299] only
+    rows = sorted(r.k for r in got.collect())
+    assert rows == list(range(150, 250))  # predicate applied INSIDE kept files
+
+    # unbounded-low range
+    low = read_snapshot(spark, t, key_range=("k", None, 99))
+    assert len(low.inputFiles()) == 1
+    assert low.count() == 100
+
+    # a range that misses every file: empty result, schema preserved
+    none = read_snapshot(spark, t, key_range=("k", 10_000, 20_000))
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["k", "v"]
+
+    # unknown column raises cleanly
+    import pytest as _pytest
+
+    from ops_spark.io.snapshots import SnapshotError
+
+    with _pytest.raises(SnapshotError, match="key_range"):
+        read_snapshot(spark, t, key_range=("nope", 0, 1))
+
+    # string keys skip too (ISO/lexicographic encoding)
+    ts = str(tmp_path / "tbl_s")
+    for grp in ("aa", "bb", "cc"):
+        df = spark.createDataFrame(
+            [(f"{grp}{i:02d}", i) for i in range(10)], "s string, n int"
+        )
+        write_snapshot(spark, df.coalesce(1), ts, mode="append")
+    mid = read_snapshot(spark, ts, key_range=("s", "bb00", "bb99"))
+    assert len(mid.inputFiles()) == 1
+    assert mid.count() == 10
