@@ -369,22 +369,14 @@ def read_snapshot(
             raise SnapshotError(f"key_range column not in table schema: {key}")
         qlo, qhi = _stat_val(lo), _stat_val(hi)
         stats = _log_stats(commits)
-        kept = []
-        for rel in files:
-            entry = stats.get(rel, {})
-            if entry.get("rows") == 0:
-                continue  # empty file: no rows to scan
-            mm = entry.get("minmax", {}).get(key)
-            if mm is not None:
-                try:
-                    if (qhi is not None and mm[0] > qhi) or (
-                        qlo is not None and mm[1] < qlo
-                    ):
-                        continue  # provably disjoint from [lo, hi]
-                except TypeError:
-                    pass  # incomparable encodings → keep
-            kept.append(rel)
-        files = kept
+        # same disjointness predicate as the merge's pruning phase; files
+        # the log can't decide (None) stay in the scan — no footer
+        # fallback on the read path, the predicate below keeps it correct
+        files = [
+            rel
+            for rel in files
+            if _log_prune_decision(stats.get(rel, {}), key, qlo, qhi) is not True
+        ]
         if lo is not None:
             pred = F.col(key) >= F.lit(lo)
         if hi is not None:
@@ -441,6 +433,27 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     return new_version
 
 
+def _log_prune_decision(entry: dict, key: str, qlo, qhi) -> bool | None:
+    """Decide from a file's LOG stats whether it can be skipped for the
+    (encoded, possibly one-sided) key range [qlo, qhi]. Returns True
+    (provably disjoint — prune), False (may intersect — keep), or None
+    (no usable log stats — the caller picks its fallback). Shared by the
+    merge's find-touched pruning and read-side data skipping so the
+    disjointness predicate exists exactly once."""
+    if entry.get("rows") == 0:  # an empty file can never contain a match
+        return True
+    mm = entry.get("minmax", {}).get(key)
+    if mm is None or (qlo is None and qhi is None):
+        return None
+    fmin, fmax = mm
+    try:
+        if (qhi is not None and fmin > qhi) or (qlo is not None and fmax < qlo):
+            return True
+        return False
+    except TypeError:
+        return None  # incomparable encodings → caller's fallback
+
+
 def _stats_prune(
     path: str,
     files: list[str],
@@ -448,39 +461,34 @@ def _stats_prune(
     lo,
     hi,
     log_stats: dict | None = None,
-) -> tuple[list[str], int]:
+) -> tuple[list[str], int, int]:
     """Data-skipping for the merge's find-touched phase: keep only files
     whose min/max range on ``key`` intersects the source key range
     [lo, hi]. The min/max comes from the COMMIT LOG (``log_stats``,
     recorded at write time by _collect_stats — already in driver memory,
     zero I/O); only files the log carries no usable ``key`` stats for
     (legacy commits, unencodable types) fall back to a driver-side footer
-    read, counted in FOOTER_PRUNE_READS. Any file without usable stats
-    anywhere stays a candidate — pruning is only ever a safe over-approx."""
+    read. Any file without usable stats anywhere stays a candidate —
+    pruning is only ever a safe over-approx. Returns (keep, n_pruned,
+    n_footer_reads); footer reads are counted locally (concurrent merges
+    must not cross-attribute each other's) and also accumulated into the
+    module-wide FOOTER_PRUNE_READS observability counter."""
     global FOOTER_PRUNE_READS
     import pyarrow.parquet as pq
 
     if lo is None or hi is None:
-        return files, 0
+        return files, 0, 0
     qlo, qhi = _stat_val(lo), _stat_val(hi)
-    keep, pruned = [], 0
+    keep, pruned, footer_reads = [], 0, 0
     for rel in files:
-        entry = (log_stats or {}).get(rel, {})
-        if entry.get("rows") == 0:  # an empty file can never contain a match
+        decision = _log_prune_decision((log_stats or {}).get(rel, {}), key, qlo, qhi)
+        if decision is True:
             pruned += 1
             continue
-        mm = entry.get("minmax", {}).get(key)
-        if mm is not None and qlo is not None and qhi is not None:
-            fmin, fmax = mm
-            try:
-                if fmax < qlo or fmin > qhi:
-                    pruned += 1
-                else:
-                    keep.append(rel)
-                continue  # log stats decided — no footer open
-            except TypeError:
-                pass  # incomparable encodings → fall back to the footer
-        FOOTER_PRUNE_READS += 1
+        if decision is False:
+            keep.append(rel)
+            continue
+        footer_reads += 1
         try:
             md = pq.ParquetFile(os.path.join(path, rel)).metadata
             if md.num_rows == 0:
@@ -502,7 +510,8 @@ def _stats_prune(
         except Exception:
             pass  # unreadable stats → keep as candidate
         keep.append(rel)
-    return keep, pruned
+    FOOTER_PRUNE_READS += footer_reads
+    return keep, pruned, footer_reads
 
 
 def merge_snapshot(
@@ -588,13 +597,25 @@ def merge_snapshot(
         # dtype check even in strict mode: when/otherwise would silently
         # coerce (source double vs target long → double), staging files
         # whose physical type diverges from the committed target_schema —
-        # a committed-but-unreadable latest version
+        # a committed-but-unreadable latest version. Scope: only columns
+        # the merge can WRITE (all of them when updating/inserting; just
+        # the keys for delete+ignore, where a coerced key join would also
+        # false-match, e.g. double 2.0 against long 2). Compared via
+        # simpleString so nested nullability-only differences (array
+        # containsNull, struct field nullable) — which cannot diverge
+        # physically — don't reject a working merge.
         by_name = {f.name: f for f in source.schema.fields}
-        for f in target_schema.fields:
-            sf = by_name.get(f.name)
-            if sf is not None and sf.dataType != f.dataType:
+        checked = target_cols if needs_full else on
+        for cname in checked:
+            f = target_schema[cname] if cname in target_cols else None
+            sf = by_name.get(cname)
+            if (
+                f is not None
+                and sf is not None
+                and sf.dataType.simpleString() != f.dataType.simpleString()
+            ):
                 raise SnapshotError(
-                    f"source column '{f.name}' is {sf.dataType.simpleString()} "
+                    f"source column '{cname}' is {sf.dataType.simpleString()} "
                     f"but the target is {f.dataType.simpleString()}; cast the "
                     "source to the target dtype (implicit coercion would commit "
                     "files that diverge from the table schema)"
@@ -616,11 +637,9 @@ def merge_snapshot(
     rng = source.agg(
         F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
     ).first()
-    pre_footer = FOOTER_PRUNE_READS
-    candidates, pruned = _stats_prune(
+    candidates, pruned, footer_reads = _stats_prune(
         path, live, on[0], rng.lo, rng.hi, log_stats=_log_stats(commits)
     )
-    footer_reads = FOOTER_PRUNE_READS - pre_footer
 
     # phase 2: exact touch detection — key-column-only scan + semi-join,
     # read through the recorded schema so files predating a schema
@@ -671,11 +690,20 @@ def merge_snapshot(
         )
         use_s = (t_here & s_here & F.lit(when_matched == "update")) | ~t_here
 
+        takes_source = when_matched == "update" or when_not_matched == "insert"
+
         def _val(c: str, dtype):
             t_expr = (
                 F.col(f"t.{c}") if c in target_cols else F.lit(None).cast(dtype)
             )
             if c not in source.columns:  # source omits it: keep target value
+                return t_expr
+            if not takes_source:
+                # delete+ignore: no surviving row ever takes a source
+                # value — referencing s.c would only let when/otherwise
+                # COERCE the output type (e.g. a string tombstone payload
+                # over a long column) and stage files the committed
+                # schema cannot read
                 return t_expr
             return F.when(use_s, F.col(f"s.{c}")).otherwise(t_expr)
 

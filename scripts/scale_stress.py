@@ -642,6 +642,11 @@ def cdc_soak_probe(
 
     from ops_spark.io import snapshots as S
 
+    if n_batches <= 8:
+        raise ValueError(
+            f"cdc_soak_probe needs n_batches > 8 (8 update waves ride on "
+            f"top of the insert waves); got {n_batches}"
+        )
     docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).select(
         "doc_id", F.substring("text", 1, 200).alias("v")
     )
@@ -653,84 +658,83 @@ def cdc_soak_probe(
     n_insert_waves = n_batches - 8
     live_per_cycle: list[int] = []
     footer0 = S.FOOTER_PRUNE_READS
-    written = 0
-    for b in range(n_batches):
-        if b < n_insert_waves:  # insert wave: disjoint key slices
-            batch = docs.filter(F.pmod("doc_id", n_insert_waves) == b)
-        else:  # update wave: re-upsert a slice with a marked value
-            batch = docs.filter(
-                F.pmod("doc_id", n_insert_waves) == (b - n_insert_waves)
-            ).withColumn("v", F.concat(F.lit("UPD:"), "v"))
-        batch.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, f"_b{b}")
-        )
-        sub = os.path.join(stage, f"_b{b}")
-        (part,) = [
-            n for n in os.listdir(sub) if n.endswith(".parquet") and n[0] != "."
-        ]
-        os.rename(os.path.join(sub, part), os.path.join(stage, f"b{b:03d}.parquet"))
-        written += 1
-        if written % maint_every == 0 or b == n_batches - 1:
-            stream = (
-                spark.readStream.schema("doc_id long, v string")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(stage)
-            )
-            q = S.merge_stream(stream, tbl, on=["doc_id"], checkpoint=ckpt)
-            if not q.awaitTermination(600):
-                q.stop()
-                return {"error": "soak stream did not drain in 600s"}
-            S.compact_snapshot(spark, tbl, target_bytes=64 * 1024 * 1024)
-            S.vacuum(tbl, retain_last=4)
-            commits = S._read_commits(tbl)
-            live_per_cycle.append(
-                len(S._live_files(commits, commits[-1]["version"]))
-            )
-    footer_reads = S.FOOTER_PRUNE_READS - footer0
-    out = S.read_snapshot(spark, tbl)
-    n_rows = out.count()
-    n_keys = out.select("doc_id").distinct().count()
-    n_upd = out.filter(F.col("v").startswith("UPD:")).count()
-    want_upd = docs.filter(F.pmod("doc_id", n_insert_waves) < 8).count()
-    last_v = S.latest_version(tbl)
-    tt_ok = S.read_snapshot(spark, tbl, last_v - 1).count() >= 0
     try:
-        S.read_snapshot(spark, tbl, 0).count()
-        vacuum_clean = False  # v0 should be gone
-    except S.SnapshotError:
-        vacuum_clean = True
-    plateau = (
-        len(live_per_cycle) >= 3
-        and max(live_per_cycle[2:]) <= max(live_per_cycle[:2]) + 2
-    )
-    report = {
-        "n_batches": n_batches,
-        "n_docs": n_docs,
-        "rows_final": n_rows,
-        "distinct_keys": n_keys,
-        "updated_rows": n_upd,
-        "updated_rows_expected": want_upd,
-        "live_files_per_cycle": live_per_cycle,
-        "data_files_on_disk": len(os.listdir(os.path.join(tbl, "data"))),
-        "merge_footer_fallback_reads": footer_reads,
-        "plateau_held": plateau,
-        "time_travel_in_retention_ok": bool(tt_ok),
-        "vacuumed_history_fails_cleanly": vacuum_clean,
-        "state_ok": bool(
-            n_rows == n_docs
-            and n_keys == n_docs
-            and n_upd == want_upd
-            and footer_reads == 0
-            and plateau
-            and tt_ok
-            and vacuum_clean
-        ),
-        "wall_sec": round(time.perf_counter() - t0, 1),
-    }
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return report
+        for b in range(n_batches):
+            if b < n_insert_waves:  # insert wave: disjoint key slices
+                batch = docs.filter(F.pmod("doc_id", n_insert_waves) == b)
+            else:  # update wave: re-upsert a slice with a marked value
+                batch = docs.filter(
+                    F.pmod("doc_id", n_insert_waves) == (b - n_insert_waves)
+                ).withColumn("v", F.concat(F.lit("UPD:"), "v"))
+            sub = os.path.join(stage, f"_b{b}")
+            batch.coalesce(1).write.mode("overwrite").parquet(sub)
+            (part,) = [
+                n for n in os.listdir(sub) if n.endswith(".parquet") and n[0] != "."
+            ]
+            os.rename(
+                os.path.join(sub, part), os.path.join(stage, f"b{b:03d}.parquet")
+            )
+            if (b + 1) % maint_every == 0 or b == n_batches - 1:
+                stream = (
+                    spark.readStream.schema("doc_id long, v string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(stage)
+                )
+                q = S.merge_stream(stream, tbl, on=["doc_id"], checkpoint=ckpt)
+                if not q.awaitTermination(600):
+                    q.stop()
+                    return {"error": "soak stream did not drain in 600s"}
+                S.compact_snapshot(spark, tbl, target_bytes=64 * 1024 * 1024)
+                S.vacuum(tbl, retain_last=4)
+                commits = S._read_commits(tbl)
+                live_per_cycle.append(
+                    len(S._live_files(commits, commits[-1]["version"]))
+                )
+        footer_reads = S.FOOTER_PRUNE_READS - footer0
+        out = S.read_snapshot(spark, tbl)
+        n_rows = out.count()
+        n_keys = out.select("doc_id").distinct().count()
+        n_upd = out.filter(F.col("v").startswith("UPD:")).count()
+        want_upd = docs.filter(F.pmod("doc_id", n_insert_waves) < 8).count()
+        last_v = S.latest_version(tbl)
+        tt_ok = S.read_snapshot(spark, tbl, last_v - 1).count() >= 0
+        try:
+            S.read_snapshot(spark, tbl, 0).count()
+            vacuum_clean = False  # v0 should be gone
+        except S.SnapshotError:
+            vacuum_clean = True
+        plateau = (
+            len(live_per_cycle) >= 3
+            and max(live_per_cycle[2:]) <= max(live_per_cycle[:2]) + 2
+        )
+        return {
+            "n_batches": n_batches,
+            "n_docs": n_docs,
+            "rows_final": n_rows,
+            "distinct_keys": n_keys,
+            "updated_rows": n_upd,
+            "updated_rows_expected": want_upd,
+            "live_files_per_cycle": live_per_cycle,
+            "data_files_on_disk": len(os.listdir(os.path.join(tbl, "data"))),
+            "merge_footer_fallback_reads": footer_reads,
+            "plateau_held": plateau,
+            "time_travel_in_retention_ok": bool(tt_ok),
+            "vacuumed_history_fails_cleanly": vacuum_clean,
+            "state_ok": bool(
+                n_rows == n_docs
+                and n_keys == n_docs
+                and n_upd == want_upd
+                and footer_reads == 0
+                and plateau
+                and tt_ok
+                and vacuum_clean
+            ),
+            "wall_sec": round(time.perf_counter() - t0, 1),
+        }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def main() -> None:

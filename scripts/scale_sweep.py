@@ -501,9 +501,31 @@ def _v_agg_hash(name):
 
         qq = q.get_query(name)
         df = qq.builder(spark, sf_dir)
+        double_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        ]
+        # Spark's floor(double) returns LONG and silently wraps past
+        # |x*1e6| > 2^63, while DuckDB's floor stays DOUBLE→DECIMAL exact
+        # — so double columns whose magnitude can reach the wrap point are
+        # excluded from hashing ON BOTH SIDES (null counts still compare)
+        # rather than risking a false failure. Decision made once, from
+        # the Spark side's measured max.
+        unhashable: set[str] = set()
+        if double_cols:
+            mx = df.agg(
+                *[F.max(F.abs(F.col(c))).alias(c) for c in double_cols]
+            ).first()
+            unhashable = {c for c in double_cols if (mx[c] or 0.0) > 4.0e12}
         aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n_rows")]
         for f in df.schema.fields:
             c = F.col(f.name)
+            aggs.append(
+                F.count(F.when(c.isNull(), 1)).cast("decimal(38,0)").alias(f"z_{f.name}")
+            )
+            if f.name in unhashable:
+                continue
             if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
                 s = F.floor(c * 1e6 + F.lit(0.5)).cast("decimal(38,0)").cast("string")
             elif isinstance(f.dataType, T.TimestampType):
@@ -512,9 +534,6 @@ def _v_agg_hash(name):
                 s = c.cast("string")
             h = F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("decimal(38,0)")
             aggs.append(F.sum(h).alias(f"h_{f.name}"))
-            aggs.append(
-                F.count(F.when(c.isNull(), 1)).cast("decimal(38,0)").alias(f"z_{f.name}")
-            )
         srow = {
             k: (None if v is None else int(v))
             for k, v in df.agg(*aggs).first().asDict().items()
@@ -526,6 +545,12 @@ def _v_agg_hash(name):
         for colname, dtype, *_rest in desc:
             qc = f'"{colname}"'
             d = dtype.upper()
+            sel.append(
+                f"CAST(COUNT(CASE WHEN {qc} IS NULL THEN 1 END) AS DECIMAL(38,0))"
+                f' AS "z_{colname}"'
+            )
+            if colname in unhashable:
+                continue
             if d in ("DOUBLE", "FLOAT", "REAL"):
                 s = f"CAST(CAST(floor({qc} * 1e6 + 0.5) AS DECIMAL(38,0)) AS VARCHAR)"
             elif d.startswith("TIMESTAMP"):
@@ -535,10 +560,6 @@ def _v_agg_hash(name):
             sel.append(
                 "SUM(CAST(CAST(('0x' || substr(md5(" + s + "),1,14)) AS BIGINT)"
                 f' AS DECIMAL(38,0))) AS "h_{colname}"'
-            )
-            sel.append(
-                f"CAST(COUNT(CASE WHEN {qc} IS NULL THEN 1 END) AS DECIMAL(38,0))"
-                f' AS "z_{colname}"'
             )
         cur = con.execute("SELECT " + ", ".join(sel) + f" FROM ({qq.oracle}) AS q")
         ocols = [dsc[0] for dsc in cur.description]
@@ -550,10 +571,11 @@ def _v_agg_hash(name):
         bad = sorted(
             k for k in set(srow) | set(orow) if srow.get(k) != orow.get(k)
         )
+        skipped = f" hash_skipped_magnitude={sorted(unhashable)}" if unhashable else ""
         return (
             not bad and srow["n_rows"] > 0,
-            f"agg-hash n_rows={srow['n_rows']} cols={(len(srow) - 1) // 2} "
-            f"mismatched={bad[:4]}",
+            f"agg-hash n_rows={srow['n_rows']} fields={len(srow) - 1} "
+            f"mismatched={bad[:4]}{skipped}",
         )
 
     return run
@@ -1128,7 +1150,6 @@ def main() -> None:
     ap.add_argument("--only", default="", help="comma-separated name prefixes")
     ap.add_argument("--json-out", default=os.path.join(REPO, "SCALE_SWEEP.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     ap.add_argument("--no-verify", action="store_true", help="skip the flagship verification pass")
-    ap.add_argument("--verify-top", type=int, default=20, help="top-N-by-wall queries to force into the verification tier")
     ap.add_argument("--verify-max-rows", type=int, default=500_000, help="every oracle query at or under this output size is auto-verified (driver-compare collects both sides; 500k rows keeps toPandas bounded)")
     args = ap.parse_args()
 

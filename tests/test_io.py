@@ -1822,6 +1822,23 @@ def test_snapshot_merge_strict_mode_rejects_dtype_mismatch(spark, tmp_path):
     from ops_spark.io.snapshots import read_snapshot
 
     assert [(r.k, r.v) for r in read_snapshot(spark, t).collect()] == [(1, 10)]
+    # delete+ignore never WRITES payload columns: a payload dtype
+    # mismatch must not block it (only the keys are type-checked there)
+    tombstone = spark.createDataFrame([(1, "x")], "k long, v string")
+    merge_snapshot(
+        spark, t, tombstone, on=["k"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert read_snapshot(spark, t).count() == 0
+    # …but a KEY dtype mismatch still raises even for delete+ignore
+    # (a coerced key join would false-match double 2.0 against long 2)
+    write_snapshot(spark, spark.createDataFrame([(2, 5)], "k long, v long"), t)
+    badkey = spark.createDataFrame([(2.0, "x")], "k double, v string")
+    with _pytest.raises(SnapshotError, match="cast the source"):
+        merge_snapshot(
+            spark, t, badkey, on=["k"],
+            when_matched="delete", when_not_matched="ignore",
+        )
 
 
 def test_merge_stream_delete_mode_requires_ignore(spark, tmp_path):
@@ -1892,7 +1909,8 @@ def test_snapshot_merge_prunes_from_log_stats_zero_footer_reads(spark, tmp_path)
     live = S._live_files(commits, commits[-1]["version"])
     from_log = S._stats_prune(t, live, "k", 205, 205, log_stats=S._log_stats(commits))
     from_footers = S._stats_prune(t, live, "k", 205, 205, log_stats=None)
-    assert from_log == from_footers
+    assert from_log[:2] == from_footers[:2]
+    assert from_log[2] == 0 and from_footers[2] == len(live)
 
     # legacy logs (commits without stats) fall back to footers and still
     # prune identically — strip the stats maps and re-merge
