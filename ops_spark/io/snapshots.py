@@ -972,6 +972,7 @@ def compact_snapshot(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_file_bytes: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: bin-pack the CURRENT version's
     undersized live files into ~target_bytes replacements and publish
@@ -983,6 +984,15 @@ def compact_snapshot(
     small-file fraction, exactly like compact_parquet on bare
     directories — this is the commit-log-aware sibling the streaming
     merge sink needs (per-batch merges mint small files continuously).
+
+    ``sort_by`` re-CLUSTERS the packed rows (range-repartition + sort
+    within files) on the given columns — Delta's OPTIMIZE ... ZORDER/
+    sort sibling for the commit-log world. Every packed file then covers
+    a tight ``sort_by`` range, so the per-file min/max recorded into the
+    commit's stats makes BOTH the merge's find-touched pruning and
+    read-side ``key_range`` skipping effective again after many
+    random-key merges have smeared each file across the key space (the
+    stats are only as selective as the physical clustering).
 
     Returns {version, files_before, files_after, rewritten_files,
     rewritten_bytes}; version -1 = nothing worth packing (no commit).
@@ -1008,7 +1018,14 @@ def compact_snapshot(
         }
     schema = _schema_of(commits, version - 1)
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    df = reader.parquet(*[os.path.join(path, f) for f in small]).repartition(n)
+    df = reader.parquet(*[os.path.join(path, f) for f in small])
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n)
     added = _stage_add(df, path, version)
     try:
         _atomic_commit(

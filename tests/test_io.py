@@ -2142,3 +2142,50 @@ def test_snapshot_read_key_range_skips_files(spark, tmp_path):
     mid = read_snapshot(spark, ts, key_range=("s", "bb00", "bb99"))
     assert len(mid.inputFiles()) == 1
     assert mid.count() == 10
+
+
+def test_compact_snapshot_sort_by_restores_data_skipping(spark, tmp_path):
+    """OPTIMIZE with sort_by: after random-key merges smear every file
+    across the key space (log min/max ~ the full domain → nothing
+    skippable), a clustered compaction restores tight per-file ranges so
+    a key_range read scans ONE file again. Data must be identical."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.io.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 6 commits, each covering the WHOLE key space (interleaved residues)
+    for r in range(6):
+        df = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(r, 600, 6)], "k long, v string"
+        )
+        write_snapshot(spark, df.coalesce(1), t, mode="append")
+    before = sorted((r.k, r.v) for r in read_snapshot(spark, t).collect())
+
+    # pre-compaction: every file spans ~[0, 599] → key_range prunes nothing
+    smeared = read_snapshot(spark, t, key_range=("k", 100, 199))
+    assert len(smeared.inputFiles()) == 6
+
+    stats = compact_snapshot(spark, t, target_bytes=1 << 30, min_file_bytes=1 << 20)
+    assert stats["version"] == -1 or stats["files_after"] == 1  # plain pack: 1 file
+    # rebuild the smear and compact WITH clustering into ~6 sorted files
+    t2 = str(tmp_path / "tbl2")
+    for r in range(6):
+        df = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(r, 600, 6)], "k long, v string"
+        )
+        write_snapshot(spark, df.coalesce(1), t2, mode="append")
+    stats2 = compact_snapshot(
+        spark, t2, target_bytes=2200, min_file_bytes=1 << 20, sort_by=["k"]
+    )
+    assert stats2["rewritten_files"] == 6 and stats2["files_after"] >= 3
+    after = sorted((r.k, r.v) for r in read_snapshot(spark, t2).collect())
+    assert after == before  # clustering is a pure layout change
+    # clustered: the same key_range read touches a PROPER SUBSET of files
+    clustered = read_snapshot(spark, t2, key_range=("k", 100, 199))
+    assert 1 <= len(clustered.inputFiles()) < stats2["files_after"]
+    assert sorted(r.k for r in clustered.collect()) == list(range(100, 200))
