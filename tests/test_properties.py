@@ -386,3 +386,108 @@ def test_snapshot_merge_matches_dict_model(spark, tmp_path_factory, base, update
             model.pop(k, None)
     got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
     assert got == model
+
+
+_SNAP_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.dictionaries(
+            st.integers(0, 50), st.integers(-99, 99), min_size=1, max_size=10)),
+        st.tuples(st.just("overwrite"), st.dictionaries(
+            st.integers(0, 50), st.integers(-99, 99), min_size=1, max_size=10)),
+        st.tuples(st.just("merge"), st.dictionaries(
+            st.integers(0, 60), st.integers(-99, 99), min_size=1, max_size=8)),
+        st.tuples(st.just("delete"), st.sets(
+            st.integers(0, 60), min_size=1, max_size=6)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_SNAP_OPS, span=st.tuples(st.integers(0, 60), st.integers(0, 60)))
+def test_snapshot_op_sequences_match_versioned_model(
+    spark, tmp_path_factory, ops, span
+):
+    """Stateful property over the WHOLE table-format surface: a random
+    sequence of append / overwrite / merge-upsert / merge-delete /
+    compact(sort_by) / rollback must track a versioned dict model — at
+    the latest version, at EVERY historical version (time travel), and
+    through a key_range read (log-stats skipping + predicate) whose
+    result must equal the filtered model regardless of how the ops
+    smeared or re-clustered the files. Append semantics here: duplicate
+    keys across appends are avoided by the generator range only for the
+    base; merges keep keys unique, so reads compare as dicts built the
+    same way the engine unions rows."""
+    from ops_spark.io.snapshots import (
+        compact_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
+
+    t = str(tmp_path_factory.mktemp("snap_seq") / "tbl")
+    d = lambda m: spark.createDataFrame(  # noqa: E731
+        [(k, v) for k, v in sorted(m.items())], "k long, v long"
+    )
+    write_snapshot(spark, d({0: 0, 1: 1}), t)
+    history = [{0: 0, 1: 1}]  # model state per committed version
+    for op, arg in ops:
+        model = dict(history[-1])
+        if op == "append":
+            # keep the multiset a FUNCTION of the key: only append keys
+            # not currently present (the table-as-upserted-view shape the
+            # merge path maintains)
+            fresh = {k: v for k, v in arg.items() if k not in model}
+            if not fresh:
+                continue
+            write_snapshot(spark, d(fresh), t, mode="append")
+            model.update(fresh)
+        elif op == "overwrite":
+            write_snapshot(spark, d(arg), t, mode="overwrite")
+            model = dict(arg)
+        elif op == "merge":
+            merge_snapshot(spark, t, d(arg), on=["k"])
+            model.update(arg)
+        elif op == "delete":
+            st_ = merge_snapshot(
+                spark,
+                t,
+                spark.createDataFrame([(k,) for k in sorted(arg)], "k long"),
+                on=["k"],
+                when_matched="delete",
+                when_not_matched="ignore",
+            )
+            if st_["version"] == -1:  # provable no-op: no commit minted
+                continue
+            for k in arg:
+                model.pop(k, None)
+        elif op == "compact":
+            st_ = compact_snapshot(
+                spark, t, target_bytes=1 << 20, min_file_bytes=1 << 20,
+                sort_by=["k"],
+            )
+            if st_["version"] == -1:
+                continue  # nothing packed: no commit minted
+            # layout-only: model state unchanged
+        elif op == "rollback":
+            v = arg % len(history)
+            rollback(spark, t, v)
+            model = dict(history[v])
+        history.append(model)
+
+    # latest + every historical version time-travels to its model
+    for v, m in enumerate(history):
+        got = {r.k: r.v for r in read_snapshot(spark, t, v).collect()}
+        assert got == m, f"version {v}"
+    # key_range read == filtered model at the latest version
+    lo, hi = min(span), max(span)
+    want = {k: v for k, v in history[-1].items() if lo <= k <= hi}
+    got = {
+        r.k: r.v
+        for r in read_snapshot(spark, t, key_range=("k", lo, hi)).collect()
+    }
+    assert got == want
