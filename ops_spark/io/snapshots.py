@@ -48,9 +48,17 @@ object-store port needs a conditional-put commit and a manifest-based
 log listing (out of engine scope, as with compact_parquet).
 
 Scale notes: the log is O(commits) JSON files of O(files-per-commit)
-entries; fold cost is driver-side and tiny next to a 100 TB scan. For
-million-commit tables real formats checkpoint the fold — out of scope
-here, single pipeline tables see thousands of commits, not millions.
+entries. A naive reader folds every commit — O(commits) driver file
+reads per read, which the streaming CDC sink (one merge commit per
+micro-batch) turns into a real bottleneck within hours. So the log is
+CHECKPOINTED, the Delta `_checkpoint.parquet` idea: every
+``CHECKPOINT_INTERVAL`` commits the writer folds the state (live set +
+per-file stats + schema) into ``_log/<v>.checkpoint.parquet``; a reader
+at version v loads the newest checkpoint <= v and replays only the tail
+commits — O(interval) log reads regardless of table age. Checkpoints
+are pure derived state: corrupt/missing ones fall back to the full
+commit replay, and time travel to any un-vacuumed version still works
+(commits are never deleted).
 """
 
 from __future__ import annotations
@@ -70,6 +78,14 @@ _DATA = "data"
 # Commits written by this version carry per-file min/max in the log, so a
 # merge over them must prune with ZERO footer reads — tests assert on this.
 FOOTER_PRUNE_READS = 0
+
+# Fold a checkpoint every N commits (Delta defaults to 10). 0 disables.
+CHECKPOINT_INTERVAL = 20
+
+# Observability counter: commit-JSON files opened by state folds. With
+# checkpointing, reading a 1000-commit table bumps this by <= INTERVAL,
+# not 1000 — tests assert the bound.
+LOG_COMMIT_READS = 0
 
 
 class SnapshotError(RuntimeError):
@@ -128,6 +144,176 @@ def _atomic_commit(path: str, commit: dict) -> None:
         os.unlink(tmp)
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:011d}.checkpoint.parquet")
+
+
+def _log_entries(path: str) -> tuple[list[int], list[int]]:
+    """One listdir of _log/ → (commit versions, checkpoint versions),
+    each sorted ascending. The listing is O(commits) directory entries —
+    cheap next to O(commits) file OPENS, which is what checkpoints
+    remove from the read path."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return [], []
+    commits, ckpts = [], []
+    for nm in os.listdir(d):
+        if nm.endswith(".checkpoint.parquet"):
+            ckpts.append(int(nm.split(".")[0]))
+        elif nm.endswith(".json"):
+            commits.append(int(nm.split(".")[0]))
+    return sorted(commits), sorted(ckpts)
+
+
+def _read_commit(path: str, version: int) -> dict:
+    global LOG_COMMIT_READS
+    LOG_COMMIT_READS += 1
+    with open(_commit_path(path, version)) as fh:
+        return json.load(fh)
+
+
+class _State:
+    """Folded table state as of one version: the live file set, every
+    known per-file stats entry, and the schema. Built from the newest
+    checkpoint <= version plus a replay of only the tail commits."""
+
+    __slots__ = ("latest", "version", "live", "stats", "schema_json", "commit_reads")
+
+    def __init__(self, latest, version, live, stats, schema_json, commit_reads):
+        self.latest = latest
+        self.version = version
+        self.live = live  # sorted list[str]
+        self.stats = stats  # rel -> {rows, minmax}
+        self.schema_json = schema_json
+        self.commit_reads = commit_reads
+
+    @property
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        if not self.schema_json:
+            return None
+        return StructType.fromJson(json.loads(self.schema_json))
+
+
+def _read_checkpoint(path: str, version: int) -> tuple[set, dict, str | None]:
+    """Load a checkpoint's (live set, stats map, schema json)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_checkpoint_path(path, version))
+    meta = t.schema.metadata or {}
+    schema_json = meta.get(b"schema", b"").decode() or None
+    live: set[str] = set()
+    stats: dict[str, dict] = {}
+    for rel, is_live, rows, mm in zip(
+        t.column("file").to_pylist(),
+        t.column("live").to_pylist(),
+        t.column("rows").to_pylist(),
+        t.column("minmax").to_pylist(),
+    ):
+        if is_live:
+            live.add(rel)
+        if mm is not None:
+            stats[rel] = {"rows": rows, "minmax": json.loads(mm)}
+    return live, stats, schema_json
+
+
+def _state(path: str, version: int | None = None) -> _State | None:
+    """Fold the log up to ``version`` (default latest). Returns None for
+    a path with no commits. Uses the newest checkpoint <= version when
+    one exists and is readable; otherwise replays from version 0 — a
+    checkpoint is derived state, never load-bearing for correctness."""
+    commit_vs, ckpt_vs = _log_entries(path)
+    if not commit_vs:
+        return None
+    latest = commit_vs[-1]
+    if commit_vs != list(range(latest + 1)):
+        present = set(commit_vs)
+        gap = next(i for i in range(latest + 1) if i not in present)
+        raise SnapshotError(f"commit log has a gap at version {gap}")
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise SnapshotError(f"no such version: {version}")
+    live: set[str] = set()
+    stats: dict[str, dict] = {}
+    schema_json: str | None = None
+    start = 0
+    for base in reversed([c for c in ckpt_vs if c <= v]):
+        try:
+            live, stats, schema_json = _read_checkpoint(path, base)
+            start = base + 1
+            break
+        except Exception:
+            # unreadable/corrupt checkpoint: try an older one, finally
+            # the full replay — checkpoints only ever accelerate
+            live, stats, schema_json = set(), {}, None
+    reads = 0
+    for i in range(start, v + 1):
+        c = _read_commit(path, i)
+        reads += 1
+        live -= set(c["remove"])
+        live |= set(c["add"])
+        stats.update(c.get("stats") or {})
+        if c.get("schema"):
+            schema_json = c["schema"]
+    return _State(latest, v, sorted(live), stats, schema_json, reads)
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Fold state at ``version`` into _log/<v>.checkpoint.parquet
+    (atomic tmp+rename; content is deterministic for a given version).
+    Stats entries whose file was vacuumed AND is no longer live are
+    dropped — they can never matter again — so checkpoint size tracks
+    the live table, not its whole history."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    st = _state(path, version)
+    if st is None:
+        return
+    live_set = set(st.live)
+    files, lives, rows, mm = [], [], [], []
+    for rel in sorted(set(st.stats) | live_set):
+        if rel not in live_set and not os.path.exists(os.path.join(path, rel)):
+            continue
+        entry = st.stats.get(rel)
+        files.append(rel)
+        lives.append(rel in live_set)
+        rows.append(None if entry is None else entry.get("rows"))
+        mm.append(None if entry is None else json.dumps(entry.get("minmax") or {}))
+    table = pa.table(
+        {
+            "file": pa.array(files, pa.string()),
+            "live": pa.array(lives, pa.bool_()),
+            "rows": pa.array(rows, pa.int64()),
+            "minmax": pa.array(mm, pa.string()),
+        }
+    )
+    meta = {b"snapshot_version": str(version).encode()}
+    if st.schema_json:
+        meta[b"schema"] = st.schema_json.encode()
+    table = table.replace_schema_metadata(meta)
+    final = _checkpoint_path(path, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)  # atomic; racing writers of the same version
+    # would write identical content, so last-rename-wins is safe
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    """Called by every committer after a successful commit. Best-effort
+    like Delta's: a failed checkpoint write is retried at the next
+    interval and readers fall back to commit replay meanwhile."""
+    if CHECKPOINT_INTERVAL <= 0 or version <= 0:
+        return
+    if version % CHECKPOINT_INTERVAL != 0:
+        return
+    try:
+        _write_checkpoint(path, version)
+    except Exception:
+        pass  # derived state only — the next interval writes a fresh one
+
+
 def history(path: str) -> list[dict]:
     """The commit log, oldest first: [{version, op, n_add, n_remove}, …]."""
     return [
@@ -142,10 +328,10 @@ def history(path: str) -> list[dict]:
 
 
 def latest_version(path: str) -> int:
-    commits = _read_commits(path)
-    if not commits:
+    commit_vs, _ = _log_entries(path)
+    if not commit_vs:
         raise SnapshotError(f"not a snapshot table: {path}")
-    return commits[-1]["version"]
+    return commit_vs[-1]
 
 
 def _stage_add(df: DataFrame, path: str, version: int) -> list[str]:
@@ -307,13 +493,13 @@ def write_snapshot(
     """
     if mode not in ("append", "overwrite"):
         raise SnapshotError(f"unsupported mode: {mode}")
-    commits = _read_commits(path)
-    version = len(commits)
+    st = _state(path)
+    version = 0 if st is None else st.latest + 1
     schema = df.schema
-    if mode == "append" and commits:
-        schema = _evolve_schema(_schema_of(commits, version - 1), df.schema)
+    if mode == "append" and st is not None:
+        schema = _evolve_schema(st.schema, df.schema)
     added = _stage_add(df, path, version)
-    removed = _live_files(commits, version - 1) if (mode == "overwrite" and commits) else []
+    removed = st.live if (mode == "overwrite" and st is not None) else []
     try:
         _atomic_commit(
             path,
@@ -329,6 +515,7 @@ def write_snapshot(
     except SnapshotError:
         _unstage(path, added)
         raise
+    _maybe_checkpoint(path, version)
     return version
 
 
@@ -350,15 +537,12 @@ def read_snapshot(
     is applied on top (pruning is a safe over-approximation, never a
     substitute for the predicate). A None bound is unbounded on that
     side. Files without usable log stats stay in the scan."""
-    commits = _read_commits(path)
-    if not commits:
+    st = _state(path, version)
+    if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    if version is None:
-        version = commits[-1]["version"]
-    if not 0 <= version <= commits[-1]["version"]:
-        raise SnapshotError(f"no such version: {version}")
-    files = _live_files(commits, version)
-    schema = _schema_of(commits, version)
+    version = st.version
+    files = st.live
+    schema = st.schema
     pred = None
     if key_range is not None:
         from pyspark.sql import functions as F
@@ -368,7 +552,7 @@ def read_snapshot(
         if cols is not None and key not in cols:
             raise SnapshotError(f"key_range column not in table schema: {key}")
         qlo, qhi = _stat_val(lo), _stat_val(hi)
-        stats = _log_stats(commits)
+        stats = st.stats
         # same disjointness predicate as the merge's pruning phase; files
         # the log can't decide (None) stay in the scan — no footer
         # fallback on the read path, the predicate below keeps it correct
@@ -407,19 +591,18 @@ def read_snapshot(
 def rollback(spark: SparkSession, path: str, version: int) -> int:
     """Commit a new version whose live set equals ``version``'s — the
     metadata-only undo (no data I/O, history preserved)."""
-    commits = _read_commits(path)
-    if not commits:
+    st_old = _state(path, version)  # validates table + version bounds
+    if st_old is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    if not 0 <= version <= commits[-1]["version"]:
-        raise SnapshotError(f"no such version: {version}")
-    new_version = len(commits)
-    cur = set(_live_files(commits, new_version - 1))
-    want = set(_live_files(commits, version))
-    # Record the restored version's schema: without it, _schema_of would
-    # walk past the rollback to the schema of the very overwrite being
-    # UNDONE, and reads of the restored files would project through the
-    # wrong schema (restored columns dropped, the bad run's null-filled).
-    restored = _schema_of(commits, version)
+    st_cur = _state(path)
+    new_version = st_cur.latest + 1
+    cur = set(st_cur.live)
+    want = set(st_old.live)
+    # Record the restored version's schema: without it, the schema fold
+    # would walk past the rollback to the schema of the very overwrite
+    # being UNDONE, and reads of the restored files would project through
+    # the wrong schema (restored columns dropped, the bad run's
+    # null-filled).
     _atomic_commit(
         path,
         {
@@ -427,9 +610,10 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
             "op": f"rollback:{version}",
             "add": sorted(want - cur),
             "remove": sorted(cur - want),
-            **({"schema": restored.json()} if restored is not None else {}),
+            **({"schema": st_old.schema_json} if st_old.schema_json else {}),
         },
     )
+    _maybe_checkpoint(path, new_version)
     return new_version
 
 
@@ -572,8 +756,8 @@ def merge_snapshot(
         raise SnapshotError(f"unsupported when_matched: {when_matched}")
     if when_not_matched not in ("insert", "ignore"):
         raise SnapshotError(f"unsupported when_not_matched: {when_not_matched}")
-    commits = _read_commits(path)
-    if not commits:
+    st = _state(path)
+    if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
     target_schema = read_snapshot(spark, path).schema
     target_cols = [f.name for f in target_schema.fields]
@@ -629,7 +813,7 @@ def merge_snapshot(
     if dup:
         raise SnapshotError(f"source has duplicate merge keys, e.g. {dup[0][:-1]}")
 
-    live = _live_files(commits, commits[-1]["version"])
+    live = st.live
 
     # phase 1: log-stats pruning on the leading key's source range (the
     # per-file min/max recorded at commit time; footer reads only for
@@ -638,7 +822,7 @@ def merge_snapshot(
         F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
     ).first()
     candidates, pruned, footer_reads = _stats_prune(
-        path, live, on[0], rng.lo, rng.hi, log_stats=_log_stats(commits)
+        path, live, on[0], rng.lo, rng.hi, log_stats=st.stats
     )
 
     # phase 2: exact touch detection — key-column-only scan + semi-join,
@@ -658,7 +842,7 @@ def merge_snapshot(
         )
         touched = sorted(by_base[os.path.basename(r["__f"])] for r in hits)
 
-    version = len(commits)
+    version = st.latest + 1
     t = None
     if touched:
         t = spark.read.schema(target_schema).parquet(
@@ -767,6 +951,7 @@ def merge_snapshot(
     except SnapshotError:
         _unstage(path, added)
         raise
+    _maybe_checkpoint(path, version)
     return {
         "version": version,
         "files_live": len(live),
@@ -784,13 +969,13 @@ def vacuum(path: str, retain_last: int = 2) -> dict:
     """Delete data files referenced ONLY by versions older than the last
     ``retain_last`` versions (plus any never-committed stage orphans).
     Returns {removed_files, removed_bytes, retained_from_version}."""
-    commits = _read_commits(path)
-    if not commits:
+    st = _state(path)
+    if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    keep_from = max(0, len(commits) - retain_last)
-    keep: set[str] = set()
-    for v in range(keep_from, len(commits)):
-        keep |= set(_live_files(commits, v))
+    keep_from = max(0, st.latest + 1 - retain_last)
+    keep: set[str] = set(st.live)
+    for v in range(keep_from, st.latest):
+        keep |= set(_state(path, v).live)
     removed_files = 0
     removed_bytes = 0
     data_dir = os.path.join(path, _DATA)
@@ -859,7 +1044,7 @@ def merge_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not _read_commits(path):
+        if not _log_entries(path)[0]:
             write_snapshot(spark, batch_df.limit(0), path)
         merge_snapshot(
             spark,
@@ -907,16 +1092,17 @@ def snapshot_diff(
     """
     from pyspark.sql import functions as F
 
-    commits = _read_commits(path)
-    if not commits:
+    st = _state(path)
+    if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    last = commits[-1]["version"]
     for v in (v_from, v_to):
-        if not 0 <= v <= last:
+        if not 0 <= v <= st.latest:
             raise SnapshotError(f"no such version: {v}")
-    a = set(_live_files(commits, v_from))
-    b = set(_live_files(commits, v_to))
-    schema = _schema_of(commits, max(v_from, v_to))
+    st_to = st if v_to == st.latest else _state(path, v_to)
+    st_from = st if v_from == st.latest else _state(path, v_from)
+    a = set(st_from.live)
+    b = set(st_to.live)
+    schema = (st_to if v_to >= v_from else st_from).schema
     if schema is None:
         raise SnapshotError("no schema recorded; cannot diff")
     cols = [f.name for f in schema.fields]
@@ -1001,11 +1187,11 @@ def compact_snapshot(
 
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
-    commits = _read_commits(path)
-    if not commits:
+    st = _state(path)
+    if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    version = len(commits)
-    live = _live_files(commits, version - 1)
+    version = st.latest + 1
+    live = st.live
     sizes = {f: os.path.getsize(os.path.join(path, f)) for f in live}
     small = sorted(f for f, sz in sizes.items() if sz < min_file_bytes)
     small_bytes = sum(sizes[f] for f in small)
@@ -1016,7 +1202,7 @@ def compact_snapshot(
             "files_after": len(live), "rewritten_files": 0,
             "rewritten_bytes": 0,
         }
-    schema = _schema_of(commits, version - 1)
+    schema = st.schema
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(*[os.path.join(path, f) for f in small])
     if sort_by:
@@ -1042,6 +1228,7 @@ def compact_snapshot(
     except SnapshotError:
         _unstage(path, added)
         raise
+    _maybe_checkpoint(path, version)
     return {
         "version": version,
         "files_before": len(live),

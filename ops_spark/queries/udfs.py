@@ -965,3 +965,86 @@ def io_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
         F.col("__change").alias("change_type"),
     )
+
+
+@register(
+    "io_snapshot_checkpoint",
+    oracle="""
+    SELECT o_orderpriority, 'latest' AS src,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'v11' AS src,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderkey % 24 < 12
+    GROUP BY o_orderpriority
+    """,
+    description="Commit-log CHECKPOINTING on a snapshot table "
+    "(io/snapshots.py:_write_checkpoint — the Delta _checkpoint.parquet "
+    "idea): orders lands as 24 small append commits, the CDC-sink shape "
+    "that makes a naive O(commits) log fold the driver bottleneck; the "
+    "writer folds live-set + per-file stats + schema into a parquet "
+    "checkpoint every CHECKPOINT_INTERVAL commits, and the latest read "
+    "replays only the tail. The result unions the LATEST read (folded "
+    "through the checkpoint) with a TIME-TRAVEL read to v11 (below the "
+    "checkpoint, full replay), each re-derived by the oracle from the "
+    "raw table — a checkpoint that dropped a file, double-counted one, "
+    "or smeared the fold across versions flips the hash. The read-cost "
+    "bound (<= interval commit opens) and corruption fallback are "
+    "pinned in test_io.py::test_snapshot_checkpoint_*.",
+    tags=("io", "snapshot", "checkpoint", "maintenance"),
+)
+def io_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_ckpt_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    n_commits = 24
+    for i in range(n_commits):  # one commit per micro-batch, CDC-sink style
+        S.write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey") % n_commits == i).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    # the checkpoint must actually have engaged (v20 at the default
+    # interval) — a silently-skipped checkpoint would make this query
+    # test nothing
+    if 0 < S.CHECKPOINT_INTERVAL < n_commits:
+        expect = (n_commits - 1) // S.CHECKPOINT_INTERVAL * S.CHECKPOINT_INTERVAL
+        if not os.path.exists(S._checkpoint_path(tbl, expect)):
+            raise S.SnapshotError(f"checkpoint at v{expect} was not written")
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.lit(tag).alias("src"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        ).select("o_orderpriority", "src", "n_orders", "total_cents")
+
+    latest = S.read_snapshot(spark, tbl)  # checkpoint + tail replay
+    v11 = S.read_snapshot(spark, tbl, version=11)  # below the checkpoint
+    return _agg(latest, "latest").unionByName(_agg(v11, "v11"))

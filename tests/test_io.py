@@ -1369,17 +1369,18 @@ def test_snapshot_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
     S.write_snapshot(spark, d([(1, "a")]), t)
     # simulate the real race: OUR writer reads the log (sees only v0),
     # then another writer lands version 1 before our commit
-    real_read = S._read_commits
+    real_entries = S._log_entries
 
-    def stale_read(path):
-        return real_read(path)[:1]  # our writer saw only v0
+    def stale_entries(path):
+        commits, ckpts = real_entries(path)
+        return commits[:1], []  # our writer saw only v0
 
     with open(os.path.join(t, "_log", f"{1:011d}.json"), "w") as fh:
         json.dump({"version": 1, "op": "append", "add": [], "remove": []}, fh)
-    monkeypatch.setattr(S, "_read_commits", stale_read)
+    monkeypatch.setattr(S, "_log_entries", stale_entries)
     with _pytest.raises(S.SnapshotError, match="concurrent"):
         S.write_snapshot(spark, d([(2, "b")]), t, mode="append")
-    monkeypatch.setattr(S, "_read_commits", real_read)
+    monkeypatch.setattr(S, "_log_entries", real_entries)
     # the loser's staged files were cleaned up: nothing unreferenced
     commits = [
         json.load(open(os.path.join(t, "_log", n)))
@@ -2189,3 +2190,141 @@ def test_compact_snapshot_sort_by_restores_data_skipping(spark, tmp_path):
     clustered = read_snapshot(spark, t2, key_range=("k", 100, 199))
     assert 1 <= len(clustered.inputFiles()) < stats2["files_after"]
     assert sorted(r.k for r in clustered.collect()) == list(range(100, 200))
+
+
+def test_snapshot_checkpoint_bounds_log_reads_and_matches_full_fold(spark, tmp_path):
+    """Log checkpointing (the Delta `_checkpoint.parquet` idea): every
+    CHECKPOINT_INTERVAL commits the writer folds live set + stats +
+    schema into _log/<v>.checkpoint.parquet, and a reader replays only
+    the tail — O(interval) commit opens however old the table is. The
+    CDC sink mints one commit per micro-batch, so without this the
+    driver-side fold is O(stream lifetime). Pins: (a) checkpoints appear
+    exactly at the interval; (b) reading the latest version opens <=
+    interval commit files; (c) the checkpointed fold is IDENTICAL to the
+    ground-truth full fold (live/stats/schema); (d) time travel to
+    versions below, at, and above a checkpoint still works."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 5
+    try:
+        for i in range(13):
+            df = spark.createDataFrame(
+                [(i * 10 + j, f"v{i}") for j in range(10)], "k long, v string"
+            )
+            S.write_snapshot(spark, df.coalesce(1), t, mode="append")
+        names = sorted(os.listdir(os.path.join(t, "_log")))
+        cks = [n for n in names if n.endswith(".checkpoint.parquet")]
+        assert cks == [
+            "00000000005.checkpoint.parquet",
+            "00000000010.checkpoint.parquet",
+        ]
+        S.LOG_COMMIT_READS = 0
+        assert S.read_snapshot(spark, t).count() == 130
+        assert S.LOG_COMMIT_READS <= S.CHECKPOINT_INTERVAL
+        # checkpointed fold == full-replay ground truth
+        stt = S._state(t)
+        commits = S._read_commits(t)
+        assert stt.live == S._live_files(commits, 12)
+        assert stt.stats == S._log_stats(commits)
+        assert stt.schema.json() == S._schema_of(commits, 12).json()
+        # time travel below / at / above the newest checkpoint
+        for v, n in ((3, 40), (10, 110), (12, 130)):
+            assert S.read_snapshot(spark, t, version=v).count() == n
+    finally:
+        S.CHECKPOINT_INTERVAL = old
+
+
+def test_snapshot_checkpoint_serves_merge_and_read_skip_stats(spark, tmp_path):
+    """The checkpoint carries the per-file min/max, so a merge over a
+    long-lived table prunes with ZERO footer reads even when its stats
+    were folded through a checkpoint (not read from tail commits), and
+    key_range read-skipping keeps pruning to the same file subset."""
+    from pyspark.sql import functions as F
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 4
+    try:
+        for base in range(0, 1200, 100):  # 12 disjoint-range commits
+            df = spark.createDataFrame(
+                [(base + j, f"v{base + j}") for j in range(100)],
+                "k long, v string",
+            )
+            S.write_snapshot(spark, df.coalesce(1), t, mode="append")
+        # stats for the first 8 files now live only in checkpoints' fold
+        src = spark.createDataFrame([(150, "upd"), (151, "upd")], "k long, v string")
+        res = S.merge_snapshot(spark, t, src, on=["k"])
+        assert res["footer_fallback_reads"] == 0
+        assert res["files_pruned_by_stats"] == 11  # all but the [100,199] file
+        assert res["files_rewritten"] == 1 and res["rows_updated"] == 2
+        got = S.read_snapshot(spark, t, key_range=("k", 100, 199))
+        # only files minted by the merge (v12) may survive the skip: every
+        # untouched file's log range is disjoint from [100, 199]
+        assert got.inputFiles() and all("v12-" in f for f in got.inputFiles())
+        assert got.filter(F.col("v") == "upd").count() == 2
+        assert got.count() == 100
+    finally:
+        S.CHECKPOINT_INTERVAL = old
+
+
+def test_snapshot_checkpoint_is_never_load_bearing(spark, tmp_path):
+    """Checkpoints are DERIVED state: corrupting the newest one (or all
+    of them) must leave every read correct — the fold falls back to an
+    older checkpoint, then to the full commit replay."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 3
+    try:
+        for i in range(8):
+            df = spark.createDataFrame([(i, i * 2)], "k long, v long")
+            S.write_snapshot(spark, df, t, mode="append")
+        log = os.path.join(t, "_log")
+        cks = sorted(n for n in os.listdir(log) if n.endswith(".checkpoint.parquet"))
+        assert cks  # interval 3 over 8 commits wrote some
+        with open(os.path.join(log, cks[-1]), "w") as fh:
+            fh.write("not parquet")  # corrupt newest -> older ckpt + tail
+        assert S.read_snapshot(spark, t).count() == 8
+        for nm in cks:  # corrupt ALL -> full replay
+            with open(os.path.join(log, nm), "w") as fh:
+                fh.write("not parquet")
+        assert S.read_snapshot(spark, t).count() == 8
+        assert {r.k for r in S.read_snapshot(spark, t, version=2).collect()} == {0, 1, 2}
+    finally:
+        S.CHECKPOINT_INTERVAL = old
+
+
+def test_snapshot_checkpoint_drops_vacuumed_stats(spark, tmp_path):
+    """Checkpoint size tracks the LIVE table, not its whole history:
+    stats entries for files that were vacuumed and are no longer live
+    are dropped at the next checkpoint write (they can never matter
+    again), while entries for still-on-disk historical files survive
+    (a rollback may re-add them and inherit their stats)."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 0  # manual checkpoints for this test
+    try:
+        for i in range(4):
+            df = spark.createDataFrame([(i, i)], "k long, v long")
+            S.write_snapshot(spark, df, t, mode="append")
+        df = spark.createDataFrame([(99, 99)], "k long, v long")
+        S.write_snapshot(spark, df, t, mode="overwrite")  # v4: orphan v0-v3 files
+        S.vacuum(t, retain_last=1)  # physically delete the old files
+        S._write_checkpoint(t, 4)
+        live, stats, _ = S._read_checkpoint(t, 4)
+        assert len(live) >= 1
+        assert set(stats) == set(live)  # vacuumed entries dropped
+        assert S.read_snapshot(spark, t).count() == 1
+    finally:
+        S.CHECKPOINT_INTERVAL = old

@@ -420,7 +420,12 @@ def test_snapshot_op_sequences_match_versioned_model(
     smeared or re-clustered the files. Append semantics here: duplicate
     keys across appends are avoided by the generator range only for the
     base; merges keep keys unique, so reads compare as dicts built the
-    same way the engine unions rows."""
+    same way the engine unions rows.
+
+    Runs with CHECKPOINT_INTERVAL=2 so every sequence also exercises the
+    checkpointed fold: commits land checkpoints mid-sequence and the
+    final time-travel sweep reads versions below, at, and above them."""
+    import ops_spark.io.snapshots as _snap
     from ops_spark.io.snapshots import (
         compact_snapshot,
         merge_snapshot,
@@ -430,64 +435,69 @@ def test_snapshot_op_sequences_match_versioned_model(
     )
 
     t = str(tmp_path_factory.mktemp("snap_seq") / "tbl")
-    d = lambda m: spark.createDataFrame(  # noqa: E731
-        [(k, v) for k, v in sorted(m.items())], "k long, v long"
-    )
-    write_snapshot(spark, d({0: 0, 1: 1}), t)
-    history = [{0: 0, 1: 1}]  # model state per committed version
-    for op, arg in ops:
-        model = dict(history[-1])
-        if op == "append":
-            # keep the multiset a FUNCTION of the key: only append keys
-            # not currently present (the table-as-upserted-view shape the
-            # merge path maintains)
-            fresh = {k: v for k, v in arg.items() if k not in model}
-            if not fresh:
-                continue
-            write_snapshot(spark, d(fresh), t, mode="append")
-            model.update(fresh)
-        elif op == "overwrite":
-            write_snapshot(spark, d(arg), t, mode="overwrite")
-            model = dict(arg)
-        elif op == "merge":
-            merge_snapshot(spark, t, d(arg), on=["k"])
-            model.update(arg)
-        elif op == "delete":
-            st_ = merge_snapshot(
-                spark,
-                t,
-                spark.createDataFrame([(k,) for k in sorted(arg)], "k long"),
-                on=["k"],
-                when_matched="delete",
-                when_not_matched="ignore",
-            )
-            if st_["version"] == -1:  # provable no-op: no commit minted
-                continue
-            for k in arg:
-                model.pop(k, None)
-        elif op == "compact":
-            st_ = compact_snapshot(
-                spark, t, target_bytes=1 << 20, min_file_bytes=1 << 20,
-                sort_by=["k"],
-            )
-            if st_["version"] == -1:
-                continue  # nothing packed: no commit minted
-            # layout-only: model state unchanged
-        elif op == "rollback":
-            v = arg % len(history)
-            rollback(spark, t, v)
-            model = dict(history[v])
-        history.append(model)
+    _old_interval = _snap.CHECKPOINT_INTERVAL
+    _snap.CHECKPOINT_INTERVAL = 2
+    try:
+        d = lambda m: spark.createDataFrame(  # noqa: E731
+            [(k, v) for k, v in sorted(m.items())], "k long, v long"
+        )
+        write_snapshot(spark, d({0: 0, 1: 1}), t)
+        history = [{0: 0, 1: 1}]  # model state per committed version
+        for op, arg in ops:
+            model = dict(history[-1])
+            if op == "append":
+                # keep the multiset a FUNCTION of the key: only append keys
+                # not currently present (the table-as-upserted-view shape the
+                # merge path maintains)
+                fresh = {k: v for k, v in arg.items() if k not in model}
+                if not fresh:
+                    continue
+                write_snapshot(spark, d(fresh), t, mode="append")
+                model.update(fresh)
+            elif op == "overwrite":
+                write_snapshot(spark, d(arg), t, mode="overwrite")
+                model = dict(arg)
+            elif op == "merge":
+                merge_snapshot(spark, t, d(arg), on=["k"])
+                model.update(arg)
+            elif op == "delete":
+                st_ = merge_snapshot(
+                    spark,
+                    t,
+                    spark.createDataFrame([(k,) for k in sorted(arg)], "k long"),
+                    on=["k"],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                )
+                if st_["version"] == -1:  # provable no-op: no commit minted
+                    continue
+                for k in arg:
+                    model.pop(k, None)
+            elif op == "compact":
+                st_ = compact_snapshot(
+                    spark, t, target_bytes=1 << 20, min_file_bytes=1 << 20,
+                    sort_by=["k"],
+                )
+                if st_["version"] == -1:
+                    continue  # nothing packed: no commit minted
+                # layout-only: model state unchanged
+            elif op == "rollback":
+                v = arg % len(history)
+                rollback(spark, t, v)
+                model = dict(history[v])
+            history.append(model)
 
-    # latest + every historical version time-travels to its model
-    for v, m in enumerate(history):
-        got = {r.k: r.v for r in read_snapshot(spark, t, v).collect()}
-        assert got == m, f"version {v}"
-    # key_range read == filtered model at the latest version
-    lo, hi = min(span), max(span)
-    want = {k: v for k, v in history[-1].items() if lo <= k <= hi}
-    got = {
-        r.k: r.v
-        for r in read_snapshot(spark, t, key_range=("k", lo, hi)).collect()
-    }
-    assert got == want
+        # latest + every historical version time-travels to its model
+        for v, m in enumerate(history):
+            got = {r.k: r.v for r in read_snapshot(spark, t, v).collect()}
+            assert got == m, f"version {v}"
+        # key_range read == filtered model at the latest version
+        lo, hi = min(span), max(span)
+        want = {k: v for k, v in history[-1].items() if lo <= k <= hi}
+        got = {
+            r.k: r.v
+            for r in read_snapshot(spark, t, key_range=("k", lo, hi)).collect()
+        }
+        assert got == want
+    finally:
+        _snap.CHECKPOINT_INTERVAL = _old_interval
