@@ -965,6 +965,132 @@ def merge_snapshot(
     }
 
 
+def replace_range(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key: str,
+    lo,
+    hi,
+) -> dict:
+    """Delta's ``replaceWhere`` for snapshot tables: atomically replace
+    exactly the rows with ``key`` in [lo, hi] by ``df`` — the "re-ingest
+    one day/partition of a 100 TB table" operation. A plain overwrite
+    rewrites the world; a delete+append pair gives readers a torn
+    in-between version. This is ONE commit, classified from the
+    commit-log stats (zero data I/O for the decision):
+
+    - files fully INSIDE [lo, hi]: logically removed, bytes untouched
+      (time travel still reaches them until vacuum);
+    - files fully DISJOINT from [lo, hi]: kept by name — no I/O at all;
+    - files OVERLAPPING the boundary (or with no usable log stats):
+      rewritten keeping only their rows OUTSIDE [lo, hi] (copy-on-write
+      of the boundary fraction — for a range-clustered table that is
+      O(files at the two boundaries), not O(table)).
+
+    ``df`` must fall entirely inside [lo, hi] (Delta's replaceWhere
+    constraint violation otherwise — rows outside would silently survive
+    alongside the files they were supposed to replace). NULL keys are
+    outside every range, so files containing them are never dropped
+    whole, and null-key rows in ``df`` raise.
+
+    Returns {version, files_removed_whole, files_rewritten, files_kept,
+    rows_inserted, rows_retained}.
+    """
+    from pyspark.sql import functions as F
+
+    if lo is None or hi is None:
+        raise SnapshotError("replace_range needs bounded lo and hi")
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    target_schema = st.schema
+    if target_schema is None:
+        raise SnapshotError("no schema recorded; cannot replace_range")
+    cols = [f.name for f in target_schema.fields]
+    if key not in cols:
+        raise SnapshotError(f"replace key not in table schema: {key}")
+    if set(df.columns) != set(cols):
+        raise SnapshotError(
+            "replace_range df must carry the full table column set; "
+            f"missing {sorted(set(cols) - set(df.columns))}"
+        )
+    # Delta's constraint check: every incoming row inside the range
+    outside = df.filter(
+        F.col(key).isNull() | (F.col(key) < F.lit(lo)) | (F.col(key) > F.lit(hi))
+    ).limit(1).collect()
+    if outside:
+        raise SnapshotError(
+            f"replace_range df has rows outside [{lo}, {hi}] "
+            f"(e.g. {key}={outside[0][key]!r}); they would silently "
+            "survive alongside the files they were meant to replace"
+        )
+
+    qlo, qhi = _stat_val(lo), _stat_val(hi)
+    drop_whole, rewrite, keep = [], [], []
+    for rel in st.live:
+        entry = st.stats.get(rel, {})
+        if entry.get("rows") == 0:
+            drop_whole.append(rel)  # empty file: replacing it loses nothing
+            continue
+        mm = entry.get("minmax", {}).get(key)
+        if mm is None or qlo is None or qhi is None:
+            rewrite.append(rel)  # undecidable from the log: rewrite is safe
+            continue
+        fmin, fmax = mm
+        try:
+            if fmin > qhi or fmax < qlo:
+                keep.append(rel)  # disjoint: keep by name, no I/O
+            elif fmin >= qlo and fmax <= qhi:
+                drop_whole.append(rel)  # fully inside: drop whole
+            else:
+                rewrite.append(rel)  # boundary overlap: rewrite complement
+        except TypeError:
+            rewrite.append(rel)
+
+    version = st.latest + 1
+    new = df.select(*[F.col(c).cast(target_schema[c].dataType) for c in cols])
+    n_inserted = new.count()
+    n_retained = 0
+    if rewrite:
+        old = spark.read.schema(target_schema).parquet(
+            *[os.path.join(path, f) for f in rewrite]
+        )
+        # complement: rows outside [lo, hi]; null keys are retained too
+        retained = old.filter(
+            F.col(key).isNull()
+            | (F.col(key) < F.lit(lo))
+            | (F.col(key) > F.lit(hi))
+        )
+        n_retained = retained.count()
+        new = new.unionByName(retained)
+    added = _stage_add(new, path, version)
+    try:
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": f"replace_range:{key}",
+                "add": added,
+                "remove": sorted(drop_whole + rewrite),
+                "schema": target_schema.json(),
+                "stats": _collect_stats(path, added),
+            },
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_removed_whole": len(drop_whole),
+        "files_rewritten": len(rewrite),
+        "files_kept": len(keep),
+        "rows_inserted": n_inserted,
+        "rows_retained": n_retained,
+    }
+
+
 def vacuum(path: str, retain_last: int = 2) -> dict:
     """Delete data files referenced ONLY by versions older than the last
     ``retain_last`` versions (plus any never-committed stage orphans).

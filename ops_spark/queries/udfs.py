@@ -1048,3 +1048,93 @@ def io_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = S.read_snapshot(spark, tbl)  # checkpoint + tail replay
     v11 = S.read_snapshot(spark, tbl, version=11)  # below the checkpoint
     return _agg(latest, "latest").unionByName(_agg(v11, "v11"))
+
+
+@register(
+    "io_snapshot_replace_range",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderkey) AS lo_all, max(o_orderkey) AS hi_all FROM orders
+    ), rng AS (
+      SELECT CAST(lo_all + floor((hi_all - lo_all + 1) * 0.25) AS BIGINT) AS lo,
+             CAST(lo_all + floor((hi_all - lo_all + 1) * 0.50) AS BIGINT) - 1 AS hi
+      FROM bounds
+    ), final AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+      FROM orders, rng WHERE o_orderkey < lo OR o_orderkey > hi
+      UNION ALL
+      SELECT o_orderkey, '7-REST', o_totalprice * 3
+      FROM orders, rng
+      WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 2 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderpriority
+    """,
+    description="replaceWhere on a snapshot table (io/snapshots.py:"
+    "replace_range — Delta's replaceWhere): orders lands as 8 "
+    "range-keyed commits; one atomic commit replaces the second "
+    "key-quartile with a restated slice (every 2nd key, price*3, "
+    "priority '7-REST'). The commit-log stats classify every live file "
+    "with zero data I/O: fully-inside files drop whole, disjoint files "
+    "keep their bytes by name, only the two boundary files rewrite "
+    "their complement. The oracle re-derives the post-replace table "
+    "from raw orders, so a dropped outside-row, a surviving "
+    "inside-row, or a double-kept boundary row all flip the hash. "
+    "File-level classification is pinned in "
+    "test_io.py::test_snapshot_replace_range_classifies_and_replaces.",
+    tags=("io", "snapshot", "replace-where", "cdc", "maintenance"),
+)
+def io_snapshot_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_rr_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    b = base.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    span = b.hi - b.lo + 1
+    for i in range(8):  # range-clustered layout, one commit per slice
+        s = b.lo + int(math.floor(i * span / 8.0))
+        e = b.lo + int(math.floor((i + 1) * span / 8.0)) - 1
+        S.write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey").between(s, e)).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    lo = b.lo + int(math.floor(span * 0.25))
+    hi = b.lo + int(math.floor(span * 0.50)) - 1
+    restated = (
+        base.filter(
+            F.col("o_orderkey").between(lo, hi) & (F.col("o_orderkey") % 2 == 0)
+        )
+        .withColumn("price", F.col("price") * 3)
+        .withColumn("o_orderpriority", F.lit("7-REST"))
+    )
+    S.replace_range(spark, tbl, restated, "o_orderkey", lo, hi)
+    return (
+        S.read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint"))
+            .alias("total_cents"),
+        )
+    )

@@ -2328,3 +2328,68 @@ def test_snapshot_checkpoint_drops_vacuumed_stats(spark, tmp_path):
         assert S.read_snapshot(spark, t).count() == 1
     finally:
         S.CHECKPOINT_INTERVAL = old
+
+
+def test_snapshot_replace_range_classifies_and_replaces(spark, tmp_path):
+    """replaceWhere for snapshot tables (replace_range): on a
+    range-clustered table, files fully inside the range drop whole
+    (no I/O), disjoint files are kept BY NAME (their original bytes
+    stay in the scan), and only boundary-overlap files rewrite their
+    complement. Result = outside rows untouched + the new rows, in one
+    atomic commit; time travel still reads the pre-replace version."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for base in range(0, 600, 100):  # 6 files: [0,99] ... [500,599]
+        df = spark.createDataFrame(
+            [(base + i, f"old{base + i}") for i in range(100)], "k long, v string"
+        )
+        S.write_snapshot(spark, df.coalesce(1), t, mode="append")
+    pre_files = set(S.read_snapshot(spark, t).inputFiles())
+
+    new = spark.createDataFrame(
+        [(k, f"new{k}") for k in range(150, 350, 2)], "k long, v string"
+    )
+    res = S.replace_range(spark, t, new, "k", 150, 349)
+    assert res["files_removed_whole"] == 1  # [200,299] fully inside
+    assert res["files_rewritten"] == 2  # [100,199] and [300,399] boundaries
+    assert res["files_kept"] == 3  # [0,99], [400,499], [500,599]
+    assert res["rows_inserted"] == 100 and res["rows_retained"] == 100
+
+    got = {r.k: r.v for r in S.read_snapshot(spark, t).collect()}
+    want = {k: f"old{k}" for k in list(range(0, 150)) + list(range(350, 600))}
+    want.update({k: f"new{k}" for k in range(150, 350, 2)})
+    assert got == want
+    # kept files are the SAME bytes (by name), not rewrites
+    post_files = set(S.read_snapshot(spark, t).inputFiles())
+    assert len(pre_files & post_files) == 3
+    # pre-replace version intact
+    assert S.read_snapshot(spark, t, version=5).count() == 600
+
+
+def test_snapshot_replace_range_guards(spark, tmp_path):
+    """Delta's replaceWhere constraint: rows outside the range (or with
+    a NULL key — outside every range) raise before anything commits; an
+    empty replacement df is a clean range DELETE."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+    S.write_snapshot(spark, df.coalesce(1), t)
+
+    bad = spark.createDataFrame([(500, 1)], "k long, v long")
+    with _pytest.raises(S.SnapshotError, match="outside"):
+        S.replace_range(spark, t, bad, "k", 0, 49)
+    nul = spark.createDataFrame([(None, 1)], "k long, v long")
+    with _pytest.raises(S.SnapshotError, match="outside"):
+        S.replace_range(spark, t, nul, "k", 0, 49)
+    assert S.latest_version(t) == 0  # nothing committed by the failures
+
+    empty = spark.createDataFrame([], "k long, v long")
+    res = S.replace_range(spark, t, empty, "k", 0, 49)
+    assert res["rows_inserted"] == 0 and res["rows_retained"] == 50
+    assert sorted(r.k for r in S.read_snapshot(spark, t).collect()) == list(
+        range(50, 100)
+    )
