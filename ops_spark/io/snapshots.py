@@ -1091,6 +1091,172 @@ def replace_range(
     }
 
 
+def _touched_by_predicate(
+    spark: SparkSession, path: str, st: _State, cond
+) -> tuple[list[str], "DataFrame | None"]:
+    """Files of ``st.live`` that contain at least one row matching
+    ``cond`` — found with ONE column-pruned scan (Catalyst reads only
+    the predicate's columns + file name), the same touch-detection shape
+    as the merge's phase 2. Returns (touched rel paths, the touched-file
+    DataFrame read through the table schema, or None)."""
+    from pyspark.sql import functions as F
+
+    schema = st.schema
+    if schema is None:
+        raise SnapshotError("no schema recorded; cannot run predicate DML")
+    if not st.live:
+        return [], None
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in st.live]
+    )
+    by_base = {os.path.basename(f): f for f in st.live}
+    hits = (
+        df.where(cond)
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    touched = sorted(by_base[os.path.basename(r["__f"])] for r in hits)
+    if not touched:
+        return [], None
+    t = spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in touched]
+    )
+    return touched, t
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> dict:
+    """DELETE FROM <table> WHERE <condition> — Delta DELETE semantics as
+    one atomic copy-on-write commit. Only files containing at least one
+    matching row are rewritten (with their non-matching rows retained);
+    every other file keeps its name and bytes. SQL three-valued logic:
+    rows where the condition is NULL are NOT deleted.
+
+    ``condition`` is a SQL boolean expression string (or a Column).
+    Returns {version, files_rewritten, files_kept, rows_deleted,
+    rows_retained}; version -1 when nothing matches (no commit)."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    touched, t = _touched_by_predicate(spark, path, st, cond)
+    if not touched:
+        return {
+            "version": -1, "files_rewritten": 0, "files_kept": len(st.live),
+            "rows_deleted": 0, "rows_retained": 0,
+        }
+    version = st.latest + 1
+    # NULL-condition rows are retained (DELETE's WHERE keeps them)
+    retained = t.where(~F.coalesce(cond, F.lit(False)))
+    counts = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(cond, 1)).alias("matched"),
+    ).first()
+    added = _stage_add(retained, path, version)
+    try:
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": "delete_where",
+                "add": added,
+                "remove": touched,
+                "schema": st.schema_json,
+                "stats": _collect_stats(path, added),
+            },
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_kept": len(st.live) - len(touched),
+        "rows_deleted": counts.matched,
+        "rows_retained": counts.n - counts.matched,
+    }
+
+
+def update_where(
+    spark: SparkSession, path: str, set: dict, condition
+) -> dict:
+    """UPDATE <table> SET col = expr, ... WHERE <condition> — Delta
+    UPDATE semantics as one atomic copy-on-write commit over only the
+    files containing a matching row. ``set`` maps existing column names
+    to SQL expression strings (or Columns) evaluated against the
+    pre-update row; each value is CAST to the column's recorded dtype,
+    so an expression cannot silently diverge the staged files from the
+    table schema. Rows where the condition is NULL are not updated.
+
+    Returns {version, files_rewritten, files_kept, rows_updated,
+    rows_copied}; version -1 when nothing matches (no commit)."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    schema = st.schema
+    if schema is None:
+        raise SnapshotError("no schema recorded; cannot run predicate DML")
+    cols = [f.name for f in schema.fields]
+    unknown = [c for c in set if c not in cols]
+    if unknown:
+        raise SnapshotError(f"UPDATE SET columns not in table schema: {unknown}")
+    touched, t = _touched_by_predicate(spark, path, st, cond)
+    if not touched:
+        return {
+            "version": -1, "files_rewritten": 0, "files_kept": len(st.live),
+            "rows_updated": 0, "rows_copied": 0,
+        }
+    version = st.latest + 1
+    hit = F.coalesce(cond, F.lit(False))
+
+    def _val(name):
+        if name not in set:
+            return F.col(name)
+        expr = set[name]
+        expr = F.expr(expr) if isinstance(expr, str) else expr
+        # cast to the RECORDED dtype: a wider expression type would
+        # otherwise stage files the committed schema cannot read
+        return F.when(hit, expr.cast(schema[name].dataType)).otherwise(
+            F.col(name)
+        )
+
+    updated = t.select(*[_val(c).alias(c) for c in cols])
+    counts = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(cond, 1)).alias("matched"),
+    ).first()
+    added = _stage_add(updated, path, version)
+    try:
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": "update_where",
+                "add": added,
+                "remove": touched,
+                "schema": st.schema_json,
+                "stats": _collect_stats(path, added),
+            },
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_kept": len(st.live) - len(touched),
+        "rows_updated": counts.matched,
+        "rows_copied": counts.n - counts.matched,
+    }
+
+
 def vacuum(path: str, retain_last: int = 2) -> dict:
     """Delete data files referenced ONLY by versions older than the last
     ``retain_last`` versions (plus any never-committed stage orphans).

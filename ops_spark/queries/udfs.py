@@ -1051,6 +1051,77 @@ def io_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_dml",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             o_orderpriority,
+             CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders
+      WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderpriority
+    """,
+    description="Predicate DML on a snapshot table (io/snapshots.py:"
+    "delete_where / update_where — Delta DELETE/UPDATE shape): orders "
+    "lands as a multi-file snapshot; DELETE WHERE prunes every third "
+    "urgent order, UPDATE WHERE doubles the high-priority cents, each "
+    "as ONE atomic copy-on-write commit that rewrites only files "
+    "containing a match (touch detection = a single column-pruned "
+    "input_file_name scan). The oracle re-derives the post-DML table "
+    "from raw orders, so a lost retained row, a surviving deleted row, "
+    "or an update applied to the wrong rows all flip the hash. "
+    "File-level incrementality and NULL-predicate semantics are pinned "
+    "in test_io.py::test_snapshot_delete_where_* / test_snapshot_"
+    "update_where_*.",
+    tags=("io", "snapshot", "dml", "maintenance"),
+)
+def io_snapshot_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_dml_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    S.write_snapshot(spark, base.repartitionByRange(8, "o_orderkey"), tbl)
+    S.delete_where(
+        spark, tbl, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    )
+    S.update_where(
+        spark, tbl, {"cents": "cents * 2"}, "o_orderpriority = '2-HIGH'"
+    )
+    return (
+        S.read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+@register(
     "io_snapshot_replace_range",
     oracle="""
     WITH bounds AS (

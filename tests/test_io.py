@@ -2393,3 +2393,72 @@ def test_snapshot_replace_range_guards(spark, tmp_path):
     assert sorted(r.k for r in S.read_snapshot(spark, t).collect()) == list(
         range(50, 100)
     )
+
+
+def test_snapshot_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Predicate DELETE (Delta DELETE shape): one column-pruned scan
+    finds the files containing a match; only those rewrite (keeping
+    their non-matching rows), the rest keep name and bytes; NULL
+    conditions retain the row (SQL three-valued logic); a no-match
+    delete mints NO commit; time travel still reads the pre-DML state."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for base in range(0, 300, 100):
+        df = spark.createDataFrame(
+            [(base + i, f"g{(base + i) % 7}") for i in range(100)],
+            "k long, grp string",
+        )
+        S.write_snapshot(spark, df.coalesce(1), t, mode="append")
+    pre = set(S.read_snapshot(spark, t).inputFiles())
+
+    res = S.delete_where(spark, t, "k >= 250")
+    assert res["files_rewritten"] == 1 and res["files_kept"] == 2
+    assert res["rows_deleted"] == 50 and res["rows_retained"] == 50
+    assert S.read_snapshot(spark, t).count() == 250
+    post = set(S.read_snapshot(spark, t).inputFiles())
+    assert len(pre & post) == 2  # untouched files ARE the same bytes
+
+    assert S.delete_where(spark, t, "k > 10000")["version"] == -1
+    assert S.latest_version(t) == 3  # no-op minted no commit
+
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([(None, None)], "k long, grp string"),
+        t,
+        mode="append",
+    )
+    S.delete_where(spark, t, "grp = 'g0'")
+    # NULL-condition row survives a DELETE whose predicate can't see it
+    assert S.read_snapshot(spark, t).where("k is null").count() == 1
+    assert S.read_snapshot(spark, t).where("grp = 'g0'").count() == 0
+    assert S.read_snapshot(spark, t, version=2).count() == 300  # time travel
+
+
+def test_snapshot_update_where_casts_and_copies(spark, tmp_path):
+    """Predicate UPDATE: SET expressions evaluate against the pre-update
+    row, cast to the RECORDED column dtype (a wider expression cannot
+    stage files the committed schema can't read), non-matching rows in
+    touched files copy through unchanged, and unknown SET columns raise."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(90)],
+        "k long, grp string, val double",
+    )
+    S.write_snapshot(spark, df.coalesce(3), t)
+
+    res = S.update_where(spark, t, {"val": "val * 2 + k"}, "grp = 'g1'")
+    assert res["rows_updated"] == 30 and res["rows_copied"] == 60
+    got = {r.k: r.val for r in S.read_snapshot(spark, t).collect()}
+    for k in range(90):
+        want = float(k) * 2 + k if k % 3 == 1 else float(k)
+        assert got[k] == want
+    # the int-typed literal is cast to the recorded double dtype
+    S.update_where(spark, t, {"val": "7"}, "k = 0")
+    assert S.read_snapshot(spark, t).schema["val"].dataType.simpleString() == "double"
+    with _pytest.raises(S.SnapshotError, match="not in table schema"):
+        S.update_where(spark, t, {"nope": "1"}, "k = 1")

@@ -400,6 +400,8 @@ _SNAP_OPS = st.lists(
             st.integers(0, 60), min_size=1, max_size=6)),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("rollback"), st.integers(0, 5)),
+        st.tuples(st.just("delete_where"), st.integers(0, 6)),
+        st.tuples(st.just("update_where"), st.integers(0, 4)),
     ),
     min_size=2,
     max_size=7,
@@ -485,6 +487,21 @@ def test_snapshot_op_sequences_match_versioned_model(
                 v = arg % len(history)
                 rollback(spark, t, v)
                 model = dict(history[v])
+            elif op == "delete_where":
+                st_ = _snap.delete_where(spark, t, f"k % 7 = {arg % 7}")
+                if st_["version"] == -1:
+                    continue  # nothing matched: no commit minted
+                model = {k: v for k, v in model.items() if k % 7 != arg % 7}
+            elif op == "update_where":
+                st_ = _snap.update_where(
+                    spark, t, {"v": "v + 1"}, f"k % 5 = {arg % 5}"
+                )
+                if st_["version"] == -1:
+                    continue
+                model = {
+                    k: (v + 1 if k % 5 == arg % 5 else v)
+                    for k, v in model.items()
+                }
             history.append(model)
 
         # latest + every historical version time-travels to its model
