@@ -1,0 +1,155 @@
+"""Streaming FROM a snapshot table — the Delta "table as a streaming
+source" capability (`spark.readStream.format("delta")`): the commit log
+IS a replayable message bus, so a downstream pipeline can tail a 100 TB
+table incrementally instead of re-scanning it per run.
+
+Spark-first shape: a Python Data Source (Spark 4 `pyspark.sql.datasource`)
+whose stream reader uses COMMIT VERSIONS as offsets. Each micro-batch
+covers the commits in (start, end]; its input partitions are exactly the
+files those commits ADDED — one partition per immutable data file, read
+executor-side via pyarrow and emitted as Arrow record batches (never
+driver-materialized). Offsets are replayable: commits and data files are
+immutable, so checkpoint recovery re-reads the identical file set —
+exactly-once into an idempotent sink.
+
+Change semantics mirror Delta's:
+
+- ``changemode=append`` (default): a commit that REMOVES files (merge,
+  delete_where, replace_range, compact, rollback) fails the stream —
+  silently re-emitting rewritten rows would double-count downstream.
+- ``changemode=ignore_changes``: non-append commits are tolerated and
+  their ADDED files are emitted (Delta's ignoreChanges caveat applies:
+  rewritten files re-emit their copied rows; dedup downstream on a key).
+- ``startingversion=N``: begin tailing at commit N (Delta's
+  startingVersion) instead of 0.
+
+Schema evolution: every batch projects its files through the schema of
+the batch's END version — files written before an evolution null-fill
+appended columns, exactly like the batch read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    abs_path: str | None  # None = planned empty batch (no files added)
+    schema_json: str
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Commit-version offsets over a snapshot table's log."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("ops_snapshot requires .option('path', table_dir)")
+        self.path = path
+        self.mode = options.get("changemode", "append")
+        if self.mode not in ("append", "ignore_changes"):
+            raise ValueError(f"unsupported changemode: {self.mode}")
+        self.start_version = int(options.get("startingversion", 0))
+
+    # -- driver-side planning ------------------------------------------
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"version": self.start_version - 1}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        from ops_spark.io.snapshots import _log_entries
+
+        commits, _ = _log_entries(self.path)
+        return {"version": commits[-1] if commits else -1}
+
+    def partitions(self, start: dict, end: dict) -> list[_FileSlice]:
+        from ops_spark.io.snapshots import SnapshotError, _read_commit, _state
+
+        lo, hi = int(start["version"]), int(end["version"])
+        st = _state(self.path, hi)
+        if st is None or st.schema_json is None:
+            raise SnapshotError(
+                f"not a snapshot table with a recorded schema: {self.path}"
+            )
+        parts: list[_FileSlice] = []
+        for v in range(lo + 1, hi + 1):
+            c = _read_commit(self.path, v)
+            if c["remove"] and self.mode == "append":
+                raise SnapshotError(
+                    f"commit {v} ({c['op']}) removes files; streaming in "
+                    "append mode requires append-only commits — restart "
+                    "with .option('changemode', 'ignore_changes') to "
+                    "re-emit rewritten files (and dedup downstream)"
+                )
+            for rel in c["add"]:
+                parts.append(
+                    _FileSlice(os.path.join(self.path, rel), st.schema_json)
+                )
+        if not parts:  # all-metadata commits: plan one explicit empty slice
+            parts.append(_FileSlice(None, st.schema_json))
+        return parts
+
+    # -- executor-side read (self-contained: no ops_spark imports) -----
+    def read(self, partition: _FileSlice):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+
+        target = _ST.fromJson(json.loads(partition.schema_json))
+        a_schema = to_arrow_schema(target)
+        if partition.abs_path is None:
+            return iter(())
+        tbl = pq.read_table(partition.abs_path)
+        cols = []
+        for field in a_schema:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:  # file predates a schema evolution: null-fill
+                cols.append(pa.nulls(tbl.num_rows, field.type))
+        out = pa.Table.from_arrays(cols, schema=a_schema)
+        return iter(out.to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are recomputable from the immutable log
+
+
+class SnapshotStreamDataSource(DataSource):
+    """spark.readStream.format("ops_snapshot").option("path", dir) —
+    tail a snapshot table's commit log as a micro-batch stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ops_snapshot"
+
+    def schema(self) -> StructType:
+        from ops_spark.io.snapshots import SnapshotError, _state
+
+        st = _state(self.options["path"])
+        if st is None or st.schema_json is None:
+            raise SnapshotError(
+                "not a snapshot table with a recorded schema: "
+                f"{self.options['path']}"
+            )
+        return StructType.fromJson(json.loads(st.schema_json))
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802
+        return SnapshotStreamReader(
+            {k.lower(): v for k, v in self.options.items()}
+        )
+
+
+def register_snapshot_source(spark) -> None:
+    from ops_spark._pickle import register_self
+
+    register_self(__name__)
+    spark.dataSource.register(SnapshotStreamDataSource)

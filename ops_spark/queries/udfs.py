@@ -1051,6 +1051,71 @@ def io_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_stream_tail",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="Streaming FROM a snapshot table (io/snapshot_stream.py "
+    "— Delta's table-as-streaming-source): orders lands as 4 append "
+    "commits, then readStream.format('ops_snapshot') tails the commit "
+    "log — offsets are commit versions, each micro-batch's input "
+    "partitions are exactly the files its commits added, read "
+    "executor-side via pyarrow as Arrow batches. availableNow drains "
+    "the log into a memory sink; the post-sink aggregate must equal the "
+    "plain batch aggregate the oracle computes, so a skipped commit, a "
+    "double-read file, or a mis-projected schema all flip the hash. "
+    "Incremental continuation (checkpoint reads only NEW commits), "
+    "append-mode failure on rewrite commits, ignore_changes, "
+    "startingversion, and schema-evolution projection are pinned in "
+    "test_streaming_extra.py::test_snapshot_stream_*.",
+    tags=("io", "snapshot", "streaming", "source"),
+)
+def io_snapshot_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_tail_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    for i in range(4):  # the CDC-ingest shape a downstream would tail
+        S.write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    sdf = spark.readStream.format("ops_snapshot").option("path", tbl).load()
+    drained = run_bounded(sdf, name=f"snap_tail_{digest}")
+    return drained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@register(
     "io_snapshot_dml",
     oracle="""
     WITH final AS (

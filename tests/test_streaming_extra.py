@@ -221,3 +221,110 @@ def test_streaming_signature_matches_batch_signature(spark):
             assert i not in batch
         else:
             assert batch[i] == py
+
+
+def test_snapshot_table_as_streaming_source(spark, tmp_path):
+    """Streaming FROM a snapshot table (io/snapshot_stream.py — Delta's
+    table-as-source): commit versions are the offsets, each batch reads
+    exactly the files its commits ADDED, and checkpoint recovery is
+    exactly-once (a continuation run reads ONLY commits landed since the
+    checkpoint — pinned by row counts in a durable sink)."""
+    import os
+
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    for base in range(0, 300, 100):
+        df = spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)], "k long, v string"
+        )
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+
+    sdf = spark.readStream.format("ops_snapshot").option("path", tbl).load()
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    out = run_bounded(sdf, checkpoint=ckpt, sink_path=sink)
+    assert out.count() == 300
+
+    for base in (300, 400):  # two more commits land
+        df = spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)], "k long, v string"
+        )
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+    sdf2 = spark.readStream.format("ops_snapshot").option("path", tbl).load()
+    out2 = run_bounded(sdf2, checkpoint=ckpt, sink_path=sink)
+    assert out2.count() == 500  # +200, not a re-read of the first 300
+    assert sorted(r.k for r in out2.collect()) == list(range(500))
+
+
+def test_snapshot_stream_change_modes_and_starting_version(spark, tmp_path):
+    """append mode FAILS on a commit that removes files (re-emitting
+    rewritten rows would double-count downstream); ignore_changes
+    tolerates it and re-emits the rewritten file's rows (Delta's
+    ignoreChanges caveat); startingversion tails from a later commit."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    for base in range(0, 200, 100):
+        df = spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)], "k long, v string"
+        )
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+    S.delete_where(spark, tbl, "k < 50")  # v2: removes + re-adds
+
+    with _pytest.raises(Exception, match="removes files"):
+        run_bounded(
+            spark.readStream.format("ops_snapshot").option("path", tbl).load(),
+            name="snap_append_fail",
+        )
+
+    ic = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "ignore_changes")
+        .load()
+    )
+    out = run_bounded(ic, name="snap_ic")
+    # 200 original adds + the 50 retained rows of the rewritten file
+    assert out.count() == 250
+
+    sv = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "ignore_changes")
+        .option("startingversion", "2")
+        .load()
+    )
+    assert run_bounded(sv, name="snap_sv").count() == 50
+
+
+def test_snapshot_stream_projects_through_evolved_schema(spark, tmp_path):
+    """A batch projects its files through the schema of the batch's END
+    version: files written before a schema evolution null-fill the
+    appended column, exactly like the batch read path."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    S.write_snapshot(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), tbl
+    )
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, w double"),
+        tbl,
+        mode="append",
+    )
+    sdf = spark.readStream.format("ops_snapshot").option("path", tbl).load()
+    assert [f.name for f in sdf.schema.fields] == ["k", "v", "w"]
+    got = {r.k: (r.v, r.w) for r in run_bounded(sdf, name="snap_evo").collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
