@@ -737,6 +737,118 @@ def cdc_soak_probe(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def log_checkpoint_probe(spark) -> dict:
+    """Metadata-plane cost of a LONG snapshot commit log. The CDC sink
+    mints one commit per micro-batch — a week of 1-minute batches is
+    ~10k commits — and the naive state fold opens every commit JSON on
+    the driver per read. This probe builds a table whose log has 4,000
+    commits (the first through the real writer, the rest synthesized
+    with realistic add/stats entries: the fold is pure metadata, no data
+    I/O is involved either way), then measures the fold naive vs through
+    the checkpoint the interval would have maintained, asserting the two
+    states are IDENTICAL. Reported speedup is driver wall per read —
+    the cost every reader and every merge of a long-lived table pays."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    import ops_spark.io.snapshots as S
+
+    tbl = os.path.join(
+        tempfile.gettempdir(), f"ops_scale_logck_{_uuid.uuid4().hex[:6]}"
+    )
+    # CDC-merge log shape: every commit ADDS files and REMOVES the ones a
+    # compaction window ago, so the live set stays ~bounded (2k files)
+    # while the log grows without bound — exactly what a long-lived
+    # merge_stream + compact_snapshot table looks like.
+    n_commits, files_per, window = 10_000, 4, 500
+    try:
+        seed = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        S.write_snapshot(spark, seed.coalesce(1), tbl)  # real v0 (schema)
+
+        def _files(v):
+            return [f"data/v{v}-synth-{i}.parquet" for i in range(files_per)]
+
+        for v in range(1, n_commits):
+            add = _files(v)
+            stats = {
+                rel: {
+                    "rows": 1000,
+                    "minmax": {
+                        "k": [v * 1000 + i * 250, v * 1000 + (i + 1) * 250 - 1]
+                    },
+                }
+                for i, rel in enumerate(add)
+            }
+            S._atomic_commit(
+                tbl,
+                {
+                    "version": v,
+                    "op": "merge",
+                    "add": add,
+                    "remove": _files(v - window) if v > window else [],
+                    "stats": stats,
+                },
+            )
+        S.LOG_COMMIT_READS = 0
+        t0 = time.perf_counter()
+        st_naive = S._state(tbl)  # no checkpoint exists yet: full replay
+        naive_sec = time.perf_counter() - t0
+        naive_reads = S.LOG_COMMIT_READS
+
+        last_ck = (n_commits - 1) // S.CHECKPOINT_INTERVAL * S.CHECKPOINT_INTERVAL
+        t0 = time.perf_counter()
+        S._write_checkpoint(tbl, last_ck)
+        ck_write_sec = time.perf_counter() - t0
+
+        S.LOG_COMMIT_READS = 0
+        t0 = time.perf_counter()
+        st_ck = S._state(tbl)
+        ck_sec = time.perf_counter() - t0
+        ck_reads = S.LOG_COMMIT_READS
+
+        # checkpoint drops dead entries: its stats map must cover exactly
+        # the LIVE set (removed synthetic files do not exist on disk), so
+        # compare stats restricted to live files; the live set + schema
+        # must match the naive fold exactly
+        live_set = set(st_naive.live)
+        identical = (
+            st_ck.live == st_naive.live
+            and {k: v for k, v in st_ck.stats.items() if k in live_set}
+            == {k: v for k, v in st_naive.stats.items() if k in live_set}
+            and st_ck.schema_json == st_naive.schema_json
+        )
+        # time travel BELOW the checkpoint still folds correctly
+        mid_v = n_commits // 2
+        mid = S._state(tbl, mid_v)
+        tt_ok = len(mid.live) == 1 + files_per * window
+        return {
+            "n_commits": n_commits,
+            "live_files": len(st_naive.live),
+            "naive_fold_sec": round(naive_sec, 3),
+            "naive_commit_reads": naive_reads,
+            "checkpoint_write_sec": round(ck_write_sec, 3),
+            "checkpointed_fold_sec": round(ck_sec, 4),
+            "checkpointed_commit_reads": ck_reads,
+            "fold_wall_speedup": round(naive_sec / max(ck_sec, 1e-9), 1),
+            # the object-store metric: each naive open is a round trip
+            "metadata_opens_reduction": round(
+                naive_reads / max(ck_reads + 1, 1), 1
+            ),
+            "state_identical": bool(identical),
+            "time_travel_below_checkpoint_ok": bool(tt_ok),
+            "note": "walls are warm-page-cache local ext4; on an object "
+            "store each naive open is a network round trip, so the opens "
+            "reduction is the operative number",
+        }
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
@@ -748,6 +860,7 @@ def main() -> None:
     ap.add_argument("--zipf", action="store_true", help="zipf-skewed-key flagship runs (hot near-dup cluster, hot user, star graph)")
     ap.add_argument("--zipf-only", action="store_true", help="run ONLY the zipf probe (plus derive if needed)")
     ap.add_argument("--cdc-soak", action="store_true", help="streaming-CDC maintenance soak: merge_stream + compact/vacuum interleave at scale")
+    ap.add_argument("--log-checkpoint", action="store_true", help="metadata-plane probe: 4k-commit log fold, naive vs checkpointed")
     ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH_SCALE.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     args = ap.parse_args()
 
@@ -780,6 +893,8 @@ def main() -> None:
             report["zipf_probe"] = zipf_probe(spark, args.out)
         if args.cdc_soak:
             report["cdc_soak"] = cdc_soak_probe(spark, args.out)
+        if args.log_checkpoint:
+            report["log_checkpoint_probe"] = log_checkpoint_probe(spark)
         if not args.skip_spill:
             report["spill_probe"] = spill_probe(args.out)
     spark.stop()

@@ -5,8 +5,11 @@ for why the round-1 driver run truncated after 50 entries."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import ops_spark.queries as q
 from ops_spark.conformance import compare
