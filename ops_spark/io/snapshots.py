@@ -174,17 +174,25 @@ def _read_commit(path: str, version: int) -> dict:
 
 class _State:
     """Folded table state as of one version: the live file set, every
-    known per-file stats entry, and the schema. Built from the newest
-    checkpoint <= version plus a replay of only the tail commits."""
+    known per-file stats entry, the schema, and the CHECK constraints.
+    Built from the newest checkpoint <= version plus a replay of only
+    the tail commits."""
 
-    __slots__ = ("latest", "version", "live", "stats", "schema_json", "commit_reads")
+    __slots__ = (
+        "latest", "version", "live", "stats", "schema_json",
+        "constraints", "commit_reads",
+    )
 
-    def __init__(self, latest, version, live, stats, schema_json, commit_reads):
+    def __init__(
+        self, latest, version, live, stats, schema_json, constraints,
+        commit_reads,
+    ):
         self.latest = latest
         self.version = version
         self.live = live  # sorted list[str]
         self.stats = stats  # rel -> {rows, minmax}
         self.schema_json = schema_json
+        self.constraints = constraints  # name -> SQL boolean expr
         self.commit_reads = commit_reads
 
     @property
@@ -203,6 +211,7 @@ def _read_checkpoint(path: str, version: int) -> tuple[set, dict, str | None]:
     t = pq.read_table(_checkpoint_path(path, version))
     meta = t.schema.metadata or {}
     schema_json = meta.get(b"schema", b"").decode() or None
+    constraints = json.loads(meta.get(b"constraints", b"{}").decode() or "{}")
     live: set[str] = set()
     stats: dict[str, dict] = {}
     for rel, is_live, rows, mm in zip(
@@ -215,7 +224,7 @@ def _read_checkpoint(path: str, version: int) -> tuple[set, dict, str | None]:
             live.add(rel)
         if mm is not None:
             stats[rel] = {"rows": rows, "minmax": json.loads(mm)}
-    return live, stats, schema_json
+    return live, stats, schema_json, constraints
 
 
 def _state(path: str, version: int | None = None) -> _State | None:
@@ -237,16 +246,17 @@ def _state(path: str, version: int | None = None) -> _State | None:
     live: set[str] = set()
     stats: dict[str, dict] = {}
     schema_json: str | None = None
+    constraints: dict = {}
     start = 0
     for base in reversed([c for c in ckpt_vs if c <= v]):
         try:
-            live, stats, schema_json = _read_checkpoint(path, base)
+            live, stats, schema_json, constraints = _read_checkpoint(path, base)
             start = base + 1
             break
         except Exception:
             # unreadable/corrupt checkpoint: try an older one, finally
             # the full replay — checkpoints only ever accelerate
-            live, stats, schema_json = set(), {}, None
+            live, stats, schema_json, constraints = set(), {}, None, {}
     reads = 0
     for i in range(start, v + 1):
         c = _read_commit(path, i)
@@ -256,7 +266,9 @@ def _state(path: str, version: int | None = None) -> _State | None:
         stats.update(c.get("stats") or {})
         if c.get("schema"):
             schema_json = c["schema"]
-    return _State(latest, v, sorted(live), stats, schema_json, reads)
+        if "constraints" in c:  # full map per constraint-changing commit
+            constraints = c["constraints"]
+    return _State(latest, v, sorted(live), stats, schema_json, constraints, reads)
 
 
 def _write_checkpoint(path: str, version: int) -> None:
@@ -292,6 +304,8 @@ def _write_checkpoint(path: str, version: int) -> None:
     meta = {b"snapshot_version": str(version).encode()}
     if st.schema_json:
         meta[b"schema"] = st.schema_json.encode()
+    if st.constraints:
+        meta[b"constraints"] = json.dumps(st.constraints).encode()
     table = table.replace_schema_metadata(meta)
     final = _checkpoint_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -334,6 +348,31 @@ def latest_version(path: str) -> int:
     return commit_vs[-1]
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
+    """Inject CHECK-constraint enforcement INTO the write job (the Delta
+    CheckConstraintExec idea): a filter over assert_true raises on the
+    first violating row during the same scan that stages the data — no
+    separate validation pass. SQL CHECK semantics: a constraint that
+    evaluates NULL passes. The guard filter keeps every non-violating
+    row (assert_true returns NULL), so the staged data is unchanged."""
+    if not constraints:
+        return df
+    from pyspark.sql import functions as F
+
+    guard = None
+    for name, expr in sorted(constraints.items()):
+        ok = F.coalesce(F.expr(expr), F.lit(True))
+        checked = F.assert_true(
+            ok,
+            F.concat(
+                F.lit(f"CHECK constraint '{name}' violated ({expr}); row: "),
+                F.to_json(F.struct("*")),
+            ),
+        ).isNull()  # NULL (i.e. true) for every passing row
+        guard = checked if guard is None else (guard & checked)
+    return df.filter(guard)
+
+
 def _stage_add(df: DataFrame, path: str, version: int) -> list[str]:
     """Write ``df`` through Spark's own committer into a scratch dir (so
     executor-side task retries stay exactly-once), then move the finished
@@ -341,7 +380,13 @@ def _stage_add(df: DataFrame, path: str, version: int) -> list[str]:
     paths; nothing is visible to readers until a commit references them."""
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    try:
+        df.write.mode("overwrite").parquet(stage)
+    except Exception:
+        # e.g. a CHECK-constraint violation raised inside the write job:
+        # drop the half-staged scratch dir before propagating
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     added = []
     for nm in sorted(os.listdir(stage)):
         if nm.endswith(".parquet") and not nm.startswith("."):
@@ -498,7 +543,9 @@ def write_snapshot(
     schema = df.schema
     if mode == "append" and st is not None:
         schema = _evolve_schema(st.schema, df.schema)
-    added = _stage_add(df, path, version)
+    added = _stage_add(
+        _enforce_constraints(df, st.constraints if st else {}), path, version
+    )
     removed = st.live if (mode == "overwrite" and st is not None) else []
     try:
         _atomic_commit(
@@ -586,6 +633,70 @@ def read_snapshot(
     else:
         out = spark.read.parquet(*paths)
     return out.filter(pred) if pred is not None else out
+
+
+def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """Delta's ALTER TABLE ADD CONSTRAINT (CHECK): validate every
+    EXISTING row against the SQL boolean ``expr`` (one scan — a
+    constraint the current data violates is rejected, Delta's rule),
+    then commit the constraint as metadata. Every subsequent write
+    (append/overwrite/merge/replace_range/update_where) enforces it
+    INSIDE the write job and fails before anything commits. SQL CHECK
+    semantics: rows where ``expr`` evaluates NULL pass."""
+    from pyspark.sql import functions as F
+
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    if name in st.constraints:
+        raise SnapshotError(f"constraint already exists: {name}")
+    if st.live:
+        bad = (
+            read_snapshot(spark, path)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise SnapshotError(
+                f"existing rows violate CHECK ({expr}), e.g. {bad[0]}"
+            )
+    version = st.latest + 1
+    _atomic_commit(
+        path,
+        {
+            "version": version,
+            "op": f"add_constraint:{name}",
+            "add": [],
+            "remove": [],
+            "constraints": {**st.constraints, name: expr},
+        },
+    )
+    _maybe_checkpoint(path, version)
+    return version
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    if name not in st.constraints:
+        raise SnapshotError(f"no such constraint: {name}")
+    version = st.latest + 1
+    remaining = {k: v for k, v in st.constraints.items() if k != name}
+    _atomic_commit(
+        path,
+        {
+            "version": version,
+            "op": f"drop_constraint:{name}",
+            "add": [],
+            "remove": [],
+            "constraints": remaining,
+        },
+    )
+    _maybe_checkpoint(path, version)
+    return version
 
 
 def rollback(spark: SparkSession, path: str, version: int) -> int:
@@ -917,7 +1028,15 @@ def merge_snapshot(
                 F.count(F.lit(1)).alias("n")
             ).collect()
         }
-        added = _stage_add(merged.drop("__action"), path, version) if counts else []
+        added = (
+            _stage_add(
+                _enforce_constraints(merged.drop("__action"), st.constraints),
+                path,
+                version,
+            )
+            if counts
+            else []
+        )
     finally:
         merged.unpersist()
     if not counts and not touched:  # empty source, nothing touched
@@ -1064,7 +1183,7 @@ def replace_range(
         )
         n_retained = retained.count()
         new = new.unionByName(retained)
-    added = _stage_add(new, path, version)
+    added = _stage_add(_enforce_constraints(new, st.constraints), path, version)
     try:
         _atomic_commit(
             path,
@@ -1231,7 +1350,7 @@ def update_where(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(cond, 1)).alias("matched"),
     ).first()
-    added = _stage_add(updated, path, version)
+    added = _stage_add(_enforce_constraints(updated, st.constraints), path, version)
     try:
         _atomic_commit(
             path,

@@ -1116,6 +1116,85 @@ def io_snapshot_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_constraint",
+    oracle="""
+    WITH cap AS (
+      SELECT CAST(floor(max(floor(o_totalprice * 100 + 0.5)) / 2) AS BIGINT)
+        AS c
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders, cap
+    WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) <= c
+    GROUP BY o_orderpriority
+    """,
+    description="CHECK constraints on a snapshot table (io/snapshots.py:"
+    "add_constraint — Delta ADD CONSTRAINT): the table is seeded with "
+    "orders under a price cap and constrained to cents <= cap; the "
+    "query then TRIES to append the full remainder (which contains "
+    "violators) — enforcement inside the write job must raise and "
+    "commit nothing — and falls back to appending only the valid rows. "
+    "The final aggregate equals the oracle's capped aggregate, so a "
+    "silently-passed violating append (extra rows) or a lost valid "
+    "append both flip the hash: the gate itself is load-bearing. "
+    "History validation, NULL-pass semantics, and per-writer "
+    "enforcement are pinned in test_io.py::test_snapshot_check_"
+    "constraints.",
+    tags=("io", "snapshot", "constraint", "quality"),
+)
+def io_snapshot_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_ck_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cap = base.agg(F.floor(F.max("cents") / 2).cast("bigint").alias("c")).first().c
+    seed = base.filter((F.col("cents") <= cap) & (F.col("o_orderkey") % 2 == 0))
+    S.write_snapshot(spark, seed, tbl)
+    S.add_constraint(spark, tbl, "cents_cap", f"cents <= {cap}")
+    rest = base.filter(F.col("o_orderkey") % 2 == 1)  # contains violators
+    try:
+        S.write_snapshot(spark, rest, tbl, mode="append")
+        raise S.SnapshotError(
+            "constraint gate silently passed a violating append"
+        )
+    except S.SnapshotError:
+        raise
+    except Exception:
+        # the expected in-job CHECK violation: quarantine-split instead
+        S.write_snapshot(
+            spark, rest.filter(F.col("cents") <= cap), tbl, mode="append"
+        )
+    return (
+        S.read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+@register(
     "io_snapshot_dml",
     oracle="""
     WITH final AS (

@@ -2462,3 +2462,82 @@ def test_snapshot_update_where_casts_and_copies(spark, tmp_path):
     assert S.read_snapshot(spark, t).schema["val"].dataType.simpleString() == "double"
     with _pytest.raises(S.SnapshotError, match="not in table schema"):
         S.update_where(spark, t, {"nope": "1"}, "k = 1")
+
+
+def test_snapshot_check_constraints(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT shape): add_constraint
+    validates all EXISTING rows first and rejects a violated one;
+    afterwards every write path (append, merge, update_where) enforces
+    the constraint INSIDE the write job — the violating write raises,
+    nothing commits, and no stage orphans survive. SQL semantics: a
+    NULL-evaluating constraint passes. drop_constraint re-opens the
+    gate, and constraints ride checkpointed folds."""
+    import os
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([(1, 10.0), (2, None)], "k long, v double"),
+        t,
+    )
+    S.add_constraint(spark, t, "v_positive", "v > 0")  # NULL row passes
+    with _pytest.raises(S.SnapshotError, match="existing rows violate"):
+        S.add_constraint(spark, t, "k_big", "k > 5")
+
+    S.write_snapshot(
+        spark, spark.createDataFrame([(3, 5.5)], "k long, v double"), t,
+        mode="append",
+    )
+    pre = S.latest_version(t)
+    with _pytest.raises(Exception, match="v_positive"):
+        S.write_snapshot(
+            spark, spark.createDataFrame([(4, -1.0)], "k long, v double"), t,
+            mode="append",
+        )
+    assert S.latest_version(t) == pre  # violating write committed nothing
+    assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
+    with _pytest.raises(Exception, match="v_positive"):
+        S.merge_snapshot(
+            spark, t,
+            spark.createDataFrame([(1, -9.0)], "k long, v double"), on=["k"],
+        )
+    with _pytest.raises(Exception, match="v_positive"):
+        S.update_where(spark, t, {"v": "-v"}, "k = 1")
+
+    S.drop_constraint(spark, t, "v_positive")
+    S.write_snapshot(
+        spark, spark.createDataFrame([(6, -1.0)], "k long, v double"), t,
+        mode="append",
+    )
+    assert S.read_snapshot(spark, t).count() == 4
+
+    # constraints persist through a checkpointed fold
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 2
+    try:
+        t2 = str(tmp_path / "tbl2")
+        S.write_snapshot(
+            spark, spark.createDataFrame([(1, 1.0)], "k long, v double"), t2
+        )
+        S.add_constraint(spark, t2, "pos", "v > 0")
+        for i in range(4):
+            S.write_snapshot(
+                spark,
+                spark.createDataFrame([(10 + i, 1.0)], "k long, v double"),
+                t2,
+                mode="append",
+            )
+        assert S._state(t2).constraints == {"pos": "v > 0"}
+        with _pytest.raises(Exception, match="pos"):
+            S.write_snapshot(
+                spark,
+                spark.createDataFrame([(99, -2.0)], "k long, v double"),
+                t2,
+                mode="append",
+            )
+    finally:
+        S.CHECKPOINT_INTERVAL = old
