@@ -2322,7 +2322,7 @@ def test_snapshot_checkpoint_drops_vacuumed_stats(spark, tmp_path):
         S.write_snapshot(spark, df, t, mode="overwrite")  # v4: orphan v0-v3 files
         S.vacuum(t, retain_last=1)  # physically delete the old files
         S._write_checkpoint(t, 4)
-        live, stats, _ = S._read_checkpoint(t, 4)
+        live, stats, _, _ = S._read_checkpoint(t, 4)
         assert len(live) >= 1
         assert set(stats) == set(live)  # vacuumed entries dropped
         assert S.read_snapshot(spark, t).count() == 1
