@@ -1026,7 +1026,10 @@ def io_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(n_commits):  # one commit per micro-batch, CDC-sink style
         S.write_snapshot(
             spark,
-            base.filter(F.col("o_orderkey") % n_commits == i).coalesce(1),
+            # repartition, not coalesce: coalesce(1) would collapse the SCAN
+            # to one task too; this keeps the filter parallel and only
+            # funnels the small slice into a single staged file
+            base.filter(F.col("o_orderkey") % n_commits == i).repartition(1),
             tbl,
             mode="append",
         )
@@ -1103,7 +1106,7 @@ def io_snapshot_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(4):  # the CDC-ingest shape a downstream would tail
         S.write_snapshot(
             spark,
-            base.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
+            base.filter(F.col("o_orderkey") % 4 == i).repartition(2),
             tbl,
             mode="append",
         )
