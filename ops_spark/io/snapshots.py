@@ -126,7 +126,11 @@ def _live_files(commits: list[dict], version: int) -> list[str]:
 def _atomic_commit(path: str, commit: dict) -> None:
     """Exclusive commit: link(2) fails with EEXIST if the version file
     already exists, so a concurrent writer loses cleanly instead of
-    silently overwriting the log."""
+    silently overwriting the log. Every commit is stamped with the wall
+    clock (``ts``) for timestamp time travel and time-based retention."""
+    import time as _time
+
+    commit.setdefault("ts", _time.time())
     os.makedirs(_log_dir(path), exist_ok=True)
     final = _commit_path(path, commit["version"])
     tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -329,16 +333,59 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 
 
 def history(path: str) -> list[dict]:
-    """The commit log, oldest first: [{version, op, n_add, n_remove}, …]."""
+    """The commit log, oldest first:
+    [{version, op, ts, n_add, n_remove}, …]."""
     return [
         {
             "version": c["version"],
             "op": c["op"],
+            "ts": c.get("ts"),
             "n_add": len(c["add"]),
             "n_remove": len(c["remove"]),
         }
         for c in _read_commits(path)
     ]
+
+
+def _as_epoch(timestamp) -> float:
+    """Accept epoch seconds, datetime, or an ISO-8601 string."""
+    import datetime
+
+    if isinstance(timestamp, (int, float)):
+        return float(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        return timestamp.timestamp()
+    if isinstance(timestamp, str):
+        return datetime.datetime.fromisoformat(timestamp).timestamp()
+    raise SnapshotError(f"unsupported timestamp: {timestamp!r}")
+
+
+def _version_at_timestamp(path: str, timestamp) -> int:
+    """The newest version committed at or before ``timestamp`` (Delta's
+    timestampAsOf rule). Commit ``ts`` stamps are wall-clock and assumed
+    monotone per table (single writer per version); resolution is a
+    binary search over the log — O(log commits) commit opens, never a
+    full replay. Legacy commits without a stamp sort oldest."""
+    want = _as_epoch(timestamp)
+    commit_vs, _ = _log_entries(path)
+    if not commit_vs:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    lo, hi, best = 0, commit_vs[-1], -1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        ts = _read_commit(path, mid).get("ts") or 0.0
+        if ts <= want:
+            best = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if best < 0:
+        first = _read_commit(path, 0).get("ts")
+        raise SnapshotError(
+            f"no version at or before {timestamp!r}; the table's first "
+            f"commit is ts={first}"
+        )
+    return best
 
 
 def latest_version(path: str) -> int:
@@ -571,10 +618,16 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     key_range: tuple[str, object, object] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). The scan gets
     the explicit live-file list — never a directory listing — so
     concurrent stage/commit activity can't tear a read.
+
+    ``timestamp`` (epoch seconds, datetime, or ISO string — mutually
+    exclusive with ``version``) is Delta's timestampAsOf: reads the
+    newest version committed at or before that instant ("the corpus as
+    of the run that trained model X", addressed by when, not by which).
 
     ``key_range=(col, lo, hi)`` is the READ-side data-skipping path (the
     Delta/Iceberg "file skipping" a time-keyed 100 TB table lives on):
@@ -584,6 +637,10 @@ def read_snapshot(
     is applied on top (pruning is a safe over-approximation, never a
     substitute for the predicate). A None bound is unbounded on that
     side. Files without usable log stats stay in the scan."""
+    if timestamp is not None:
+        if version is not None:
+            raise SnapshotError("pass version OR timestamp, not both")
+        version = _version_at_timestamp(path, timestamp)
     st = _state(path, version)
     if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
@@ -1376,14 +1433,35 @@ def update_where(
     }
 
 
-def vacuum(path: str, retain_last: int = 2) -> dict:
-    """Delete data files referenced ONLY by versions older than the last
-    ``retain_last`` versions (plus any never-committed stage orphans).
+def vacuum(
+    path: str, retain_last: int = 2, retain_hours: float | None = None
+) -> dict:
+    """Delete data files referenced ONLY by versions outside the
+    retention window (plus any never-committed stage orphans). The
+    window is the last ``retain_last`` versions; ``retain_hours``
+    (Delta's time-based retention, default 168h there) WIDENS it to
+    also keep every version committed within that many hours — the two
+    compose as a union, so a burst of CDC commits can never vacuum away
+    an hour-old version just because many versions followed it.
     Returns {removed_files, removed_bytes, retained_from_version}."""
+    import time as _time
+
     st = _state(path)
     if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
     keep_from = max(0, st.latest + 1 - retain_last)
+    if retain_hours is not None:
+        cutoff = _time.time() - retain_hours * 3600.0
+        # oldest version still inside the time window (binary search)
+        lo, hi, first_in = 0, st.latest, st.latest + 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if (_read_commit(path, mid).get("ts") or 0.0) >= cutoff:
+                first_in = mid
+                hi = mid - 1
+            else:
+                lo = mid + 1
+        keep_from = min(keep_from, first_in)
     keep: set[str] = set(st.live)
     for v in range(keep_from, st.latest):
         keep |= set(_state(path, v).live)

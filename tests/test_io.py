@@ -2541,3 +2541,45 @@ def test_snapshot_check_constraints(spark, tmp_path):
             )
     finally:
         S.CHECKPOINT_INTERVAL = old
+
+
+def test_snapshot_timestamp_travel_and_time_retention(spark, tmp_path):
+    """timestampAsOf (Delta rule: newest version committed at or before
+    the instant; resolution is an O(log commits) binary search over the
+    stamped log) and time-based vacuum retention (retain_hours WIDENS
+    the retain_last window — union, so a commit burst can never vacuum
+    an in-window version)."""
+    import datetime
+    import json
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        S.write_snapshot(
+            spark, spark.createDataFrame([(i, i)], "k long, v long"), t,
+            mode="append",
+        )
+    for v in range(4):  # deterministic stamps: v0..v3 at 100..400
+        p = S._commit_path(t, v)
+        c = json.load(open(p))
+        c["ts"] = 100.0 * (v + 1)
+        json.dump(c, open(p, "w"))
+
+    assert S.read_snapshot(spark, t, timestamp=250).count() == 2  # v1
+    assert S.read_snapshot(spark, t, timestamp=400).count() == 4  # exact = v3
+    assert S.read_snapshot(spark, t, timestamp=1e12).count() == 4  # future
+    iso = datetime.datetime.fromtimestamp(250).isoformat()
+    assert S.read_snapshot(spark, t, timestamp=iso).count() == 2
+    with _pytest.raises(S.SnapshotError, match="no version at or before"):
+        S.read_snapshot(spark, t, timestamp=50)
+    with _pytest.raises(S.SnapshotError, match="not both"):
+        S.read_snapshot(spark, t, version=1, timestamp=250)
+    assert [x["ts"] for x in S.history(t)] == [100.0, 200.0, 300.0, 400.0]
+
+    # retain_last=1 alone would retire v0-v2; a wide time window keeps all
+    r = S.vacuum(t, retain_last=1, retain_hours=1e9)
+    assert r["removed_files"] == 0 and r["retained_from_version"] == 0
+    assert S.read_snapshot(spark, t, version=0).count() == 1
