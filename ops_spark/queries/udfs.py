@@ -1269,6 +1269,98 @@ def io_snapshot_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_ivm",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 97 = 0 THEN cents * 2 ELSE cents END
+               AS cents
+      FROM base WHERE o_orderkey % 83 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, '7-IVM', cents
+      FROM base WHERE o_orderkey % 89 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderpriority
+    """,
+    description="Incremental view maintenance over the change data feed "
+    "(io/snapshots.py:incremental_aggregate): a SUM/COUNT rollup state "
+    "is bootstrapped at v0, then two CDC merges land (price doubling + "
+    "synthetic inserts; then deletes) and the state is advanced by "
+    "signed deltas from snapshot_diff — post-images add, pre-images "
+    "subtract — reading only the churned files, never the table. The "
+    "returned state must equal the oracle's full recompute from raw "
+    "orders: a missed pre-image, a double-applied post-image, or an "
+    "undropped empty group all flip the hash. Chained maintenance and "
+    "group-key moves are pinned in "
+    "test_io.py::test_snapshot_incremental_aggregate.",
+    tags=("io", "snapshot", "ivm", "cdf", "maintenance"),
+)
+def io_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_ivm_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    S.write_snapshot(spark, base.repartitionByRange(8, "o_orderkey"), tbl)
+    state = S.aggregate_snapshot(
+        spark, tbl, ["o_orderpriority"], {"total_cents": "cents"}
+    ).persist()
+    state.count()  # materialize the v0 state before the CDC batches land
+
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    inserts = base.filter(F.col("o_orderkey") % 89 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("7-IVM").alias("o_orderpriority"),
+        "cents",
+    )
+    S.merge_snapshot(spark, tbl, updates.unionByName(inserts), on=["o_orderkey"])
+    S.merge_snapshot(
+        spark,
+        tbl,
+        base.filter(F.col("o_orderkey") % 83 == 0).select("o_orderkey"),
+        on=["o_orderkey"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    out = S.incremental_aggregate(
+        spark,
+        tbl,
+        0,
+        S.latest_version(tbl),
+        on=["o_orderkey"],
+        group_by=["o_orderpriority"],
+        sums={"total_cents": "cents"},
+        state=state,
+    )
+    return out.select("o_orderpriority", "n_rows", "total_cents")
+
+
+@register(
     "io_snapshot_replace_range",
     oracle="""
     WITH bounds AS (

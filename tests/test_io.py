@@ -2583,3 +2583,60 @@ def test_snapshot_timestamp_travel_and_time_retention(spark, tmp_path):
     r = S.vacuum(t, retain_last=1, retain_hours=1e9)
     assert r["removed_files"] == 0 and r["retained_from_version"] == 0
     assert S.read_snapshot(spark, t, version=0).count() == 1
+
+
+def test_snapshot_incremental_aggregate(spark, tmp_path):
+    """IVM over the CDF: advancing a SUM/COUNT state by signed
+    snapshot_diff deltas equals the full recompute after updates,
+    inserts, deletes, a group-key MOVE, and a chained second advance;
+    a group whose count reaches zero drops from the state."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, f"g{i % 3}", i * 10) for i in range(100)]
+    S.write_snapshot(
+        spark, spark.createDataFrame(rows, "k long, grp string, cents long"), t
+    )
+    state = S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"})
+    state.persist()
+    state.count()
+
+    S.merge_snapshot(  # update + insert + key MOVE (k=6: g0 -> g1)
+        spark, t,
+        spark.createDataFrame(
+            [(5, "g2", 999), (6, "g1", 60), (200, "g0", 7)],
+            "k long, grp string, cents long",
+        ),
+        on=["k"],
+    )
+    S.merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(9,), (12,)], "k long"),
+        on=["k"], when_matched="delete", when_not_matched="ignore",
+    )
+    mid = S.latest_version(t)
+    inc = S.incremental_aggregate(
+        spark, t, 0, mid, ["k"], ["grp"], {"total": "cents"}, state
+    )
+    full = S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"})
+    got = {r.grp: (r.n_rows, r.total) for r in inc.collect()}
+    want = {r.grp: (r.n_rows, r.total) for r in full.collect()}
+    assert got == want
+
+    # chained advance + zero-drop: delete every g1 row
+    g1 = [(r.k,) for r in
+          S.read_snapshot(spark, t).where("grp='g1'").select("k").collect()]
+    S.merge_snapshot(
+        spark, t, spark.createDataFrame(g1, "k long"),
+        on=["k"], when_matched="delete", when_not_matched="ignore",
+    )
+    inc2 = S.incremental_aggregate(
+        spark, t, mid, S.latest_version(t), ["k"], ["grp"],
+        {"total": "cents"}, inc,
+    )
+    got2 = {r.grp: (r.n_rows, r.total) for r in inc2.collect()}
+    want2 = {
+        r.grp: (r.n_rows, r.total)
+        for r in S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"}).collect()
+    }
+    assert got2 == want2 and "g1" not in got2
