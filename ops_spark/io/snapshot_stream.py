@@ -21,7 +21,20 @@ Change semantics mirror Delta's:
   their ADDED files are emitted (Delta's ignoreChanges caveat applies:
   rewritten files re-emit their copied rows; dedup downstream on a key).
 - ``startingversion=N``: begin tailing at commit N (Delta's
-  startingVersion) instead of 0.
+  startingVersion) instead of 0. N beyond the current head is fine:
+  the offset holds at N-1 until the log catches up, so no batch is
+  ever planned with end < start and no commit below N is emitted.
+- ``maxfilespertrigger=K``: admission control (Delta's
+  maxFilesPerTrigger). Each micro-batch advances the end offset only
+  through as many whole commits as fit K added files — a backlogged
+  tail drains as several bounded batches instead of one giant plan.
+  Commits are never split (the offset is a version number), and a
+  single commit larger than K still admits alone so the stream always
+  progresses. Pacing needs the current read position, which the
+  driver-side reader learns from initialOffset/partitions/commit; on
+  the rare restart path where the first latestOffset runs before
+  either (fresh trigger, no replayed batch), that one batch is
+  unpaced — pacing resumes at the next trigger.
 
 Schema evolution: every batch projects its files through the schema of
 the batch's END version — files written before an evolution null-fill
@@ -60,21 +73,43 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if self.mode not in ("append", "ignore_changes"):
             raise ValueError(f"unsupported changemode: {self.mode}")
         self.start_version = int(options.get("startingversion", 0))
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxfilespertrigger must be >= 1")
+        self._cursor: int | None = None  # last planned/committed end
 
     # -- driver-side planning ------------------------------------------
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        self._cursor = self.start_version - 1
         return {"version": self.start_version - 1}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
-        from ops_spark.io.snapshots import _log_entries
+        from ops_spark.io.snapshots import _log_entries, _read_commit
 
         commits, _ = _log_entries(self.path)
-        return {"version": commits[-1] if commits else -1}
+        head = commits[-1] if commits else -1
+        # startingversion beyond the current head: hold the offset at
+        # start-1 so the first real batch begins exactly there once the
+        # log catches up (never end < start, never early commits)
+        head = max(head, self.start_version - 1)
+        if self.max_files is not None and self._cursor is not None:
+            files, paced = 0, self._cursor
+            for v in range(self._cursor + 1, head + 1):
+                files += len(_read_commit(self.path, v)["add"])
+                if files > self.max_files and paced > self._cursor:
+                    break  # admit whole commits only, always >= 1
+                paced = v
+                if files >= self.max_files:
+                    break
+            head = paced
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict) -> list[_FileSlice]:
         from ops_spark.io.snapshots import SnapshotError, _read_commit, _state
 
         lo, hi = int(start["version"]), int(end["version"])
+        self._cursor = max(self._cursor if self._cursor is not None else hi, hi)
         st = _state(self.path, hi)
         if st is None or st.schema_json is None:
             raise SnapshotError(
@@ -120,7 +155,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return iter(out.to_batches())
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are recomputable from the immutable log
+        # offsets are recomputable from the immutable log; tracking the
+        # committed end here only feeds maxfilespertrigger pacing
+        v = int(end["version"])
+        self._cursor = max(self._cursor if self._cursor is not None else v, v)
 
 
 class SnapshotStreamDataSource(DataSource):

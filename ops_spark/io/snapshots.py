@@ -208,8 +208,11 @@ class _State:
         return StructType.fromJson(json.loads(self.schema_json))
 
 
-def _read_checkpoint(path: str, version: int) -> tuple[set, dict, str | None]:
-    """Load a checkpoint's (live set, stats map, schema json)."""
+def _read_checkpoint(
+    path: str, version: int
+) -> tuple[set, dict, str | None, dict]:
+    """Load a checkpoint's (live set, stats map, schema json,
+    constraints)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_checkpoint_path(path, version))
@@ -310,6 +313,9 @@ def _write_checkpoint(path: str, version: int) -> None:
         meta[b"schema"] = st.schema_json.encode()
     if st.constraints:
         meta[b"constraints"] = json.dumps(st.constraints).encode()
+    # fold the whole log's commit stamps so timestampAsOf / time-based
+    # vacuum resolve in O(interval) opens instead of replaying the log
+    meta[b"commit_ts"] = json.dumps(_fold_commit_ts(path, version)).encode()
     table = table.replace_schema_metadata(meta)
     final = _checkpoint_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -360,30 +366,70 @@ def _as_epoch(timestamp) -> float:
     raise SnapshotError(f"unsupported timestamp: {timestamp!r}")
 
 
+def _checkpoint_commit_ts(path: str, version: int) -> list | None:
+    """The commit-ts list (index = version, covering 0..version) folded
+    into a checkpoint's parquet footer metadata; None for checkpoints
+    written before stamps were folded. Footer-only read — no row data."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(_checkpoint_path(path, version)).metadata or {}
+    raw = meta.get(b"commit_ts")
+    return json.loads(raw.decode()) if raw else None
+
+
+def _fold_commit_ts(path: str, version: int) -> list:
+    """Wall-clock stamps for every commit 0..version (None where a
+    legacy commit carries no ``ts``): extend the newest prior
+    checkpoint's folded list with only the tail commits — O(interval)
+    commit opens on a checkpointed table, O(commits) on a legacy
+    un-checkpointed one (and the next checkpoint repays that once)."""
+    _, ckpt_vs = _log_entries(path)
+    base, ts = -1, []
+    for cv in reversed([c for c in ckpt_vs if c <= version]):
+        try:
+            got = _checkpoint_commit_ts(path, cv)
+        except Exception:
+            got = None  # unreadable/corrupt checkpoint: fall back older
+        if got is not None and len(got) == cv + 1:
+            base, ts = cv, list(got)
+            break
+    for v in range(base + 1, version + 1):
+        ts.append(_read_commit(path, v).get("ts"))
+    return ts
+
+
 def _version_at_timestamp(path: str, timestamp) -> int:
     """The newest version committed at or before ``timestamp`` (Delta's
-    timestampAsOf rule). Commit ``ts`` stamps are wall-clock and assumed
-    monotone per table (single writer per version); resolution is a
-    binary search over the log — O(log commits) commit opens, never a
-    full replay. Legacy commits without a stamp sort oldest."""
+    timestampAsOf rule). Stamps for the whole log are folded into
+    checkpoints, so resolution costs O(checkpoint-interval) commit
+    opens, never a full replay on a checkpointed table. A log holding
+    ANY unstamped (legacy) commit raises — its wall-clock position is
+    unknowable, and silently resolving against a mixed log can return
+    the wrong version with no error (Delta raises here too); ``version=``
+    time travel always remains available."""
     want = _as_epoch(timestamp)
     commit_vs, _ = _log_entries(path)
     if not commit_vs:
         raise SnapshotError(f"not a snapshot table: {path}")
-    lo, hi, best = 0, commit_vs[-1], -1
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        ts = _read_commit(path, mid).get("ts") or 0.0
-        if ts <= want:
-            best = mid
-            lo = mid + 1
-        else:
-            hi = mid - 1
+    ts = _fold_commit_ts(path, commit_vs[-1])
+    missing = [v for v, t in enumerate(ts) if t is None]
+    if missing:
+        raise SnapshotError(
+            f"{len(missing)} commit(s) (first: version {missing[0]}) have "
+            "no timestamp stamp; timestampAsOf cannot resolve reliably on "
+            "a mixed log — use version= time travel instead"
+        )
+    # exact rule over the in-memory list: max version whose ts <= want
+    # (no monotonicity assumption — a clock-skewed log still resolves
+    # to the newest qualifying version)
+    best = -1
+    for v, t in enumerate(ts):
+        if t <= want:
+            best = v
     if best < 0:
-        first = _read_commit(path, 0).get("ts")
         raise SnapshotError(
             f"no version at or before {timestamp!r}; the table's first "
-            f"commit is ts={first}"
+            f"commit is ts={ts[0]}"
         )
     return best
 
@@ -1357,12 +1403,12 @@ def delete_where(spark: SparkSession, path: str, condition) -> dict:
 
 
 def update_where(
-    spark: SparkSession, path: str, set: dict, condition
+    spark: SparkSession, path: str, assignments: dict, condition
 ) -> dict:
     """UPDATE <table> SET col = expr, ... WHERE <condition> — Delta
     UPDATE semantics as one atomic copy-on-write commit over only the
-    files containing a matching row. ``set`` maps existing column names
-    to SQL expression strings (or Columns) evaluated against the
+    files containing a matching row. ``assignments`` maps existing column
+    names to SQL expression strings (or Columns) evaluated against the
     pre-update row; each value is CAST to the column's recorded dtype,
     so an expression cannot silently diverge the staged files from the
     table schema. Rows where the condition is NULL are not updated.
@@ -1379,7 +1425,7 @@ def update_where(
     if schema is None:
         raise SnapshotError("no schema recorded; cannot run predicate DML")
     cols = [f.name for f in schema.fields]
-    unknown = [c for c in set if c not in cols]
+    unknown = [c for c in assignments if c not in cols]
     if unknown:
         raise SnapshotError(f"UPDATE SET columns not in table schema: {unknown}")
     touched, t = _touched_by_predicate(spark, path, st, cond)
@@ -1392,9 +1438,9 @@ def update_where(
     hit = F.coalesce(cond, F.lit(False))
 
     def _val(name):
-        if name not in set:
+        if name not in assignments:
             return F.col(name)
-        expr = set[name]
+        expr = assignments[name]
         expr = F.expr(expr) if isinstance(expr, str) else expr
         # cast to the RECORDED dtype: a wider expression type would
         # otherwise stage files the committed schema cannot read
@@ -1452,15 +1498,17 @@ def vacuum(
     keep_from = max(0, st.latest + 1 - retain_last)
     if retain_hours is not None:
         cutoff = _time.time() - retain_hours * 3600.0
-        # oldest version still inside the time window (binary search)
-        lo, hi, first_in = 0, st.latest, st.latest + 1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            if (_read_commit(path, mid).get("ts") or 0.0) >= cutoff:
-                first_in = mid
-                hi = mid - 1
-            else:
-                lo = mid + 1
+        # oldest version still inside the time window, from the folded
+        # stamp list (O(interval) opens on a checkpointed table). An
+        # unstamped legacy commit has an UNKNOWABLE wall-clock position:
+        # treat it as in-window (kept) — deleting what we cannot date
+        # would be the unsafe direction.
+        ts = _fold_commit_ts(path, st.latest)
+        first_in = st.latest + 1
+        for v, t in enumerate(ts):
+            if t is None or t >= cutoff:
+                first_in = v  # oldest in-window or undatable version
+                break
         keep_from = min(keep_from, first_in)
     keep: set[str] = set(st.live)
     for v in range(keep_from, st.latest):
@@ -1650,15 +1698,20 @@ def aggregate_snapshot(
     version: int | None = None,
 ) -> DataFrame:
     """Full grouped aggregate of one version: ``group_by`` columns,
-    ``n_rows`` count, and a SUM column per ``sums`` {out_name: source
-    column}. This is the bootstrap (and the ground truth) for
-    incremental_aggregate's maintained state."""
+    ``n_rows`` count, and per ``sums`` {out_name: source column} a SUM
+    column plus its non-null count ``nn_<out>``. The count is what lets
+    incremental maintenance preserve SUM's null semantics exactly: SUM
+    is NULL iff zero non-null inputs remain, a fact signed deltas alone
+    cannot recover (an all-NULL group and a sums-to-zero group are
+    indistinguishable without it). This is the bootstrap (and the
+    ground truth) for incremental_aggregate's maintained state."""
     from pyspark.sql import functions as F
 
     df = read_snapshot(spark, path, version=version)
     return df.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(src).alias(out) for out, src in sums.items()],
+        *[F.count(src).alias(f"nn_{out}") for out, src in sums.items()],
     )
 
 
@@ -1681,11 +1734,14 @@ def incremental_aggregate(
     table: maintaining a 100 TB rollup costs the batch, not the corpus.
 
     Exact for SUM and COUNT (the self-inverting aggregates; MIN/MAX are
-    not maintainable from deltas alone and are deliberately absent).
-    Group keys join null-safely, groups whose row count reaches zero
-    drop, and groups whose keys moved between versions settle on both
-    sides. The result is a new state frame — same columns as
-    aggregate_snapshot."""
+    not maintainable from deltas alone and are deliberately absent) —
+    including SUM's null semantics: each sum carries a maintained
+    non-null count ``nn_<out>``, and a group whose count reaches zero
+    gets SUM = NULL, matching the full recompute (coalescing to 0 there
+    would silently diverge an all-NULL group). Group keys join
+    null-safely, groups whose row count reaches zero drop, and groups
+    whose keys moved between versions settle on both sides. The result
+    is a new state frame — same columns as aggregate_snapshot."""
     from pyspark.sql import functions as F
 
     diff = snapshot_diff(spark, path, v_from, v_to, on=on)
@@ -1695,6 +1751,11 @@ def incremental_aggregate(
     deltas = diff.groupBy(*group_by).agg(
         F.sum(sign).alias("__dn"),
         *[F.sum(sign * F.col(src)).alias(f"__d_{out}") for out, src in sums.items()],
+        *[
+            F.sum(F.when(F.col(src).isNotNull(), sign).otherwise(F.lit(0)))
+            .alias(f"__dnn_{out}")
+            for out, src in sums.items()
+        ],
     )
     s, d = state.alias("s"), deltas.alias("d")
     cond = None
@@ -1703,17 +1764,25 @@ def incremental_aggregate(
         cond = eq if cond is None else (cond & eq)
     j = s.join(d, cond, "full_outer")
     zero = F.lit(0)
+
+    def _nn(out_c):
+        return F.coalesce(F.col(f"s.nn_{out_c}"), zero) + F.coalesce(
+            F.col(f"d.__dnn_{out_c}"), zero
+        )
+
     out = j.select(
         *[F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g) for g in group_by],
         (F.coalesce(F.col("s.n_rows"), zero) + F.coalesce(F.col("d.__dn"), zero))
         .alias("n_rows"),
         *[
-            (
+            F.when(
+                _nn(out_c) > 0,
                 F.coalesce(F.col(f"s.{out_c}"), zero)
-                + F.coalesce(F.col(f"d.__d_{out_c}"), zero)
-            ).alias(out_c)
+                + F.coalesce(F.col(f"d.__d_{out_c}"), zero),
+            ).alias(out_c)  # zero non-null inputs left → NULL, like SUM
             for out_c in sums
         ],
+        *[_nn(out_c).alias(f"nn_{out_c}") for out_c in sums],
     )
     return out.filter(F.col("n_rows") > 0)
 

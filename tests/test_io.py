@@ -2545,10 +2545,10 @@ def test_snapshot_check_constraints(spark, tmp_path):
 
 def test_snapshot_timestamp_travel_and_time_retention(spark, tmp_path):
     """timestampAsOf (Delta rule: newest version committed at or before
-    the instant; resolution is an O(log commits) binary search over the
-    stamped log) and time-based vacuum retention (retain_hours WIDENS
-    the retain_last window — union, so a commit burst can never vacuum
-    an in-window version)."""
+    the instant; stamps are folded into checkpoints so resolution costs
+    O(checkpoint-interval) commit opens) and time-based vacuum retention
+    (retain_hours WIDENS the retain_last window — union, so a commit
+    burst can never vacuum an in-window version)."""
     import datetime
     import json
 
@@ -2583,6 +2583,67 @@ def test_snapshot_timestamp_travel_and_time_retention(spark, tmp_path):
     r = S.vacuum(t, retain_last=1, retain_hours=1e9)
     assert r["removed_files"] == 0 and r["retained_from_version"] == 0
     assert S.read_snapshot(spark, t, version=0).count() == 1
+
+
+def test_snapshot_timestamp_mixed_log_raises(spark, tmp_path):
+    """A log holding ANY unstamped (legacy) commit makes timestampAsOf
+    raise instead of silently resolving against an unknowable wall-clock
+    position (Delta raises here too); version= travel stays available,
+    and time-based vacuum treats the undatable commit as IN-window
+    (kept) — never deletes what it cannot date."""
+    import json
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        S.write_snapshot(
+            spark, spark.createDataFrame([(i,)], "k long"), t, mode="append"
+        )
+    p = S._commit_path(t, 1)  # strip the middle commit's stamp
+    c = json.load(open(p))
+    del c["ts"]
+    json.dump(c, open(p, "w"))
+
+    with _pytest.raises(S.SnapshotError, match="no timestamp stamp"):
+        S.read_snapshot(spark, t, timestamp=1e12)
+    assert S.read_snapshot(spark, t, version=1).count() == 2  # still fine
+
+    # vacuum: v1 is undatable -> in-window -> every version kept even
+    # though retain_last=1 + a zero-hour window would retire v0/v1
+    r = S.vacuum(t, retain_last=1, retain_hours=0.0)
+    assert r["retained_from_version"] <= 1
+    assert S.read_snapshot(spark, t, version=0).count() == 1
+
+
+def test_snapshot_timestamp_fold_uses_checkpoint(spark, tmp_path):
+    """The commit-ts fold extends the newest checkpoint's folded list
+    with only the tail commits: after enough commits to mint a
+    checkpoint, timestampAsOf resolution opens <= interval commit
+    jsons, not the whole log."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    n = S.CHECKPOINT_INTERVAL + 3
+    for i in range(n):
+        S.write_snapshot(
+            spark, spark.createDataFrame([(i,)], "k long"), t, mode="append"
+        )
+    _, ckpts = S._log_entries(t)
+    assert ckpts, "expected a checkpoint to have been minted"
+    ts = S._fold_commit_ts(t, n - 1)
+    assert len(ts) == n and all(x is not None for x in ts)
+
+    before = S.LOG_COMMIT_READS
+    v = S._version_at_timestamp(t, ts[-1] + 1)
+    assert v == n - 1
+    opens = S.LOG_COMMIT_READS - before
+    assert opens <= (n - 1) - ckpts[-1], (
+        f"ts fold opened {opens} commits; checkpointed fold should only "
+        f"replay the tail after version {ckpts[-1]}"
+    )
 
 
 def test_snapshot_incremental_aggregate(spark, tmp_path):
@@ -2640,3 +2701,48 @@ def test_snapshot_incremental_aggregate(spark, tmp_path):
         for r in S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"}).collect()
     }
     assert got2 == want2 and "g1" not in got2
+
+
+def test_snapshot_incremental_aggregate_null_sums(spark, tmp_path):
+    """SUM's null semantics survive incremental maintenance: a group
+    whose inputs are all NULL keeps SUM = NULL (not 0) through an
+    advance, and a group whose last non-null input is deleted FLIPS to
+    NULL — both must equal the full recompute."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    rows = [  # gN: all-null from v0; gV: one non-null value; gM: mixed
+        (0, "gN", None), (1, "gN", None),
+        (2, "gV", 50), (3, "gV", None),
+        (4, "gM", 10), (5, "gM", None), (6, "gM", 30),
+    ]
+    S.write_snapshot(
+        spark, spark.createDataFrame(rows, "k long, grp string, cents long"), t
+    )
+    state = S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"})
+    state.persist()
+    state.count()
+    base = {r.grp: r.total for r in state.collect()}
+    assert base == {"gN": None, "gV": 50, "gM": 40}
+
+    # delete gV's only non-null row; insert another NULL row into gN
+    S.merge_snapshot(
+        spark, t, spark.createDataFrame([(2,)], "k long"),
+        on=["k"], when_matched="delete", when_not_matched="ignore",
+    )
+    S.merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(7, "gN", None)], "k long, grp string, cents long"),
+        on=["k"],
+    )
+    inc = S.incremental_aggregate(
+        spark, t, 0, S.latest_version(t), ["k"], ["grp"], {"total": "cents"}, state
+    )
+    got = {r.grp: (r.n_rows, r.total) for r in inc.collect()}
+    want = {
+        r.grp: (r.n_rows, r.total)
+        for r in S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"}).collect()
+    }
+    assert got == want
+    assert got["gN"] == (3, None)  # all-null group stayed NULL, not 0
+    assert got["gV"] == (1, None)  # lost its last non-null input -> NULL

@@ -305,6 +305,79 @@ def test_snapshot_stream_change_modes_and_starting_version(spark, tmp_path):
     assert run_bounded(sv, name="snap_sv").count() == 50
 
 
+def test_snapshot_stream_max_files_per_trigger(spark, tmp_path):
+    """maxfilespertrigger paces a backlogged tail into bounded batches:
+    whole commits only, >= 1 commit per trigger, offsets pinned per
+    batch, and the end-to-end row set is identical to unpaced."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import (
+        SnapshotStreamReader,
+        register_snapshot_source,
+    )
+    from ops_spark.streaming.runner import run_bounded
+
+    tbl = str(tmp_path / "tbl")
+    for base in range(0, 500, 100):  # 5 commits x 1 file each
+        df = spark.createDataFrame(
+            [(base + i,) for i in range(100)], "k long"
+        )
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+
+    # unit level: 2 files per trigger -> versions advance 2 at a time
+    r = SnapshotStreamReader({"path": tbl, "maxfilespertrigger": "2"})
+    assert r.initialOffset() == {"version": -1}
+    ends = []
+    for _ in range(4):
+        end = r.latestOffset()
+        ends.append(end["version"])
+        r.commit(end)
+    assert ends == [1, 3, 4, 4]  # 2+2+1 commits, then caught up
+
+    # a single commit larger than the cap still admits alone
+    r1 = SnapshotStreamReader({"path": tbl, "maxfilespertrigger": "1"})
+    r1.initialOffset()
+    assert r1.latestOffset() == {"version": 0}
+
+    # end-to-end: paced stream still delivers every row exactly once
+    register_snapshot_source(spark)
+    paced = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("maxfilespertrigger", "2")
+        .load()
+    )
+    out = run_bounded(paced, name="snap_paced")
+    assert sorted(x.k for x in out.collect()) == list(range(500))
+
+
+def test_snapshot_stream_starting_version_beyond_head(spark, tmp_path):
+    """startingversion greater than the current head holds the offset at
+    start-1 (never plans end < start) and, once the log catches up,
+    emits ONLY commits >= startingversion — commits below it written
+    later never leak in (Delta's startingVersion contract)."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import SnapshotStreamReader
+
+    tbl = str(tmp_path / "tbl")
+    for base in (0, 100):  # versions 0, 1
+        df = spark.createDataFrame([(base + i,) for i in range(10)], "k long")
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+
+    r = SnapshotStreamReader({"path": tbl, "startingversion": "4"})
+    start = r.initialOffset()
+    assert start == {"version": 3}
+    assert r.latestOffset() == {"version": 3}  # clamped: no end < start
+
+    for base in (200, 300, 400):  # versions 2, 3, 4 land
+        df = spark.createDataFrame([(base + i,) for i in range(10)], "k long")
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+    end = r.latestOffset()
+    assert end == {"version": 4}
+    parts = r.partitions(start, end)
+    # exactly the ONE file added by commit 4 — nothing below leaked
+    assert len(parts) == 1 and "v4-" in parts[0].abs_path
+
+
 def test_snapshot_stream_projects_through_evolved_schema(spark, tmp_path):
     """A batch projects its files through the schema of the batch's END
     version: files written before a schema evolution null-fill the
