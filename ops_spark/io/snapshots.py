@@ -123,11 +123,27 @@ def _live_files(commits: list[dict], version: int) -> list[str]:
     return sorted(live)
 
 
+class CommitRaceLost(SnapshotError):
+    """A concurrent writer claimed the version first (link(2) EEXIST)."""
+
+
+class ConcurrentWriteConflict(SnapshotError):
+    """A concurrent commit logically conflicts with this write — the two
+    cannot both be serialized, so the loser must re-read and re-run."""
+
+
 def _atomic_commit(path: str, commit: dict) -> None:
     """Exclusive commit: link(2) fails with EEXIST if the version file
     already exists, so a concurrent writer loses cleanly instead of
     silently overwriting the log. Every commit is stamped with the wall
-    clock (``ts``) for timestamp time travel and time-based retention."""
+    clock (``ts``) for timestamp time travel and time-based retention.
+
+    DEPLOY NOTE — the mutual-exclusion primitive is os.link's atomic
+    EEXIST, which holds on POSIX local filesystems and NFS. Object
+    stores have no atomic link: on S3-class storage this protocol needs
+    a conditional put (If-None-Match, which S3 supports natively now)
+    or an external lock service (the DynamoDB LogStore pattern Delta
+    uses) in place of link(2); the log format itself is unchanged."""
     import time as _time
 
     commit.setdefault("ts", _time.time())
@@ -141,11 +157,129 @@ def _atomic_commit(path: str, commit: dict) -> None:
     try:
         os.link(tmp, final)
     except FileExistsError as exc:
-        raise SnapshotError(
+        raise CommitRaceLost(
             f"concurrent commit: version {commit['version']} already exists"
         ) from exc
     finally:
         os.unlink(tmp)
+
+
+# ops whose commits only move DATA (vs metadata ops like add_constraint,
+# whose concurrent landing invalidates rows staged under the old rules)
+def _is_data_op(op: str) -> bool:
+    return op in ("append", "overwrite", "merge", "delete_where",
+                  "update_where", "compact") or op.startswith(
+        ("replace_range:", "rollback:")
+    )
+
+
+def _assert_rebase_safe(winner: dict, ours: dict, read_info: dict) -> None:
+    """Delta-style logical conflict detection (ConflictChecker shape):
+    decide whether OUR commit can land AFTER ``winner`` unchanged. Our
+    declared read set is in ``read_info``; anything not provably
+    disjoint raises ConcurrentWriteConflict — correctness over optimism.
+
+    - blind APPEND reads nothing, so any concurrent data op with an
+      unchanged schema is safe; a schema or constraint change is not
+      (our staged files / validated rows assumed the old metadata).
+    - MERGE read the table: safe only against (a) pure appends whose
+      added files are provably outside our source key range per the
+      winner's commit-log stats, and (b) other merges on the SAME key
+      with a provably disjoint source range and a disjoint remove set
+      (two merges rewriting one spanning file would resurrect the
+      loser's stale copies of the winner's rows). Everything else —
+      predicate DML, replace, compact, rollback, overwrite — rewrote
+      state we may have read: conflict."""
+    wop = str(winner.get("op", ""))
+    v = winner.get("version")
+    w_schema = winner.get("schema")
+    if w_schema not in (read_info["base_schema_json"], ours.get("schema")):
+        raise ConcurrentWriteConflict(
+            f"concurrent commit {v} ({wop}) changed the table schema; "
+            "re-read and retry"
+        )
+    if not _is_data_op(wop):
+        raise ConcurrentWriteConflict(
+            f"concurrent metadata commit {v} ({wop}); re-read and retry"
+        )
+    if read_info["kind"] == "append":
+        return  # a blind append serializes after any same-schema data op
+    # ours is a MERGE
+    key, qlo, qhi = read_info["key"], read_info["lo"], read_info["hi"]
+    if qlo is None or qhi is None:
+        raise ConcurrentWriteConflict(
+            f"concurrent commit {v} ({wop}) and this merge's source key "
+            "range is unbounded/unencodable; re-read and retry"
+        )
+    if wop in ("append",) and not winner.get("remove"):
+        wstats = winner.get("stats") or {}
+        for rel in winner.get("add", []):
+            if _log_prune_decision(wstats.get(rel, {}), key, qlo, qhi) is not True:
+                raise ConcurrentWriteConflict(
+                    f"concurrent append {v} added {rel} with keys not "
+                    f"provably outside this merge's {key} range; re-read "
+                    "and retry"
+                )
+        return
+    if wop == "merge":
+        wkey, wrng = winner.get("merge_key"), winner.get("merge_range")
+        if wkey != key or not wrng or wrng[0] is None or wrng[1] is None:
+            raise ConcurrentWriteConflict(
+                f"concurrent merge {v} on a different/unrecorded key "
+                f"({wkey!r}); re-read and retry"
+            )
+        overlap_rm = set(winner.get("remove", [])) & set(ours.get("remove", []))
+        if overlap_rm:
+            raise ConcurrentWriteConflict(
+                f"concurrent merge {v} rewrote the same file(s) "
+                f"{sorted(overlap_rm)[:3]}; re-read and retry"
+            )
+        try:
+            disjoint = wrng[1] < qlo or wrng[0] > qhi
+        except TypeError:
+            disjoint = False  # incomparable encodings → assume overlap
+        if not disjoint:
+            raise ConcurrentWriteConflict(
+                f"concurrent merge {v} source range {wrng} overlaps this "
+                f"merge's [{qlo}, {qhi}] on {key}; re-read and retry"
+            )
+        return
+    raise ConcurrentWriteConflict(
+        f"concurrent commit {v} ({wop}) rewrote table state this merge "
+        "may have read; re-read and retry"
+    )
+
+
+def _commit_or_rebase(
+    path: str, commit: dict, read_info: dict, max_rebase: int = 20
+) -> int:
+    """Optimistic concurrency control over _atomic_commit (the Delta
+    commit loop): try the version we planned; if a concurrent writer
+    claimed it, validate OUR logical read/write set against every commit
+    that landed since (_assert_rebase_safe), and when all are provably
+    disjoint, re-commit the SAME staged files at the new head + 1 —
+    disjoint writers both land instead of one failing. A real conflict
+    raises ConcurrentWriteConflict and the caller un-stages. Returns the
+    version actually committed."""
+    version = commit["version"]
+    for _ in range(max_rebase):
+        commit["version"] = version
+        commit.pop("ts", None)  # stamp COMMIT time, not build time
+        try:
+            _atomic_commit(path, commit)
+            return version
+        except CommitRaceLost:
+            commit_vs, _ = _log_entries(path)
+            head = commit_vs[-1] if commit_vs else -1
+            if head < version:
+                raise  # version file exists but log lists nothing newer
+            for v in range(version, head + 1):
+                _assert_rebase_safe(_read_commit(path, v), commit, read_info)
+            version = head + 1
+    raise ConcurrentWriteConflict(
+        f"lost the commit race {max_rebase} times in a row at {path}; "
+        "giving up (livelock guard)"
+    )
 
 
 def _checkpoint_path(path: str, version: int) -> str:
@@ -640,18 +774,25 @@ def write_snapshot(
         _enforce_constraints(df, st.constraints if st else {}), path, version
     )
     removed = st.live if (mode == "overwrite" and st is not None) else []
+    commit = {
+        "version": version,
+        "op": mode,
+        "add": added,
+        "remove": removed,
+        "schema": schema.json(),
+        "stats": _collect_stats(path, added),
+    }
     try:
-        _atomic_commit(
-            path,
-            {
-                "version": version,
-                "op": mode,
-                "add": added,
-                "remove": removed,
-                "schema": schema.json(),
-                "stats": _collect_stats(path, added),
-            },
-        )
+        if mode == "append":
+            # blind append: reads nothing, so it rebases past any
+            # concurrent same-schema data commit instead of failing
+            version = _commit_or_rebase(
+                path, commit,
+                {"kind": "append",
+                 "base_schema_json": st.schema_json if st else None},
+            )
+        else:  # overwrite depends on the live set it replaces: fail-fast
+            _atomic_commit(path, commit)
     except SnapshotError:
         _unstage(path, added)
         raise
@@ -922,7 +1063,9 @@ def merge_snapshot(
     allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO for snapshot tables — the CDC upsert every continuously
-    refreshed corpus needs (Delta/Iceberg MERGE semantics, single writer):
+    refreshed corpus needs (Delta/Iceberg MERGE semantics; concurrent
+    writers serialize optimistically — see _commit_or_rebase: merges on
+    provably disjoint key ranges both land, real conflicts raise):
     target rows whose ``on`` key matches a source row are updated (or
     deleted), source rows matching nothing are inserted, and everything
     lands as ONE atomic commit, so readers see pre-merge or post-merge
@@ -1158,17 +1301,24 @@ def merge_snapshot(
             *[os.path.join(path, f) for f in touched]
         ).count()
         rows_deleted = n_touched - counts.get("copy", 0)
+    qlo, qhi = _stat_val(rng.lo), _stat_val(rng.hi)
+    commit = {
+        "version": version,
+        "op": "merge",
+        "add": added,
+        "remove": touched,
+        "schema": out_schema.json(),
+        "stats": _collect_stats(path, added),
+        # declared read set: later conflict checks (ours and other
+        # writers') prove merge-vs-merge disjointness from the log alone
+        "merge_key": on[0],
+        "merge_range": [qlo, qhi],
+    }
     try:
-        _atomic_commit(
-            path,
-            {
-                "version": version,
-                "op": "merge",
-                "add": added,
-                "remove": touched,
-                "schema": out_schema.json(),
-                "stats": _collect_stats(path, added),
-            },
+        version = _commit_or_rebase(
+            path, commit,
+            {"kind": "merge", "base_schema_json": st.schema_json,
+             "key": on[0], "lo": qlo, "hi": qhi},
         )
     except SnapshotError:
         _unstage(path, added)

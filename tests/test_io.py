@@ -1356,7 +1356,11 @@ def test_snapshot_uncommitted_stage_is_invisible(spark, tmp_path):
     assert _snap_rows(spark, t) == [(1, "a")]
 
 
-def test_snapshot_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
+def test_snapshot_concurrent_commit_rebase_and_conflict(spark, tmp_path):
+    """Optimistic concurrency at the commit point: a race-losing APPEND
+    rebases past a same-schema data commit and lands at the next version
+    (both writes survive); a winner that CHANGED THE SCHEMA is a real
+    conflict — the loser raises and its staged files are un-staged."""
     import json
     import os
 
@@ -1367,24 +1371,57 @@ def test_snapshot_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
     t = str(tmp_path / "tbl")
     d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
     S.write_snapshot(spark, d([(1, "a")]), t)
-    # simulate the real race: OUR writer reads the log (sees only v0),
-    # then another writer lands version 1 before our commit
-    real_entries = S._log_entries
+    schema_json = S._state(t).schema_json
 
-    def stale_entries(path):
-        commits, ckpts = real_entries(path)
-        return commits[:1], []  # our writer saw only v0
+    # simulate the race: a same-schema append lands at version 1 while
+    # OUR writer is staging against version 0's state
+    real_commit = S._atomic_commit
+    injected = {"done": False}
 
-    with open(os.path.join(t, "_log", f"{1:011d}.json"), "w") as fh:
-        json.dump({"version": 1, "op": "append", "add": [], "remove": []}, fh)
-    monkeypatch.setattr(S, "_log_entries", stale_entries)
-    with _pytest.raises(S.SnapshotError, match="concurrent"):
-        S.write_snapshot(spark, d([(2, "b")]), t, mode="append")
-    monkeypatch.setattr(S, "_log_entries", real_entries)
+    def racing_commit(path, commit):
+        if not injected["done"]:
+            injected["done"] = True
+            real_commit(path, {
+                "version": 1, "op": "append", "add": [], "remove": [],
+                "schema": schema_json, "stats": {},
+            })
+        real_commit(path, commit)
+
+    S._atomic_commit = racing_commit
+    try:
+        v = S.write_snapshot(spark, d([(2, "b")]), t, mode="append")
+    finally:
+        S._atomic_commit = real_commit
+    assert v == 2  # rebased past the winner instead of failing
+    assert _snap_rows(spark, t) == [(1, "a"), (2, "b")]
+
+    # a schema-changing winner is a REAL conflict: loser raises + unstages
+    evolved = spark.createDataFrame(
+        [(9, "z", 1.5)], "k long, v string, extra double"
+    )
+    S.write_snapshot(spark, evolved, t, mode="append")  # v3 evolves schema
+    injected2 = {"done": False}
+
+    def racing_schema_commit(path, commit):
+        if not injected2["done"]:
+            injected2["done"] = True
+            real_commit(path, {
+                "version": commit["version"], "op": "append", "add": [],
+                "remove": [], "schema": schema_json, "stats": {},
+            })  # winner REVERTS to the old schema != our base
+        real_commit(path, commit)
+
+    S._atomic_commit = racing_schema_commit
+    try:
+        with _pytest.raises(S.ConcurrentWriteConflict, match="schema"):
+            S.write_snapshot(spark, evolved, t, mode="append")
+    finally:
+        S._atomic_commit = real_commit
     # the loser's staged files were cleaned up: nothing unreferenced
     commits = [
         json.load(open(os.path.join(t, "_log", n)))
         for n in sorted(os.listdir(os.path.join(t, "_log")))
+        if n.endswith(".json")
     ]
     referenced = {os.path.basename(f) for c in commits for f in c["add"]}
     on_disk = set(os.listdir(os.path.join(t, "data")))
@@ -1944,11 +1981,12 @@ def test_snapshot_merge_prunes_from_log_stats_zero_footer_reads(spark, tmp_path)
     assert stats3["files_rewritten"] == 1 and stats3["rows_updated"] == 1
 
 
-def test_snapshot_concurrent_writers_serialize_loser_retries(spark, tmp_path):
-    """VERDICT r7 #4: two writers racing one table must SERIALIZE — both
-    reach the commit point with the same version, exactly one claims it,
-    the loser raises SnapshotError with its staged files un-staged, and a
-    retry lands cleanly on the next version. No orphan data files."""
+def test_snapshot_concurrent_writers_disjoint_merges_both_land(spark, tmp_path):
+    """VERDICT r8 #3 (supersedes r7 #4's loser-retries contract): two
+    merges racing one table with PROVABLY DISJOINT key ranges both land
+    — the race loser validates the winner's commit from the log
+    (merge_key + merge_range + remove set), rebases, and commits at the
+    next version instead of failing. No orphan data files."""
     import json
     import os
     import threading
@@ -1963,8 +2001,63 @@ def test_snapshot_concurrent_writers_serialize_loser_retries(spark, tmp_path):
     real_commit = S._atomic_commit
 
     def gated_commit(path, commit):
-        if commit.get("op") == "merge":
-            barrier.wait()  # both racers staged + versioned before either commits
+        # hold BOTH racers' first commit attempt (both target version 1)
+        # so the race is real; the loser's rebase retry (version 2)
+        # passes straight through
+        if commit.get("op") == "merge" and commit["version"] == 1:
+            barrier.wait()
+        real_commit(path, commit)
+
+    S._atomic_commit = gated_commit
+    results: dict[str, object] = {}
+
+    def racer(name, rows):
+        try:
+            results[name] = S.merge_snapshot(spark, t, d(rows), on=["k"])
+        except S.SnapshotError as e:  # pragma: no cover — would fail below
+            results[name] = e
+
+    try:
+        t1 = threading.Thread(target=racer, args=("A", [(1, "A1")]))
+        t2 = threading.Thread(target=racer, args=("B", [(5, "e")]))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+    finally:
+        S._atomic_commit = real_commit
+
+    # disjoint ranges ([1,1] vs [5,5]): BOTH merges landed, versions 1+2
+    assert all(isinstance(v, dict) for v in results.values()), f"got {results}"
+    assert sorted(v["version"] for v in results.values()) == [1, 2]
+    assert _snap_rows(spark, t) == [(1, "A1"), (2, "b"), (5, "e")]
+    # no orphans: every data file on disk is referenced by some commit
+    commits = [
+        json.load(open(os.path.join(t, "_log", n)))
+        for n in sorted(os.listdir(os.path.join(t, "_log")))
+    ]
+    referenced = {os.path.basename(f) for c in commits for f in c["add"]}
+    assert set(os.listdir(os.path.join(t, "data"))) <= referenced
+
+
+def test_snapshot_concurrent_overlapping_merges_conflict(spark, tmp_path):
+    """Two merges racing with OVERLAPPING key ranges (both rewrite the
+    same file) cannot both serialize: exactly one lands, the loser
+    raises ConcurrentWriteConflict with its staged files un-staged, and
+    the table holds exactly the winner's result."""
+    import json
+    import os
+    import threading
+
+    from ops_spark.io import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    S.write_snapshot(spark, d([(1, "a"), (2, "b")]).coalesce(1), t)
+
+    barrier = threading.Barrier(2, timeout=120)
+    real_commit = S._atomic_commit
+
+    def gated_commit(path, commit):
+        if commit.get("op") == "merge" and commit["version"] == 1:
+            barrier.wait()
         real_commit(path, commit)
 
     S._atomic_commit = gated_commit
@@ -1978,25 +2071,105 @@ def test_snapshot_concurrent_writers_serialize_loser_retries(spark, tmp_path):
 
     try:
         t1 = threading.Thread(target=racer, args=("A", [(1, "A1")]))
-        t2 = threading.Thread(target=racer, args=("B", [(5, "e")]))
+        t2 = threading.Thread(target=racer, args=("B", [(2, "B2")]))
         t1.start(); t2.start(); t1.join(120); t2.join(120)
     finally:
         S._atomic_commit = real_commit
 
-    outcomes = sorted(type(v).__name__ for v in results.values())
-    assert outcomes == ["SnapshotError", "dict"], f"got {results}"
-    loser = [k for k, v in results.items() if isinstance(v, S.SnapshotError)][0]
-    # loser retries against the new log and succeeds
-    retry_rows = [(1, "A1")] if loser == "A" else [(5, "e")]
-    S.merge_snapshot(spark, t, d(retry_rows), on=["k"])
-    assert _snap_rows(spark, t) == [(1, "A1"), (2, "b"), (5, "e")]
-    # no orphans: every data file on disk is referenced by some commit
+    kinds = sorted(type(v).__name__ for v in results.values())
+    assert kinds == ["ConcurrentWriteConflict", "dict"], f"got {results}"
+    winner = [k for k, v in results.items() if isinstance(v, dict)][0]
+    want = [(1, "A1"), (2, "b")] if winner == "A" else [(1, "a"), (2, "B2")]
+    assert _snap_rows(spark, t) == want
+    # loser un-staged: no orphan data files
     commits = [
         json.load(open(os.path.join(t, "_log", n)))
         for n in sorted(os.listdir(os.path.join(t, "_log")))
+        if n.endswith(".json")
     ]
     referenced = {os.path.basename(f) for c in commits for f in c["add"]}
-    assert set(os.listdir(os.path.join(t, "data"))) <= referenced
+    assert set(os.listdir(os.path.join(t, "data"))) == referenced
+
+
+def test_snapshot_multiprocess_commit_race(tmp_path):
+    """VERDICT r8 #2: the commit primitive's mutual exclusion holds
+    across OS PROCESSES, not just threads — two separate Python
+    processes hammer _atomic_commit for 40 versions; every version gets
+    exactly ONE writer, losers see CommitRaceLost and retry cleanly,
+    both processes win some, and no tmp files leak."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_log"))
+    n_versions = 40
+    child = f"""
+import json, os, random, sys, time
+sys.path.insert(0, {"/root/repo"!r})
+from ops_spark.io.snapshots import CommitRaceLost, _atomic_commit, _log_entries
+me = sys.argv[1]
+other = "B" if me == "A" else "A"
+open(os.path.join({t!r}, "ready-" + me), "w").close()
+deadline = time.time() + 120  # start barrier: hammer only once BOTH run
+while not os.path.exists(os.path.join({t!r}, "ready-" + other)):
+    if time.time() > deadline:
+        raise SystemExit("peer never became ready")
+    time.sleep(0.005)
+random.seed(me)
+wins, losses = [], 0
+while True:
+    # jitter so neither process starves the other out of every round
+    # (fsync cadence otherwise keeps the loser exactly one step behind)
+    time.sleep(random.random() * 0.004)
+    commits, _ = _log_entries({t!r})
+    v = (commits[-1] + 1) if commits else 0
+    if v >= {n_versions}:
+        break
+    try:
+        _atomic_commit({t!r}, {{"version": v, "op": "append", "add": [],
+                                "remove": [], "writer": me}})
+        wins.append(v)
+    except CommitRaceLost:
+        losses += 1  # lost the link(2) race: re-read the log and retry
+print(json.dumps({{"wins": wins, "losses": losses}}))
+"""
+    import concurrent.futures as _fut
+
+    with _fut.ThreadPoolExecutor(2) as pool:
+        procs = list(pool.map(
+            lambda name: subprocess.run(
+                [sys.executable, "-c", child, name],
+                capture_output=True, text=True, timeout=300,
+            ),
+            ("A", "B"),
+        ))
+    for p in procs:
+        assert p.returncode == 0, p.stderr[-2000:]
+    outs = [json.loads(p.stdout.strip().splitlines()[-1]) for p in procs]
+
+    log = sorted(os.listdir(os.path.join(t, "_log")))
+    assert not [n for n in log if ".tmp-" in n], "tmp commit files leaked"
+    versions = [int(n.split(".")[0]) for n in log if n.endswith(".json")]
+    assert versions == list(range(n_versions))  # contiguous, no gaps
+    # exactly one writer per version, wins partition the log
+    all_wins = sorted(outs[0]["wins"] + outs[1]["wins"])
+    assert all_wins == versions
+    writers = {
+        c["version"]: c["writer"]
+        for c in (
+            json.load(open(os.path.join(t, "_log", n)))
+            for n in log if n.endswith(".json")
+        )
+    }
+    for i, out in enumerate(outs):
+        me = "AB"[i]
+        assert all(writers[v] == me for v in out["wins"])
+    # under a real 2-process hammer both must land commits and both must
+    # lose races (40 versions of contention)
+    assert outs[0]["wins"] and outs[1]["wins"]
+    assert outs[0]["losses"] + outs[1]["losses"] > 0
 
 
 def test_merge_stream_maintenance_soak(spark, tmp_path):
