@@ -219,34 +219,9 @@ def compact_parquet(
             cols = [F.col(c) for c in sort_by]
             out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         elif zorder_by:
-            from pyspark.sql import functions as F
+            from ops_spark.operators.analytics import zorder_cluster
 
-            from ops_spark.operators.analytics import zorder_key
-
-            a, b = zorder_by
-            st = df.agg(
-                F.min(a).alias("alo"), F.max(a).alias("ahi"),
-                F.min(b).alias("blo"), F.max(b).alias("bhi"),
-            ).first()
-
-            def cell(c, lo, hi):
-                if lo is None or hi is None or hi <= lo:
-                    return F.lit(0)
-                # 1024 uniform cells; clamp the max value into the top cell
-                return F.least(
-                    F.floor(
-                        (F.col(c) - F.lit(lo)) * 1024.0 / (F.lit(hi) - F.lit(lo))
-                    ).cast("int"),
-                    F.lit(1023),
-                )
-
-            z = zorder_key(cell(a, st.alo, st.ahi), cell(b, st.blo, st.bhi))
-            out = (
-                df.withColumn("__z", z)
-                .repartitionByRange(n, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            out = zorder_cluster(df, n, *zorder_by)
         else:
             out = df.repartition(n)
         stage_d = os.path.join(staging, str(i))

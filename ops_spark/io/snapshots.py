@@ -1943,6 +1943,7 @@ def compact_snapshot(
     target_bytes: int = 128 * 1024 * 1024,
     min_file_bytes: int | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: bin-pack the CURRENT version's
     undersized live files into ~target_bytes replacements and publish
@@ -1956,19 +1957,25 @@ def compact_snapshot(
     merge sink needs (per-batch merges mint small files continuously).
 
     ``sort_by`` re-CLUSTERS the packed rows (range-repartition + sort
-    within files) on the given columns — Delta's OPTIMIZE ... ZORDER/
-    sort sibling for the commit-log world. Every packed file then covers
+    within files) on the given columns — every packed file then covers
     a tight ``sort_by`` range, so the per-file min/max recorded into the
     commit's stats makes BOTH the merge's find-touched pruning and
     read-side ``key_range`` skipping effective again after many
     random-key merges have smeared each file across the key space (the
-    stats are only as selective as the physical clustering).
+    stats are only as selective as the physical clustering). But a
+    linear sort is selective on the LEADING key only; after merges keyed
+    on several dimensions, ``zorder_by=(colA, colB)`` — Delta's OPTIMIZE
+    ZORDER BY for the commit-log world — clusters along the Morton curve
+    (operators/analytics.py:zorder_cluster) so the commit-log stats stay
+    selective on BOTH columns at once. Mutually exclusive with sort_by.
 
     Returns {version, files_before, files_after, rewritten_files,
     rewritten_bytes}; version -1 = nothing worth packing (no commit).
     """
     import math
 
+    if sort_by and zorder_by:
+        raise SnapshotError("sort_by and zorder_by are mutually exclusive")
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     st = _state(path)
@@ -1994,6 +2001,10 @@ def compact_snapshot(
 
         cols = [F.col(c) for c in sort_by]
         df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    elif zorder_by:
+        from ops_spark.operators.analytics import zorder_cluster
+
+        df = zorder_cluster(df, n, *zorder_by)
     else:
         df = df.repartition(n)
     added = _stage_add(df, path, version)

@@ -215,6 +215,43 @@ def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
     return out.cast("bigint")
 
 
+def zorder_cluster(df, n: int, a: str, b: str):
+    """Physically re-cluster ``df`` into ``n`` output partitions along
+    the Morton curve over columns (a, b): each column quantizes into
+    1024 uniform cells between its observed min/max (one tiny agg — the
+    only driver-side state), the cell ids bit-interleave via zorder_key,
+    and rows range-partition + sort by that key. Every written file then
+    covers a tight rectangle in BOTH dimensions, so per-file min/max
+    stats prune on either predicate — Delta/Iceberg's OPTIMIZE ZORDER
+    BY. Shared by compact_parquet and compact_snapshot so the clustering
+    exists exactly once."""
+    from pyspark.sql import functions as F
+
+    st = df.agg(
+        F.min(a).alias("alo"), F.max(a).alias("ahi"),
+        F.min(b).alias("blo"), F.max(b).alias("bhi"),
+    ).first()
+
+    def cell(c, lo, hi):
+        if lo is None or hi is None or hi <= lo:
+            return F.lit(0)
+        # 1024 uniform cells; clamp the max value into the top cell
+        return F.least(
+            F.floor(
+                (F.col(c) - F.lit(lo)) * 1024.0 / (F.lit(hi) - F.lit(lo))
+            ).cast("int"),
+            F.lit(1023),
+        )
+
+    z = zorder_key(cell(a, st.alo, st.ahi), cell(b, st.blo, st.bhi))
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def zorder_key_sql(x: str, y: str, bits: int = 10) -> str:
     """The DuckDB/ANSI expression reproducing zorder_key bit-for-bit."""
     terms = []

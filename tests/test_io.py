@@ -2365,6 +2365,77 @@ def test_compact_snapshot_sort_by_restores_data_skipping(spark, tmp_path):
     assert sorted(r.k for r in clustered.collect()) == list(range(100, 200))
 
 
+def test_compact_snapshot_zorder_restores_skipping_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER on a snapshot table: after appends smear every
+    file across TWO key dimensions, zorder_by=(x, y) compaction makes
+    the commit-log min/max selective on BOTH columns — a key_range read
+    on either dimension scans a proper subset of files — where a linear
+    sort on x leaves y unskippable. Pure layout change: data identical."""
+    import math
+    import os
+
+    import pytest as _pytest
+
+    from ops_spark.io.snapshots import (
+        SnapshotError,
+        _state,
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def build(t):
+        for r in range(16):
+            df = spark.createDataFrame(
+                [(k, (k * 37) % 1000, (k * 61) % 1000)
+                 for k in range(r, 8000, 16)],
+                "k long, x long, y long",
+            )
+            write_snapshot(spark, df.coalesce(1), t, mode="append")
+        st = _state(t)
+        total = sum(os.path.getsize(os.path.join(t, f)) for f in st.live)
+        return math.ceil(total / 12)  # target ~12 packed files
+
+    tz = str(tmp_path / "tz")
+    target = build(tz)
+    before = sorted(tuple(r) for r in read_snapshot(spark, tz).collect())
+    # smeared: every file spans ~the full x AND y domain → nothing skips
+    assert len(read_snapshot(spark, tz, key_range=("x", 0, 99)).inputFiles()) == 16
+    assert len(read_snapshot(spark, tz, key_range=("y", 0, 99)).inputFiles()) == 16
+
+    with _pytest.raises(SnapshotError, match="mutually exclusive"):
+        compact_snapshot(spark, tz, sort_by=["x"], zorder_by=("x", "y"))
+    stats = compact_snapshot(
+        spark, tz, target_bytes=target, min_file_bytes=1 << 20,
+        zorder_by=("x", "y"),
+    )
+    assert stats["rewritten_files"] == 16 and 2 <= stats["files_after"] < 16
+    after = sorted(tuple(r) for r in read_snapshot(spark, tz).collect())
+    assert after == before  # clustering is a pure layout change
+    fx = read_snapshot(spark, tz, key_range=("x", 0, 99))
+    fy = read_snapshot(spark, tz, key_range=("y", 0, 99))
+    assert 1 <= len(fx.inputFiles()) < stats["files_after"]  # x skips
+    assert 1 <= len(fy.inputFiles()) < stats["files_after"]  # y skips TOO
+    assert sorted(r.k for r in fx.collect()) == sorted(
+        k for k in range(8000) if (k * 37) % 1000 < 100
+    )
+    assert sorted(r.k for r in fy.collect()) == sorted(
+        k for k in range(8000) if (k * 61) % 1000 < 100
+    )
+
+    # contrast: a linear sort on x cannot bound y — every packed file
+    # still spans ~the whole y domain
+    tl = str(tmp_path / "tl")
+    target_l = build(tl)
+    stats_l = compact_snapshot(
+        spark, tl, target_bytes=target_l, min_file_bytes=1 << 20,
+        sort_by=["x"],
+    )
+    assert 2 <= stats_l["files_after"] < 16
+    fy_l = read_snapshot(spark, tl, key_range=("y", 0, 99)).inputFiles()
+    assert len(fy_l) == stats_l["files_after"]  # y: no skipping at all
+
+
 def test_snapshot_checkpoint_bounds_log_reads_and_matches_full_fold(spark, tmp_path):
     """Log checkpointing (the Delta `_checkpoint.parquet` idea): every
     CHECKPOINT_INTERVAL commits the writer folds live set + stats +
