@@ -124,6 +124,13 @@ def main() -> None:
             continue
         # x_ marks the rows-only (no-oracle) tier; family is what follows.
         fam = n.removeprefix("x_").split("_", 1)[0]
+        if fam == "io":
+            # the io family is where new table-format queries land each
+            # round; per-query timings on the wire keep round-over-round
+            # comparison honest (new-query cost vs regression) without
+            # spelunking BENCH_FULL.json
+            families[n] = round(t, 4)
+            continue
         families[f"{fam}_total"] = round(families.get(f"{fam}_total", 0.0) + t, 4)
     payload = {
         "metric": "total_query_wall_time",
