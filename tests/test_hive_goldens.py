@@ -1,0 +1,86 @@
+"""Hive golden-file parity battery (VERDICT r8 #5): 244 SELECT
+statements sampled from the reference's Hive-compatibility corpus
+(sql/hive/src/test/resources/golden/, 7501 files, exercised by
+HiveCompatibilitySuite) run on this engine and compared against the
+EXACT output Hive recorded — the families the review asked for: join
+variants, lateral views, and UDF/conditional coercions. See
+tests/hive_golden_data.py for provenance and the by-hash alignment that
+rules out positional mismatches.
+
+Comparison is an order-insensitive multiset of Hive-formatted rows
+(tab-separated, NULL literal, java-style bools/doubles) — ORDER BY ties
+are engine-arbitrary, so ordered comparison would pin nondeterminism,
+not semantics.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.hive_golden_data import ENTRIES, FAMILY_TABLES, SETUP_SQL, SRC_ROWS
+
+FAMILIES = sorted({fam for fam, _, _ in ENTRIES})
+
+
+def _fmt(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, dict)):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def hive_views(spark):
+    """The classic Hive base fixtures as temp views. Family tables are
+    registered PER FAMILY inside the test — several families reuse the
+    name myinput1 with different payloads, so a global registration
+    would cross-contaminate them."""
+    spark.createDataFrame(SRC_ROWS, "key string, value string") \
+        .createOrReplaceTempView("src")
+    spark.sql(
+        "SELECT key, value, ds, hr FROM src "
+        "LATERAL VIEW explode(array('2008-04-08','2008-04-09')) d AS ds "
+        "LATERAL VIEW explode(array('11','12')) h AS hr"
+    ).createOrReplaceTempView("srcpart")
+    yield spark
+    for name in ("src", "srcpart"):
+        spark.catalog.dropTempView(name)
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_hive_golden_family(hive_views, family):
+    spark = hive_views
+    for name, (schema, rows) in FAMILY_TABLES.get(family, {}).items():
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+    for name, sel in SETUP_SQL.get(family, []):
+        spark.sql(sel).createOrReplaceTempView(name)
+    failures = []
+    n = 0
+    for fam, sql, expected in ENTRIES:
+        if fam != family:
+            continue
+        n += 1
+        rows = spark.sql(sql).collect()
+        got = sorted("\t".join(_fmt(v) for v in r) for r in rows)
+        if got != expected:
+            only_exp = [line for line in expected if line not in got][:3]
+            only_got = [line for line in got if line not in expected][:3]
+            failures.append(
+                f"{sql[:120]}... expected-only={only_exp} got-only={only_got}"
+            )
+    assert n > 0, f"no sampled entries for family {family}"
+    assert not failures, f"{len(failures)}/{n} diverge from Hive: {failures}"
+
+
+def test_hive_golden_sample_size():
+    """The sample must stay meaningful: >= 200 golden-pinned statements
+    across >= 10 families (join / lateral view / udf coercion groups)."""
+    assert len(ENTRIES) >= 200
+    assert len(FAMILIES) >= 10
