@@ -9087,3 +9087,46 @@ select
 from store_sales
 ''',
 }
+
+
+def oracle_text(name: str, sql: str) -> str:
+    """The DuckDB-dialect rendition of a corpus query for oracle runs.
+    The SPARK side always runs the published text verbatim; these edits
+    exist only so DuckDB parses/behaves identically, each documented:
+
+    - backtick-quoted aliases -> standard double quotes (parser syntax,
+      zero semantics: q16/q32/q50/q62/q92/q94/q95/q99 use `alias`).
+    - q77/q77a: ``returns`` is a reserved word in DuckDB; quote the alias.
+    - q58: ORDER BY item_id is ambiguous under DuckDB's stricter binder
+      (three equijoined item_id columns — equal by the join predicate,
+      so qualifying one is semantics-free).
+    - q72: the final ORDER BY's bare d_week_seq likewise -> d1.d_week_seq
+      (the GROUP BY already qualifies it).
+    - modified/q10: LEFT SEMI JOIN -> SEMI JOIN (DuckDB keyword form).
+    - q32: the PUBLISHED text contains a malformed date literal
+      '2000-01-27]' (typo shipped in the benchmark resource). Spark's
+      string->date cast rejects it (NULL -> empty subquery -> zero rows);
+      DuckDB's lenient parser accepts the prefix and finds rows. The
+      oracle pins Spark/ANSI strictness with cast(NULL as date).
+    - q54: cast(decimal -> int) TRUNCATES in Spark (Java semantics) but
+      ROUNDS in DuckDB; trunc() pins Spark's behavior. (The standard
+      leaves this implementation-defined.)
+    """
+    import re as _re
+
+    out = _re.sub(r"`([^`]*)`", r'"\1"', sql)
+    if name in ("q77", "q77a"):
+        out = _re.sub(r"\breturns\b", '"returns"', out)
+    if name == "q58":
+        out = out.replace("ORDER BY item_id", "ORDER BY ss_items.item_id")
+    if name == "q72":
+        out = out.replace("w_warehouse_name, d_week_seq\nLIMIT",
+                          "w_warehouse_name, d1.d_week_seq\nLIMIT")
+    if name == "q10":
+        out = out.replace("left semi join", "semi join")
+    if name == "q32":
+        out = out.replace("'2000-01-27]'", "cast(NULL as date)")
+    if name == "q54":
+        out = out.replace("cast((revenue / 50) AS INT)",
+                          "cast(trunc(revenue / 50) AS INT)")
+    return out
