@@ -1448,3 +1448,91 @@ def io_snapshot_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+@register(
+    "io_snapshot_zorder",
+    oracle="""
+    SELECT dim, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'orderkey' AS dim, o_totalprice FROM orders
+      WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 5.0) AS BIGINT)
+                           FROM orders)
+      UNION ALL
+      SELECT 'custkey' AS dim, o_totalprice FROM orders
+      WHERE o_custkey <= (SELECT CAST(floor(max(o_custkey) / 5.0) AS BIGINT)
+                          FROM orders)
+    ) both_dims
+    GROUP BY dim
+    """,
+    description="OPTIMIZE ZORDER on a snapshot table "
+    "(io/snapshots.py:compact_snapshot zorder_by, via "
+    "operators/analytics.py:zorder_cluster): orders lands as 8 commits "
+    "each smeared across the FULL (o_orderkey, o_custkey) plane, a "
+    "Morton-curve compaction re-clusters them in ONE commit, and the "
+    "query reads back through key_range skipping on EACH dimension — "
+    "the commit-log min/max is selective on both axes only if the "
+    "physical clustering is real. The oracle recomputes both filtered "
+    "aggregates from raw orders, so a row lost/duplicated by the "
+    "rewrite or a file pruned wrongly on either axis flips the hash. "
+    "Per-file skipping extents are pinned in "
+    "test_io.py::test_compact_snapshot_zorder_restores_skipping_both_dims.",
+    tags=("io", "snapshot", "zorder", "optimize", "data-skipping"),
+)
+def io_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_zorder_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # 8 commits of interleaved residues: every file spans ~the whole
+    # key plane on BOTH dimensions, so pre-compaction stats skip nothing
+    for r in range(8):
+        write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey") % 8 == r).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    compact_snapshot(
+        spark, tbl, target_bytes=1 << 18, min_file_bytes=1 << 30,
+        zorder_by=("o_orderkey", "o_custkey"),
+    )
+    b = base.agg(
+        F.max("o_orderkey").alias("k_hi"), F.max("o_custkey").alias("c_hi")
+    ).first()
+    k_cut = int(math.floor(b.k_hi / 5.0))
+    c_cut = int(math.floor(b.c_hi / 5.0))
+
+    def agg_dim(df, label):
+        return df.groupBy().agg(
+            F.lit(label).alias("dim"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    by_k = read_snapshot(spark, tbl, key_range=("o_orderkey", None, k_cut))
+    by_c = read_snapshot(spark, tbl, key_range=("o_custkey", None, c_cut))
+    return agg_dim(by_k, "orderkey").unionByName(
+        agg_dim(by_c, "custkey")
+    ).select("dim", "n_orders", "total")
