@@ -399,9 +399,9 @@ def _money(rng, qty):
     }
 
 
-def _gen_store(rng, date_sks, n_cdemo):
+def _gen_store(rng, date_sks, n_cdemo, n_orders=N_STORE_ORDERS):
     sales, returns = [], []
-    for ticket in range(1, N_STORE_ORDERS + 1):
+    for ticket in range(1, n_orders + 1):
         d = rng.choice(date_sks)
         t = rng.randrange(0, 1440) * 60
         cust = rng.randrange(1, N_CUSTOMER + 1)
@@ -440,9 +440,9 @@ def _gen_store(rng, date_sks, n_cdemo):
     return sales, returns
 
 
-def _gen_catalog(rng, date_sks, n_cdemo):
+def _gen_catalog(rng, date_sks, n_cdemo, n_orders=N_CATALOG_ORDERS):
     sales, returns = [], []
-    for order in range(1, N_CATALOG_ORDERS + 1):
+    for order in range(1, n_orders + 1):
         d = rng.choice(date_sks)
         t = rng.randrange(0, 1440) * 60
         bill = rng.randrange(1, N_CUSTOMER + 1)
@@ -487,9 +487,9 @@ def _gen_catalog(rng, date_sks, n_cdemo):
     return sales, returns
 
 
-def _gen_web(rng, date_sks, n_cdemo):
+def _gen_web(rng, date_sks, n_cdemo, n_orders=N_WEB_ORDERS):
     sales, returns = [], []
-    for order in range(1, N_WEB_ORDERS + 1):
+    for order in range(1, n_orders + 1):
         d = rng.choice(date_sks)
         t = rng.randrange(0, 1440) * 60
         bill = rng.randrange(1, N_CUSTOMER + 1)
@@ -534,9 +534,11 @@ def _gen_web(rng, date_sks, n_cdemo):
     return sales, returns
 
 
-def generate(out_dir: str) -> dict[str, int]:
+def generate(out_dir: str, scale: float = 1.0) -> dict[str, int]:
     """Write every table as <out_dir>/<table>.parquet; returns row counts.
-    Deterministic for a given VERSION — callers key their cache on it."""
+    Deterministic for a given (VERSION, scale) — callers key their cache
+    on both. ``scale`` multiplies the FACT order counts (dimensions stay
+    fixed, like a real star schema scaling out)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -550,9 +552,12 @@ def generate(out_dir: str) -> dict[str, int]:
 
     rngs = {t: random.Random(f"tpcds-tiny-v{VERSION}-{t}")
             for t in TPCDS_TABLES}
-    ss, sr = _gen_store(rngs["store_sales"], date_sks, n_cdemo)
-    cs, cr = _gen_catalog(rngs["catalog_sales"], date_sks, n_cdemo)
-    ws, wr = _gen_web(rngs["web_sales"], date_sks, n_cdemo)
+    ss, sr = _gen_store(rngs["store_sales"], date_sks, n_cdemo,
+                        int(N_STORE_ORDERS * scale))
+    cs, cr = _gen_catalog(rngs["catalog_sales"], date_sks, n_cdemo,
+                          int(N_CATALOG_ORDERS * scale))
+    ws, wr = _gen_web(rngs["web_sales"], date_sks, n_cdemo,
+                      int(N_WEB_ORDERS * scale))
     data = {
         "date_dim": date_rows,
         "time_dim": _time_dim(),
@@ -608,13 +613,16 @@ def generate(out_dir: str) -> dict[str, int]:
     return counts
 
 
-def cached_dir() -> str:
-    """Generate once per VERSION into a shared tmp cache; return the dir."""
+def cached_dir(scale: float = 1.0) -> str:
+    """Generate once per (VERSION, scale) into a shared tmp cache."""
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"ops_spark_tpcds_tiny_v{VERSION}")
+    suffix = "" if scale == 1.0 else f"_x{scale:g}"
+    d = os.path.join(
+        tempfile.gettempdir(), f"ops_spark_tpcds_tiny_v{VERSION}{suffix}"
+    )
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
-        generate(d)
+        generate(d, scale=scale)
         open(marker, "w").close()
     return d

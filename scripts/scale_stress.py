@@ -402,6 +402,60 @@ def run_tpch(spark, out_dir: str) -> dict:
     return timings
 
 
+def tpcds_oracle_probe(spark, scale: float) -> dict:
+    """The full 156-text TPC-DS corpus, oracle-verified at a SCALED
+    generated dataset (--tpcds-oracle MULT multiplies the fact order
+    counts; dimensions stay fixed, like a star schema scaling out).
+    Evidence that the corpus battery is not a tiny-data artifact: every
+    text still value-matches DuckDB, and the per-corpus walls show how
+    the plans behave as facts grow."""
+    from ops_spark.queries.tpcds_corpus import (
+        QUERIES,
+        QUERIES_MODIFIED,
+        QUERIES_V2_7,
+        TPCDS_TABLES,
+    )
+    from ops_spark.queries.tpcds_oracle import (
+        compare_corpus,
+        duckdb_tpcds_connection,
+    )
+    from ops_spark.queries.tpcds_tinydata import cached_dir
+
+    t0 = time.perf_counter()
+    d = cached_dir(scale=scale)
+    gen_sec = round(time.perf_counter() - t0, 1)
+    for t in TPCDS_TABLES:
+        spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
+    con = duckdb_tpcds_connection(d)
+    out: dict = {"scale": scale, "generate_sec": gen_sec}
+    total_rows = 0
+    for t in ("store_sales", "catalog_sales", "web_sales"):
+        total_rows += spark.table(t).count()
+    out["fact_rows"] = total_rows
+    try:
+        for label, corpus in (
+            ("primary", QUERIES), ("v2_7", QUERIES_V2_7),
+            ("modified", QUERIES_MODIFIED),
+        ):
+            t1 = time.perf_counter()
+            r = compare_corpus(spark, con, corpus)
+            slow = sorted(r["per_query"].items(), key=lambda kv: -kv[1])[:5]
+            out[label] = {
+                "matched": r["matched"],
+                "of": len(corpus),
+                "nonempty": r["nonempty"],
+                "failures": r["failures"][:5],
+                "wall_sec": round(time.perf_counter() - t1, 1),
+                "slowest": dict(slow),
+            }
+            print(f"tpcds-oracle {label}: {out[label]}", file=sys.stderr)
+    finally:
+        con.close()
+        for t in TPCDS_TABLES:
+            spark.catalog.dropTempView(t)
+    return out
+
+
 def streaming_probe(spark) -> dict:
     """Structured Streaming throughput under load: a rate source pushing
     500k rows/s through a watermarked tumbling-window aggregation into a
@@ -861,6 +915,8 @@ def main() -> None:
     ap.add_argument("--zipf-only", action="store_true", help="run ONLY the zipf probe (plus derive if needed)")
     ap.add_argument("--cdc-soak", action="store_true", help="streaming-CDC maintenance soak: merge_stream + compact/vacuum interleave at scale")
     ap.add_argument("--log-checkpoint", action="store_true", help="metadata-plane probe: 4k-commit log fold, naive vs checkpointed")
+    ap.add_argument("--tpcds-oracle", type=float, default=0.0, metavar="MULT",
+                    help="oracle-verify the 156-text TPC-DS corpus at MULT x the generated fact rows")
     ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH_SCALE.json"), help="where to write the report (point smoke runs at /tmp so they cannot clobber committed evidence)")
     args = ap.parse_args()
 
@@ -895,6 +951,8 @@ def main() -> None:
             report["cdc_soak"] = cdc_soak_probe(spark, args.out)
         if args.log_checkpoint:
             report["log_checkpoint_probe"] = log_checkpoint_probe(spark)
+        if args.tpcds_oracle:
+            report["tpcds_oracle"] = tpcds_oracle_probe(spark, args.tpcds_oracle)
         if not args.skip_spill:
             report["spill_probe"] = spill_probe(args.out)
     spark.stop()
