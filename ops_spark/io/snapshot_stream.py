@@ -146,9 +146,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return iter(())
         tbl = pq.read_table(partition.abs_path)
         cols = []
-        for field in a_schema:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
+        for field, sf in zip(a_schema, target.fields):
+            # column-mapped tables store bytes under the PHYSICAL name;
+            # the emitted batch always carries logical names
+            phys = (sf.metadata or {}).get("ops_physical", field.name)
+            if phys in tbl.column_names:
+                cols.append(tbl.column(phys).cast(field.type))
             else:  # file predates a schema evolution: null-fill
                 cols.append(pa.nulls(tbl.num_rows, field.type))
         out = pa.Table.from_arrays(cols, schema=a_schema)

@@ -683,13 +683,19 @@ def _collect_stats(path: str, added: list[str]) -> dict:
                 continue  # nested leaf: not addressable as a merge key
             lo = hi = None
             ok = True
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+            try:
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            except Exception:
+                # e.g. pyarrow cannot EXTRACT stats for this physical type
+                # (an all-NULL column's footer): no log stats, pruner
+                # falls back to the footer / keeps the file
+                ok = False
             if not ok or lo is None:
                 continue
             jlo, jhi = _stat_val(lo), _stat_val(hi)
@@ -724,13 +730,88 @@ def _schema_of(commits: list[dict], version: int):
     return None
 
 
+# ---- column mapping (Delta's columnMapping name-mode) ---------------
+# A field's PHYSICAL name — what its bytes are called inside parquet
+# files — is its logical name unless the field's metadata carries
+# _PHYS_KEY. RENAME/DROP COLUMN are then pure metadata commits: rename
+# keeps the physical name under a new logical one; drop removes the
+# field from the schema while files keep (and readers ignore) the
+# column. Once a table has ANY mapped field, every column added later
+# gets a FRESH unique physical name, so re-adding a dropped column's
+# logical name can never resurrect the dropped bytes.
+
+_PHYS_KEY = "ops_physical"
+
+
+def _physical_name(field) -> str:
+    return (field.metadata or {}).get(_PHYS_KEY, field.name)
+
+
+def _mapping_active(schema) -> bool:
+    return schema is not None and any(
+        _PHYS_KEY in (f.metadata or {}) for f in schema.fields
+    )
+
+
+def _physical_schema(schema):
+    """The schema as the parquet files spell it (physical names, no
+    metadata)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType([
+        StructField(_physical_name(f), f.dataType, f.nullable)
+        for f in schema.fields
+    ])
+
+
+def _to_physical(df: DataFrame, schema) -> DataFrame:
+    """Rename a logical DataFrame's columns to their physical names
+    before staging. Pass-through (no plan node) on unmapped tables."""
+    if schema is None or not _mapping_active(schema):
+        return df
+    from pyspark.sql import functions as F
+
+    by_name = {f.name: f for f in schema.fields}
+    if all(
+        _physical_name(by_name[c]) == c for c in df.columns if c in by_name
+    ):
+        return df
+    return df.select(*[
+        F.col(c).alias(_physical_name(by_name[c])) if c in by_name else F.col(c)
+        for c in df.columns
+    ])
+
+
+def _read_files(spark: SparkSession, path: str, files: list[str], schema):
+    """Read data files projected through a version's LOGICAL schema:
+    scan with the physical schema (files written before an evolution
+    null-fill appended columns; dropped columns are simply not asked
+    for), then alias physical -> logical. The alias is a zero-cost
+    projection; on unmapped tables it disappears entirely."""
+    paths = [os.path.join(path, f) for f in files]
+    if schema is None:
+        return spark.read.parquet(*paths)
+    phys = _physical_schema(schema)
+    out = spark.read.schema(phys).parquet(*paths)
+    if phys.fieldNames() != schema.fieldNames():
+        from pyspark.sql import functions as F
+
+        out = out.select(*[
+            F.col(pf.name).alias(lf.name)
+            for pf, lf in zip(phys.fields, schema.fields)
+        ])
+    return out
+
+
 def _evolve_schema(prev, new):
     """Union of two schemas, previous column order first (the Delta
     schema-evolution rule: new columns append, existing columns must
-    keep their type). Raises on a dtype conflict."""
+    keep their type). Raises on a dtype conflict. On a column-mapped
+    table, appended fields get fresh unique physical names (see the
+    column-mapping note above)."""
     if prev is None:
         return new
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     by_name = {f.name: f for f in new.fields}
     out = []
@@ -743,8 +824,17 @@ def _evolve_schema(prev, new):
             )
         out.append(f)
     prev_names = {f.name for f in prev.fields}
-    out += [f for f in new.fields if f.name not in prev_names]
-    return StructType(out)
+    appended = [f for f in new.fields if f.name not in prev_names]
+    if appended and _mapping_active(prev):
+        appended = [
+            StructField(
+                f.name, f.dataType, f.nullable,
+                {**(f.metadata or {}),
+                 _PHYS_KEY: f"{f.name}-{uuid.uuid4().hex[:8]}"},
+            )
+            for f in appended
+        ]
+    return StructType(out + appended)
 
 
 def write_snapshot(
@@ -771,7 +861,11 @@ def write_snapshot(
     if mode == "append" and st is not None:
         schema = _evolve_schema(st.schema, df.schema)
     added = _stage_add(
-        _enforce_constraints(df, st.constraints if st else {}), path, version
+        _to_physical(
+            _enforce_constraints(df, st.constraints if st else {}), schema
+        ),
+        path,
+        version,
     )
     removed = st.live if (mode == "overwrite" and st is not None) else []
     commit = {
@@ -844,13 +938,15 @@ def read_snapshot(
             raise SnapshotError(f"key_range column not in table schema: {key}")
         qlo, qhi = _stat_val(lo), _stat_val(hi)
         stats = st.stats
+        pkey = _physical_name(schema[key]) if schema is not None else key
         # same disjointness predicate as the merge's pruning phase; files
         # the log can't decide (None) stay in the scan — no footer
         # fallback on the read path, the predicate below keeps it correct
         files = [
             rel
             for rel in files
-            if _log_prune_decision(stats.get(rel, {}), key, qlo, qhi) is not True
+            if _log_prune_decision(stats.get(rel, {}), pkey, qlo, qhi)
+            is not True
         ]
         if lo is not None:
             pred = F.col(key) >= F.lit(lo)
@@ -869,13 +965,10 @@ def read_snapshot(
         if schema is not None:
             return spark.createDataFrame([], schema)
         raise SnapshotError(f"version {version} is empty (no schema recorded)")
-    paths = [os.path.join(path, f) for f in files]
-    if schema is not None:
-        # project through the version's recorded schema: files written
-        # before a schema evolution null-fill the appended columns
-        out = spark.read.schema(schema).parquet(*paths)
-    else:
-        out = spark.read.parquet(*paths)
+    # project through the version's recorded schema: files written before
+    # a schema evolution null-fill the appended columns; column-mapped
+    # tables scan physical names and alias back to logical
+    out = _read_files(spark, path, files, schema)
     return out.filter(pred) if pred is not None else out
 
 
@@ -937,6 +1030,124 @@ def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
             "add": [],
             "remove": [],
             "constraints": remaining,
+        },
+    )
+    _maybe_checkpoint(path, version)
+    return version
+
+
+def _constraint_references(constraints: dict, column: str) -> list[str]:
+    """Constraint names whose expression mentions ``column`` as a word —
+    conservative (a quoted string containing the word also counts), which
+    is the safe direction for blocking a rename/drop."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(column)}\b")
+    return sorted(n for n, e in constraints.items() if pat.search(e))
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — Delta's columnMapping name-mode: a
+    PURE METADATA commit (no data rewrite, no file I/O) that keeps the
+    column's PHYSICAL parquet name under the new logical name. Reads of
+    any version project physical -> that version's logical names, so
+    time travel to pre-rename versions still shows the old name.
+    Constraints referencing the column block the rename (their SQL text
+    would silently go stale — Delta raises here too)."""
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    schema = st.schema
+    if schema is None:
+        raise SnapshotError("no schema recorded; cannot rename")
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise SnapshotError(f"no such column: {old}")
+    if new in names:
+        raise SnapshotError(f"column already exists: {new}")
+    refs = _constraint_references(st.constraints, old)
+    if refs:
+        raise SnapshotError(
+            f"column {old} is referenced by CHECK constraint(s) {refs}; "
+            "drop them first"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    out = []
+    for f in schema.fields:
+        if f.name != old:
+            # activate mapping on EVERY field: once any column has moved,
+            # implicit physical==logical is no longer safe to assume
+            out.append(StructField(
+                f.name, f.dataType, f.nullable,
+                {**(f.metadata or {}), _PHYS_KEY: _physical_name(f)},
+            ))
+        else:
+            out.append(StructField(
+                new, f.dataType, f.nullable,
+                {**(f.metadata or {}), _PHYS_KEY: _physical_name(f)},
+            ))
+    version = st.latest + 1
+    _atomic_commit(
+        path,
+        {
+            "version": version,
+            "op": f"rename_column:{old}->{new}",
+            "add": [],
+            "remove": [],
+            "schema": StructType(out).json(),
+            "stats": {},
+        },
+    )
+    _maybe_checkpoint(path, version)
+    return version
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — a PURE METADATA commit: the field
+    leaves the logical schema; files keep (and every reader ignores)
+    the physical bytes. Time travel to pre-drop versions still shows
+    the column. The remaining fields get explicit physical names, so a
+    later re-ADD of the same logical name mints a FRESH physical column
+    and can never resurrect the dropped data. Constraints referencing
+    the column block the drop."""
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    schema = st.schema
+    if schema is None:
+        raise SnapshotError("no schema recorded; cannot drop")
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise SnapshotError(f"no such column: {name}")
+    if len(names) == 1:
+        raise SnapshotError("cannot drop the only column")
+    refs = _constraint_references(st.constraints, name)
+    if refs:
+        raise SnapshotError(
+            f"column {name} is referenced by CHECK constraint(s) {refs}; "
+            "drop them first"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    out = [
+        StructField(
+            f.name, f.dataType, f.nullable,
+            {**(f.metadata or {}), _PHYS_KEY: _physical_name(f)},
+        )
+        for f in schema.fields
+        if f.name != name
+    ]
+    version = st.latest + 1
+    _atomic_commit(
+        path,
+        {
+            "version": version,
+            "op": f"drop_column:{name}",
+            "add": [],
+            "remove": [],
+            "schema": StructType(out).json(),
+            "stats": {},
         },
     )
     _maybe_checkpoint(path, version)
@@ -1116,7 +1327,7 @@ def merge_snapshot(
     st = _state(path)
     if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    target_schema = read_snapshot(spark, path).schema
+    target_schema = st.schema  # logical, metadata-carrying (column mapping)
     target_cols = [f.name for f in target_schema.fields]
     missing = [k for k in on if k not in source.columns or k not in target_cols]
     if missing:
@@ -1178,8 +1389,10 @@ def merge_snapshot(
     rng = source.agg(
         F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
     ).first()
+    # log stats (and footers) are keyed by the PHYSICAL column name
+    phys_key = _physical_name(target_schema[on[0]])
     candidates, pruned, footer_reads = _stats_prune(
-        path, live, on[0], rng.lo, rng.hi, log_stats=st.stats
+        path, live, phys_key, rng.lo, rng.hi, log_stats=st.stats
     )
 
     # phase 2: exact touch detection — key-column-only scan + semi-join,
@@ -1188,9 +1401,7 @@ def merge_snapshot(
     # instead of failing inference-dependent analysis
     touched: list[str] = []
     if candidates:
-        cand_df = spark.read.schema(target_schema).parquet(
-            *[os.path.join(path, f) for f in candidates]
-        )
+        cand_df = _read_files(spark, path, candidates, target_schema)
         by_base = {os.path.basename(f): f for f in live}
         hits = (
             cand_df.select(*on, F.input_file_name().alias("__f"))
@@ -1202,9 +1413,7 @@ def merge_snapshot(
     version = st.latest + 1
     t = None
     if touched:
-        t = spark.read.schema(target_schema).parquet(
-            *[os.path.join(path, f) for f in touched]
-        )
+        t = _read_files(spark, path, touched, target_schema)
     elif when_not_matched == "ignore":
         return {
             "version": -1, "files_live": len(live),
@@ -1276,7 +1485,12 @@ def merge_snapshot(
         }
         added = (
             _stage_add(
-                _enforce_constraints(merged.drop("__action"), st.constraints),
+                _to_physical(
+                    _enforce_constraints(
+                        merged.drop("__action"), st.constraints
+                    ),
+                    out_schema,
+                ),
                 path,
                 version,
             )
@@ -1297,9 +1511,7 @@ def merge_snapshot(
     # count from the touched rows minus the survivors that came from t
     rows_deleted = 0
     if when_matched == "delete" and touched:
-        n_touched = spark.read.schema(target_schema).parquet(
-            *[os.path.join(path, f) for f in touched]
-        ).count()
+        n_touched = _read_files(spark, path, touched, target_schema).count()
         rows_deleted = n_touched - counts.get("copy", 0)
     qlo, qhi = _stat_val(rng.lo), _stat_val(rng.hi)
     commit = {
@@ -1310,15 +1522,17 @@ def merge_snapshot(
         "schema": out_schema.json(),
         "stats": _collect_stats(path, added),
         # declared read set: later conflict checks (ours and other
-        # writers') prove merge-vs-merge disjointness from the log alone
-        "merge_key": on[0],
+        # writers') prove merge-vs-merge disjointness from the log alone.
+        # PHYSICAL key name — stats and files are keyed physically, and
+        # a concurrent logical rename is a schema conflict anyway
+        "merge_key": phys_key,
         "merge_range": [qlo, qhi],
     }
     try:
         version = _commit_or_rebase(
             path, commit,
             {"kind": "merge", "base_schema_json": st.schema_json,
-             "key": on[0], "lo": qlo, "hi": qhi},
+             "key": phys_key, "lo": qlo, "hi": qhi},
         )
     except SnapshotError:
         _unstage(path, added)
@@ -1399,13 +1613,14 @@ def replace_range(
         )
 
     qlo, qhi = _stat_val(lo), _stat_val(hi)
+    phys_key = _physical_name(target_schema[key])  # stats are physical-keyed
     drop_whole, rewrite, keep = [], [], []
     for rel in st.live:
         entry = st.stats.get(rel, {})
         if entry.get("rows") == 0:
             drop_whole.append(rel)  # empty file: replacing it loses nothing
             continue
-        mm = entry.get("minmax", {}).get(key)
+        mm = entry.get("minmax", {}).get(phys_key)
         if mm is None or qlo is None or qhi is None:
             rewrite.append(rel)  # undecidable from the log: rewrite is safe
             continue
@@ -1425,9 +1640,7 @@ def replace_range(
     n_inserted = new.count()
     n_retained = 0
     if rewrite:
-        old = spark.read.schema(target_schema).parquet(
-            *[os.path.join(path, f) for f in rewrite]
-        )
+        old = _read_files(spark, path, rewrite, target_schema)
         # complement: rows outside [lo, hi]; null keys are retained too
         retained = old.filter(
             F.col(key).isNull()
@@ -1436,7 +1649,11 @@ def replace_range(
         )
         n_retained = retained.count()
         new = new.unionByName(retained)
-    added = _stage_add(_enforce_constraints(new, st.constraints), path, version)
+    added = _stage_add(
+        _to_physical(_enforce_constraints(new, st.constraints), target_schema),
+        path,
+        version,
+    )
     try:
         _atomic_commit(
             path,
@@ -1478,9 +1695,7 @@ def _touched_by_predicate(
         raise SnapshotError("no schema recorded; cannot run predicate DML")
     if not st.live:
         return [], None
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, f) for f in st.live]
-    )
+    df = _read_files(spark, path, st.live, schema)
     by_base = {os.path.basename(f): f for f in st.live}
     hits = (
         df.where(cond)
@@ -1491,10 +1706,7 @@ def _touched_by_predicate(
     touched = sorted(by_base[os.path.basename(r["__f"])] for r in hits)
     if not touched:
         return [], None
-    t = spark.read.schema(schema).parquet(
-        *[os.path.join(path, f) for f in touched]
-    )
-    return touched, t
+    return touched, _read_files(spark, path, touched, schema)
 
 
 def delete_where(spark: SparkSession, path: str, condition) -> dict:
@@ -1526,7 +1738,7 @@ def delete_where(spark: SparkSession, path: str, condition) -> dict:
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(cond, 1)).alias("matched"),
     ).first()
-    added = _stage_add(retained, path, version)
+    added = _stage_add(_to_physical(retained, st.schema), path, version)
     try:
         _atomic_commit(
             path,
@@ -1603,7 +1815,11 @@ def update_where(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(cond, 1)).alias("matched"),
     ).first()
-    added = _stage_add(_enforce_constraints(updated, st.constraints), path, version)
+    added = _stage_add(
+        _to_physical(_enforce_constraints(updated, st.constraints), schema),
+        path,
+        version,
+    )
     try:
         _atomic_commit(
             path,
@@ -1808,9 +2024,7 @@ def snapshot_diff(
             )
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in files]
-        )
+        return _read_files(spark, path, sorted(files), schema)
 
     pre = _side(a - b).withColumn("__p", F.lit(1)).alias("p")
     post = _side(b - a).withColumn("__q", F.lit(1)).alias("q")
@@ -1994,8 +2208,7 @@ def compact_snapshot(
             "rewritten_bytes": 0,
         }
     schema = st.schema
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    df = reader.parquet(*[os.path.join(path, f) for f in small])
+    df = _read_files(spark, path, small, schema)
     if sort_by:
         from pyspark.sql import functions as F
 
@@ -2007,7 +2220,7 @@ def compact_snapshot(
         df = zorder_cluster(df, n, *zorder_by)
     else:
         df = df.repartition(n)
-    added = _stage_add(df, path, version)
+    added = _stage_add(_to_physical(df, schema), path, version)
     try:
         _atomic_commit(
             path,

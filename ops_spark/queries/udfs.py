@@ -1536,3 +1536,79 @@ def io_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_dim(by_k, "orderkey").unionByName(
         agg_dim(by_c, "custkey")
     ).select("dim", "n_orders", "total")
+
+
+@register(
+    "io_snapshot_rename_drop",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey AS ident, o_orderpriority,
+             CASE WHEN o_orderkey % 101 = 0
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(NULL AS BIGINT) END AS flag,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'RENAMED-UPD'
+                  ELSE o_orderpriority END AS prio2
+      FROM orders
+    )
+    SELECT prio2 AS o_prio, count(*) AS n_orders,
+           count(flag) AS n_flagged
+    FROM final GROUP BY prio2
+    """,
+    description="Column mapping DDL on a snapshot table "
+    "(io/snapshots.py:rename_column/drop_column — Delta columnMapping "
+    "name-mode): orders lands, o_orderkey is RENAMED to ident and "
+    "o_totalprice DROPPED (both pure metadata commits: zero files "
+    "touched), a column named flag is re-ADDED via append evolution "
+    "(fresh physical name — the dropped bytes must NOT resurrect, so "
+    "every pre-existing row reads NULL), and a merge keyed on the "
+    "RENAMED column updates rows through the logical->physical mapping. "
+    "The oracle recomputes from raw orders with flag uniformly NULL: a "
+    "resurrected dropped value, a lost rename, or a merge that missed "
+    "the mapped key flips the hash. Metadata-only commits and time "
+    "travel across the DDL are pinned in "
+    "test_io.py::test_snapshot_rename_column_is_metadata_only and "
+    "::test_snapshot_drop_column_and_no_resurrection.",
+    tags=("io", "snapshot", "ddl", "column-mapping"),
+)
+def io_snapshot_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_cmap_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("flag"),
+    )
+    S.write_snapshot(spark, base.repartitionByRange(4, "o_orderkey"), tbl)
+    S.rename_column(spark, tbl, "o_orderkey", "ident")
+    S.drop_column(spark, tbl, "flag")
+    # re-add the dropped logical name with a DIFFERENT dtype: legal,
+    # because the fresh physical column shares nothing with the old one
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("ident"),
+            F.lit("RENAMED-UPD").alias("o_orderpriority"),
+            F.lit(None).cast("bigint").alias("flag"),
+        )
+    )
+    S.merge_snapshot(spark, tbl, upd, on=["ident"], allow_schema_evolution=True)
+    return (
+        S.read_snapshot(spark, tbl)
+        .groupBy(F.col("o_orderpriority").alias("o_prio"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("flag").alias("n_flagged"),
+        )
+    )

@@ -2829,6 +2829,115 @@ def test_snapshot_timestamp_travel_and_time_retention(spark, tmp_path):
     assert S.read_snapshot(spark, t, version=0).count() == 1
 
 
+def test_snapshot_rename_column_is_metadata_only(spark, tmp_path):
+    """ALTER TABLE RENAME COLUMN via column mapping (Delta name-mode):
+    a pure metadata commit — no data files added or removed — after
+    which reads show the new logical name, time travel to pre-rename
+    versions shows the old one, and merges keyed on the RENAMED column
+    still prune from the (physically-keyed) commit-log stats."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    for base in (0, 100, 200, 300):
+        S.write_snapshot(
+            spark, d([(base + i, f"v{base + i}") for i in range(50)]).coalesce(1),
+            t, mode="append",
+        )
+    v_before = S.latest_version(t)
+
+    with _pytest.raises(S.SnapshotError, match="no such column"):
+        S.rename_column(spark, t, "nope", "x")
+    with _pytest.raises(S.SnapshotError, match="already exists"):
+        S.rename_column(spark, t, "k", "v")
+    v_ren = S.rename_column(spark, t, "k", "ident")
+    c = json.load(open(os.path.join(t, "_log", f"{v_ren:011d}.json")))
+    assert c["add"] == [] and c["remove"] == []  # metadata-only commit
+
+    cur = S.read_snapshot(spark, t)
+    assert cur.columns == ["ident", "v"]
+    assert cur.where("ident = 123").count() == 1
+    old = S.read_snapshot(spark, t, version=v_before)
+    assert old.columns == ["k", "v"]  # time travel keeps the old name
+
+    # merge keyed on the renamed column: prunes via physical stats, no
+    # footer fallback, and the data lands under the new logical name
+    stats = S.merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(123, "UPD")], "ident long, v string"),
+        on=["ident"],
+    )
+    assert stats["files_pruned_by_stats"] >= 3
+    assert stats["footer_fallback_reads"] == 0
+    assert stats["files_rewritten"] == 1
+    got = {r.ident: r.v for r in S.read_snapshot(spark, t).where(
+        "ident in (123, 124)").collect()}
+    assert got == {123: "UPD", 124: "v124"}
+    # key_range read-side skipping on the renamed column still prunes
+    rr = S.read_snapshot(spark, t, key_range=("ident", 100, 149))
+    assert len(rr.inputFiles()) < len(S.read_snapshot(spark, t).inputFiles())
+    assert rr.where("ident between 100 and 149").count() == 50
+
+    # constraints referencing the column block a rename
+    S.add_constraint(spark, t, "pos", "ident >= 0")
+    with _pytest.raises(S.SnapshotError, match="referenced by CHECK"):
+        S.rename_column(spark, t, "ident", "z")
+
+
+def test_snapshot_drop_column_and_no_resurrection(spark, tmp_path):
+    """ALTER TABLE DROP COLUMN is metadata-only; re-adding the same
+    logical name via append evolution mints a FRESH physical column, so
+    the dropped bytes can never resurrect — pre-existing rows read NULL
+    for the re-added column while time travel still shows the original
+    values before the drop."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(20)],
+        "k long, v string, score long",
+    )
+    S.write_snapshot(spark, df.coalesce(1), t)
+    v0 = S.latest_version(t)
+
+    with _pytest.raises(S.SnapshotError, match="no such column"):
+        S.drop_column(spark, t, "nope")
+    S.drop_column(spark, t, "score")
+    assert S.read_snapshot(spark, t).columns == ["k", "v"]
+    assert S.read_snapshot(spark, t, version=v0).columns == ["k", "v", "score"]
+
+    # re-ADD a column with the dropped name: fresh physical name —
+    # the 20 original rows must read NULL, never the old values
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([(100, "new", 7)], "k long, v string, score long"),
+        t, mode="append",
+    )
+    cur = S.read_snapshot(spark, t)
+    assert cur.columns == ["k", "v", "score"]
+    assert cur.where("score IS NOT NULL").count() == 1  # only the new row
+    assert cur.where("k = 100").first().score == 7
+    assert S.read_snapshot(spark, t, version=v0).where(
+        "score IS NOT NULL").count() == 20  # history intact
+
+    # DML after the re-add keeps working through the mapping
+    S.update_where(spark, t, {"score": "score + 1"}, "k = 100")
+    assert S.read_snapshot(spark, t).where("k = 100").first().score == 8
+    S.delete_where(spark, t, "k = 100")
+    assert S.read_snapshot(spark, t).where("score IS NOT NULL").count() == 0
+    # CDF across the mapped schema: diff reads physical bytes, emits
+    # logical names
+    diff = S.snapshot_diff(spark, t, v0, S.latest_version(t), on=["k"])
+    assert "score" in diff.columns
+
+
 def test_snapshot_timestamp_mixed_log_raises(spark, tmp_path):
     """A log holding ANY unstamped (legacy) commit makes timestampAsOf
     raise instead of silently resolving against an unknowable wall-clock
