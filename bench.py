@@ -117,7 +117,9 @@ def main() -> None:
 
     # Headline battery on the wire; everything else rolled up per family so
     # the line stays inside the driver's 2000-char stdout tail.
-    headline = {n: t for n, t in timings.items() if n.startswith("Q")}
+    # 3-decimal wire precision (ms resolution) keeps the line inside the
+    # stdout budget as the io family grows; BENCH_FULL keeps 4 decimals
+    headline = {n: round(t, 3) for n, t in timings.items() if n.startswith("Q")}
     families: dict[str, float] = {}
     for n, t in timings.items():
         if n.startswith("Q") or t < 0:
@@ -129,9 +131,9 @@ def main() -> None:
             # round; per-query timings on the wire keep round-over-round
             # comparison honest (new-query cost vs regression) without
             # spelunking BENCH_FULL.json
-            families[n] = round(t, 4)
+            families[n] = round(t, 3)
             continue
-        families[f"{fam}_total"] = round(families.get(f"{fam}_total", 0.0) + t, 4)
+        families[f"{fam}_total"] = round(families.get(f"{fam}_total", 0.0) + t, 3)
     payload = {
         "metric": "total_query_wall_time",
         "action": "consume_hash_all_columns",  # round 5: was count()
