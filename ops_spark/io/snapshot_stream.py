@@ -1,7 +1,16 @@
-"""Streaming FROM a snapshot table — the Delta "table as a streaming
-source" capability (`spark.readStream.format("delta")`): the commit log
-IS a replayable message bus, so a downstream pipeline can tail a 100 TB
-table incrementally instead of re-scanning it per run.
+"""The ``ops_snapshot`` Spark data source — snapshot tables through the
+standard reader APIs, batch and streaming (Delta's `format("delta")`
+UX):
+
+- BATCH: ``spark.read.format("ops_snapshot").option("path", dir)`` with
+  ``versionasof`` / ``timestampasof`` time travel; comparison predicates
+  reach the scan via Spark 4.1 filter pushdown and prune files from the
+  COMMIT-LOG min/max on the driver (zero I/O) before any task launches —
+  the same data-skipping read_snapshot's key_range does, now through the
+  plain DataFrame filter API.
+- STREAMING: the commit log IS a replayable message bus, so a downstream
+  pipeline can tail a 100 TB table incrementally instead of re-scanning
+  it per run.
 
 Spark-first shape: a Python Data Source (Spark 4 `pyspark.sql.datasource`)
 whose stream reader uses COMMIT VERSIONS as offsets. Each micro-batch
@@ -49,6 +58,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -135,27 +145,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     # -- executor-side read (self-contained: no ops_spark imports) -----
     def read(self, partition: _FileSlice):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType as _ST
-
-        target = _ST.fromJson(json.loads(partition.schema_json))
-        a_schema = to_arrow_schema(target)
-        if partition.abs_path is None:
-            return iter(())
-        tbl = pq.read_table(partition.abs_path)
-        cols = []
-        for field, sf in zip(a_schema, target.fields):
-            # column-mapped tables store bytes under the PHYSICAL name;
-            # the emitted batch always carries logical names
-            phys = (sf.metadata or {}).get("ops_physical", field.name)
-            if phys in tbl.column_names:
-                cols.append(tbl.column(phys).cast(field.type))
-            else:  # file predates a schema evolution: null-fill
-                cols.append(pa.nulls(tbl.num_rows, field.type))
-        out = pa.Table.from_arrays(cols, schema=a_schema)
-        return iter(out.to_batches())
+        return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
         # offsets are recomputable from the immutable log; tracking the
@@ -164,9 +154,157 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._cursor = max(self._cursor if self._cursor is not None else v, v)
 
 
+def _read_slice(partition: _FileSlice):
+    """Executor-side file read shared by the batch and stream readers:
+    pyarrow record batches projected through the slice's LOGICAL schema
+    (files written before a schema evolution null-fill appended columns;
+    column-mapped tables store bytes under physical names)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _ST
+
+    target = _ST.fromJson(json.loads(partition.schema_json))
+    a_schema = to_arrow_schema(target)
+    if partition.abs_path is None:
+        return iter(())
+    tbl = pq.read_table(partition.abs_path)
+    cols = []
+    for field, sf in zip(a_schema, target.fields):
+        phys = (sf.metadata or {}).get("ops_physical", field.name)
+        if phys in tbl.column_names:
+            cols.append(tbl.column(phys).cast(field.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, field.type))
+    out = pa.Table.from_arrays(cols, schema=a_schema)
+    return iter(out.to_batches())
+
+
+def _resolve_version(options: dict) -> int | None:
+    """versionasof / timestampasof reader options -> explicit version
+    (None = latest). Mirrors Delta's mutually exclusive reader options."""
+    from ops_spark.io.snapshots import SnapshotError, _version_at_timestamp
+
+    v, ts = options.get("versionasof"), options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise SnapshotError("pass versionasof OR timestampasof, not both")
+    if v is not None:
+        return int(v)
+    if ts is not None:
+        try:
+            ts = float(ts)  # epoch-seconds string
+        except ValueError:
+            pass  # ISO-8601 string: _as_epoch parses it downstream
+        return _version_at_timestamp(options["path"], ts)
+    return None
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """spark.read.format("ops_snapshot") — batch scan of one version of
+    a snapshot table (Delta's reader UX): one input partition per
+    immutable live data file, read executor-side via pyarrow.
+
+    Filter pushdown = the commit-log DATA-SKIPPING path: Spark hands the
+    scan its comparison predicates (pushFilters, Spark 4.1), files whose
+    logged min/max provably cannot match are dropped from the plan on
+    the DRIVER — zero I/O — and every filter is returned to Spark for
+    exact post-scan evaluation (skipping is a safe over-approximation,
+    never a substitute for the predicate)."""
+
+    def __init__(self, options: dict) -> None:
+        from ops_spark.io.snapshots import SnapshotError, _state
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("ops_snapshot requires .option('path', table_dir)")
+        self.path = path
+        st = _state(path, _resolve_version(options))
+        if st is None or st.schema_json is None:
+            raise SnapshotError(
+                f"not a snapshot table with a recorded schema: {path}"
+            )
+        self._st = st
+        self._bounds: dict[str, list] = {}  # physical col -> [lo, hi]
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        from ops_spark.io.snapshots import _stat_val
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(self._st.schema_json))
+        phys = {
+            f.name: (f.metadata or {}).get("ops_physical", f.name)
+            for f in schema.fields
+        }
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1 or attr[0] not in phys:
+                continue
+            col = phys[attr[0]]
+            lo = hi = None
+            if isinstance(f, EqualTo):
+                lo = hi = _stat_val(f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = _stat_val(f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = _stat_val(f.value)
+            elif isinstance(f, In) and f.value:
+                vals = [_stat_val(v) for v in f.value]
+                if None not in vals:
+                    try:
+                        lo, hi = min(vals), max(vals)
+                    except TypeError:
+                        lo = hi = None
+            if lo is None and hi is None:
+                continue
+            b = self._bounds.setdefault(col, [None, None])
+            # AND-combine: tightest bounds win (comparable types only)
+            try:
+                if lo is not None and (b[0] is None or lo > b[0]):
+                    b[0] = lo
+                if hi is not None and (b[1] is None or hi < b[1]):
+                    b[1] = hi
+            except TypeError:
+                pass  # incomparable encodings: keep prior bound
+        # every filter still runs in Spark post-scan — pruning is only
+        # ever an over-approximation of the matching file set
+        return filters
+
+    def partitions(self) -> list[_FileSlice]:
+        from ops_spark.io.snapshots import _log_prune_decision
+
+        st = self._st
+        files = st.live
+        for col, (qlo, qhi) in self._bounds.items():
+            files = [
+                rel
+                for rel in files
+                if _log_prune_decision(st.stats.get(rel, {}), col, qlo, qhi)
+                is not True
+            ]
+        return [
+            _FileSlice(os.path.join(self.path, rel), st.schema_json)
+            for rel in files
+        ] or [_FileSlice(None, st.schema_json)]
+
+    def read(self, partition: _FileSlice):
+        return _read_slice(partition)
+
+
 class SnapshotStreamDataSource(DataSource):
-    """spark.readStream.format("ops_snapshot").option("path", dir) —
-    tail a snapshot table's commit log as a micro-batch stream."""
+    """The ``ops_snapshot`` format. Batch:
+    spark.read.format("ops_snapshot").option("path", dir) with optional
+    versionasof / timestampasof time travel and commit-log data skipping
+    under filter pushdown. Streaming: readStream over the commit log
+    (version offsets, changemode, startingversion, maxfilespertrigger)."""
 
     @classmethod
     def name(cls) -> str:
@@ -175,13 +313,19 @@ class SnapshotStreamDataSource(DataSource):
     def schema(self) -> StructType:
         from ops_spark.io.snapshots import SnapshotError, _state
 
-        st = _state(self.options["path"])
+        opts = {k.lower(): v for k, v in self.options.items()}
+        st = _state(opts["path"], _resolve_version(opts))
         if st is None or st.schema_json is None:
             raise SnapshotError(
                 "not a snapshot table with a recorded schema: "
-                f"{self.options['path']}"
+                f"{opts['path']}"
             )
         return StructType.fromJson(json.loads(st.schema_json))
+
+    def reader(self, schema: StructType) -> SnapshotBatchReader:
+        return SnapshotBatchReader(
+            {k.lower(): v for k, v in self.options.items()}
+        )
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802
         return SnapshotStreamReader(

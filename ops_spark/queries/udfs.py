@@ -1612,3 +1612,78 @@ def io_snapshot_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("flag").alias("n_flagged"),
         )
     )
+
+
+@register(
+    "source_snapshot_batch",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 3.0) AS BIGINT)
+                         FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    description="Batch reads through the ops_snapshot Spark data source "
+    "(io/snapshot_stream.py:SnapshotBatchReader — Delta's "
+    "spark.read.format UX): orders lands as 6 range-keyed commits, the "
+    "query reads the table via spark.read.format('ops_snapshot') with a "
+    "plain DataFrame filter, and Spark 4.1 filter PUSHDOWN hands the "
+    "predicate to the scan, which drops non-intersecting files from the "
+    "commit-log min/max on the driver before any task launches. The "
+    "oracle is the filtered aggregate on raw orders: a file pruned "
+    "wrongly (lost rows) or a filter not re-applied post-scan (extra "
+    "rows) flips the hash. Partition-level pruning counts and "
+    "versionasof/timestampasof travel are pinned in "
+    "test_streaming_extra.py::test_snapshot_batch_datasource.",
+    tags=("source", "snapshot", "datasource", "pushdown"),
+)
+def source_snapshot_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.io.snapshots import write_snapshot
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_srcsnap_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b = base.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    span = (b.hi - b.lo + 1) / 6.0
+    for i in range(6):  # disjoint-range commits: skippable layout
+        s = b.lo + int(math.floor(i * span))
+        e = b.lo + int(math.floor((i + 1) * span)) - 1
+        write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey").between(s, e)).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    register_snapshot_source(spark)
+    cut = int(math.floor(b.hi / 3.0))
+    return (
+        spark.read.format("ops_snapshot")
+        .option("path", tbl)
+        .load()
+        .filter(F.col("o_orderkey") <= cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -378,6 +378,62 @@ def test_snapshot_stream_starting_version_beyond_head(spark, tmp_path):
     assert len(parts) == 1 and "v4-" in parts[0].abs_path
 
 
+def test_snapshot_batch_datasource(spark, tmp_path):
+    """spark.read.format('ops_snapshot'): batch reads match
+    read_snapshot, versionasof/timestampasof time travel works, filter
+    pushdown prunes files from the commit-log stats (driver-side), and
+    column mapping surfaces the renamed logical name."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import (
+        SnapshotBatchReader,
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    for base in range(0, 400, 100):  # 4 disjoint-range commits, 1 file each
+        df = spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)], "k long, v string"
+        )
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+
+    out = spark.read.format("ops_snapshot").option("path", tbl).load()
+    assert out.count() == 400
+    assert sorted(r.k for r in out.collect()) == list(range(400))
+
+    v1 = spark.read.format("ops_snapshot").option("path", tbl) \
+        .option("versionasof", "1").load()
+    assert v1.count() == 200  # time travel
+
+    ts1 = S.history(tbl)[1]["ts"]
+    t1 = spark.read.format("ops_snapshot").option("path", tbl) \
+        .option("timestampasof", str(ts1)).load()
+    assert t1.count() == 200
+
+    # pushdown pruning: a k <= 150 filter keeps only the 2 intersecting
+    # files (unit level — partitions(); end-to-end rows stay exact)
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    r = SnapshotBatchReader({"path": tbl})
+    assert len(r.partitions()) == 4
+    rf = SnapshotBatchReader({"path": tbl})
+    back = rf.pushFilters([LessThanOrEqual(("k",), 150)])
+    assert list(back)  # every filter still evaluated by Spark post-scan
+    assert len(rf.partitions()) == 2
+    got = out.filter("k <= 150")
+    assert sorted(x.k for x in got.collect()) == list(range(151))
+
+    # column mapping: the batch reader surfaces the renamed name
+    S.rename_column(spark, tbl, "k", "ident")
+    renamed = spark.read.format("ops_snapshot").option("path", tbl).load()
+    assert renamed.columns == ["ident", "v"]
+    assert renamed.filter("ident = 42").count() == 1
+    # ...and pre-rename versions keep the old name
+    old = spark.read.format("ops_snapshot").option("path", tbl) \
+        .option("versionasof", "1").load()
+    assert old.columns == ["k", "v"]
+
+
 def test_snapshot_stream_projects_through_evolved_schema(spark, tmp_path):
     """A batch projects its files through the schema of the batch's END
     version: files written before a schema evolution null-fill the
