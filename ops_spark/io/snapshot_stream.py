@@ -54,13 +54,16 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -299,12 +302,145 @@ class SnapshotBatchReader(DataSourceReader):
         return _read_slice(partition)
 
 
+@dataclass
+class _StagedPart(WriterCommitMessage):
+    rel_stage: str | None  # stage-relative parquet name; None = empty task
+    n_rows: int
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    """df.write.format("ops_snapshot").mode("append"|"overwrite") — the
+    V2 two-phase commit mapped onto the snapshot commit log: each task
+    streams its Arrow batches into ONE private parquet file under a
+    write-scoped stage dir (physical column names on mapped tables) and
+    returns a commit message; only the DRIVER's commit() moves the parts
+    into data/ and publishes ONE log commit — through the same
+    optimistic-concurrency loop as write_snapshot, so a racing append
+    rebases instead of failing, and a crashed/speculated task can never
+    leave visible rows. abort() discards the stage.
+
+    Tables with CHECK constraints reject this path (constraint exprs are
+    Catalyst SQL, not evaluable inside the Arrow writer) — write via
+    io.snapshots.write_snapshot, which enforces them in the write job."""
+
+    def __init__(self, options: dict, df_schema: StructType,
+                 overwrite: bool) -> None:
+        from ops_spark.io.snapshots import (
+            SnapshotError,
+            _evolve_schema,
+            _physical_name,
+            _state,
+        )
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("ops_snapshot writer requires .option('path', dir)")
+        self.path = path
+        self.overwrite = overwrite
+        st = _state(path)
+        if st is not None and st.constraints and not overwrite:
+            raise SnapshotError(
+                "table has CHECK constraints; append through "
+                "ops_spark.io.snapshots.write_snapshot (the Arrow write "
+                "path cannot evaluate them)"
+            )
+        if overwrite or st is None:
+            out_schema = df_schema
+        else:
+            out_schema = _evolve_schema(st.schema, df_schema)
+        self.schema_json = out_schema.json()
+        # logical -> physical rename for THIS df's columns (column mapping)
+        by_name = {f.name: f for f in out_schema.fields}
+        self.colmap = {
+            f.name: _physical_name(by_name[f.name])
+            for f in df_schema.fields
+        }
+        self.stage = f".stage-{uuid.uuid4().hex}"
+        self.remove = st.live if (overwrite and st is not None) else []
+
+    # -- executor side --------------------------------------------------
+    def write(self, iterator) -> _StagedPart:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.path, self.stage, rel)
+        writer, n = None, 0
+        try:
+            for batch in iterator:
+                if any(self.colmap.get(c, c) != c for c in batch.schema.names):
+                    batch = batch.rename_columns(
+                        [self.colmap.get(c, c) for c in batch.schema.names]
+                    )
+                if writer is None:
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if n == 0 and writer is None:
+            return _StagedPart(rel_stage=None, n_rows=0)
+        return _StagedPart(rel_stage=rel, n_rows=n)
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages) -> None:
+        import shutil
+
+        from ops_spark.io import snapshots as S
+
+        staged = [m.rel_stage for m in messages if m and m.rel_stage]
+        st = S._state(self.path)
+        version = 0 if st is None else st.latest + 1
+        added = []
+        for i, rel in enumerate(sorted(staged)):
+            dst_rel = os.path.join(
+                S._DATA, f"v{version}-{uuid.uuid4().hex[:8]}-{rel}"
+            )
+            os.makedirs(os.path.join(self.path, S._DATA), exist_ok=True)
+            os.rename(
+                os.path.join(self.path, self.stage, rel),
+                os.path.join(self.path, dst_rel),
+            )
+            added.append(dst_rel)
+        shutil.rmtree(os.path.join(self.path, self.stage), ignore_errors=True)
+        commit = {
+            "version": version,
+            "op": "overwrite" if self.overwrite else "append",
+            "add": added,
+            "remove": self.remove,
+            "schema": self.schema_json,
+            "stats": S._collect_stats(self.path, added),
+        }
+        try:
+            if self.overwrite:
+                S._atomic_commit(self.path, commit)
+            else:  # racing appends rebase, like write_snapshot
+                version = S._commit_or_rebase(
+                    self.path, commit,
+                    {"kind": "append",
+                     "base_schema_json": st.schema_json if st else None},
+                )
+        except S.SnapshotError:
+            S._unstage(self.path, added)
+            raise
+        S._maybe_checkpoint(self.path, version)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.stage), ignore_errors=True)
+
+
 class SnapshotStreamDataSource(DataSource):
     """The ``ops_snapshot`` format. Batch:
     spark.read.format("ops_snapshot").option("path", dir) with optional
     versionasof / timestampasof time travel and commit-log data skipping
-    under filter pushdown. Streaming: readStream over the commit log
-    (version offsets, changemode, startingversion, maxfilespertrigger)."""
+    under filter pushdown; df.write.format("ops_snapshot") commits
+    through the same log with two-phase task staging. Streaming:
+    readStream over the commit log (version offsets, changemode,
+    startingversion, maxfilespertrigger)."""
 
     @classmethod
     def name(cls) -> str:
@@ -325,6 +461,11 @@ class SnapshotStreamDataSource(DataSource):
     def reader(self, schema: StructType) -> SnapshotBatchReader:
         return SnapshotBatchReader(
             {k.lower(): v for k, v in self.options.items()}
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        return SnapshotBatchWriter(
+            {k.lower(): v for k, v in self.options.items()}, schema, overwrite
         )
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802

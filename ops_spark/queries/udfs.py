@@ -1625,19 +1625,21 @@ def io_snapshot_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                          FROM orders)
     GROUP BY o_orderpriority
     """,
-    description="Batch reads through the ops_snapshot Spark data source "
-    "(io/snapshot_stream.py:SnapshotBatchReader — Delta's "
-    "spark.read.format UX): orders lands as 6 range-keyed commits, the "
-    "query reads the table via spark.read.format('ops_snapshot') with a "
-    "plain DataFrame filter, and Spark 4.1 filter PUSHDOWN hands the "
-    "predicate to the scan, which drops non-intersecting files from the "
-    "commit-log min/max on the driver before any task launches. The "
-    "oracle is the filtered aggregate on raw orders: a file pruned "
-    "wrongly (lost rows) or a filter not re-applied post-scan (extra "
-    "rows) flips the hash. Partition-level pruning counts and "
-    "versionasof/timestampasof travel are pinned in "
-    "test_streaming_extra.py::test_snapshot_batch_datasource.",
-    tags=("source", "snapshot", "datasource", "pushdown"),
+    description="The ops_snapshot Spark data source end-to-end "
+    "(io/snapshot_stream.py — Delta's format('delta') UX): orders is "
+    "WRITTEN through df.write.format('ops_snapshot') as ONE commit of "
+    "6 range-clustered files (task-staged 2PC into the commit log, "
+    "per-file min/max recorded), then READ back via "
+    "spark.read.format('ops_snapshot') with a plain DataFrame filter — "
+    "Spark 4.1 filter PUSHDOWN hands the predicate to the scan, which "
+    "drops non-intersecting files from the commit-log stats on the "
+    "driver before any task launches. The oracle is the filtered "
+    "aggregate on raw orders: a row lost by the 2PC write, a file "
+    "pruned wrongly, or a filter not re-applied post-scan flips the "
+    "hash. Pruning counts, time travel options, and writer semantics "
+    "are pinned in test_streaming_extra.py::"
+    "test_snapshot_batch_datasource and ::test_snapshot_batch_writer.",
+    tags=("source", "snapshot", "datasource", "pushdown", "writer"),
 )
 def source_snapshot_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -1647,7 +1649,6 @@ def source_snapshot_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ops_spark.io.snapshot_stream import register_snapshot_source
-    from ops_spark.io.snapshots import write_snapshot
 
     src = os.path.join(sf_dir, "orders.parquet")
     digest = hashlib.md5(
@@ -1656,23 +1657,17 @@ def source_snapshot_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_srcsnap_{digest}")
     shutil.rmtree(tbl, ignore_errors=True)
 
+    register_snapshot_source(spark)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     b = base.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()
-    span = (b.hi - b.lo + 1) / 6.0
-    for i in range(6):  # disjoint-range commits: skippable layout
-        s = b.lo + int(math.floor(i * span))
-        e = b.lo + int(math.floor((i + 1) * span)) - 1
-        write_snapshot(
-            spark,
-            base.filter(F.col("o_orderkey").between(s, e)).coalesce(1),
-            tbl,
-            mode="append",
-        )
-    register_snapshot_source(spark)
+    # one 2PC write, 6 range-clustered files -> per-file stats skip
+    base.repartitionByRange(6, "o_orderkey").write.format(
+        "ops_snapshot"
+    ).option("path", tbl).mode("append").save()
     cut = int(math.floor(b.hi / 3.0))
     return (
         spark.read.format("ops_snapshot")

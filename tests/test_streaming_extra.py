@@ -434,6 +434,64 @@ def test_snapshot_batch_datasource(spark, tmp_path):
     assert old.columns == ["k", "v"]
 
 
+def test_snapshot_batch_writer(spark, tmp_path):
+    """df.write.format('ops_snapshot'): task-staged 2PC into the commit
+    log — append creates/extends the table (schema evolution included),
+    overwrite replaces it, results are identical to write_snapshot's,
+    and the written table round-trips through read_snapshot, the batch
+    reader, and time travel. Column-mapped tables stage PHYSICAL names."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+
+    d = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartition(4)
+    d.write.format("ops_snapshot").option("path", tbl).mode("append").save()
+    assert S.latest_version(tbl) == 0
+    assert S.read_snapshot(spark, tbl).count() == 100
+
+    # second append -> version 1; stats recorded so merges can prune
+    spark.createDataFrame([(100, "x")], "k long, v string") \
+        .write.format("ops_snapshot").option("path", tbl).mode("append").save()
+    st = S._state(tbl)
+    assert st.latest == 1 and len(st.stats) >= 2
+
+    # schema evolution on append: new column, old rows null-fill
+    spark.createDataFrame([(200, "y", 9)], "k long, v string, extra long") \
+        .write.format("ops_snapshot").option("path", tbl).mode("append").save()
+    cur = S.read_snapshot(spark, tbl)
+    assert cur.columns == ["k", "v", "extra"]
+    assert cur.where("extra IS NOT NULL").count() == 1
+
+    # overwrite replaces data + schema; old versions stay travelable
+    spark.createDataFrame([(1, 2.5)], "a long, b double") \
+        .write.format("ops_snapshot").option("path", tbl).mode("overwrite").save()
+    assert S.read_snapshot(spark, tbl).columns == ["a", "b"]
+    assert S.read_snapshot(spark, tbl, version=1).count() == 101
+
+    # column mapping: writes through the standard API stage PHYSICAL
+    # names — rename, append via the writer, read back logically
+    t2 = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "k long, v string") \
+        .write.format("ops_snapshot").option("path", t2).mode("append").save()
+    S.rename_column(spark, t2, "k", "ident")
+    spark.createDataFrame([(2, "b")], "ident long, v string") \
+        .write.format("ops_snapshot").option("path", t2).mode("append").save()
+    got = spark.read.format("ops_snapshot").option("path", t2).load()
+    assert sorted((r.ident, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+    # CHECK constraints reject the Arrow write path with a pointer
+    S.add_constraint(spark, t2, "pos", "ident > 0")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="write_snapshot"):
+        spark.createDataFrame([(3, "c")], "ident long, v string") \
+            .write.format("ops_snapshot").option("path", t2).mode("append").save()
+
+
 def test_snapshot_stream_projects_through_evolved_schema(spark, tmp_path):
     """A batch projects its files through the schema of the batch's END
     version: files written before a schema evolution null-fill the
