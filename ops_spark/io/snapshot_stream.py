@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -304,8 +305,62 @@ class SnapshotBatchReader(DataSourceReader):
 
 @dataclass
 class _StagedPart(WriterCommitMessage):
-    rel_stage: str | None  # stage-relative parquet name; None = empty task
+    # stage-dir-relative path "<stage>/<part>.parquet" (the message must
+    # carry the REAL location: Spark may deserialize a different writer
+    # instance per batch/side, so the driver cannot assume its own stage
+    # uuid matches the executors'); None = empty task
+    rel_stage: str | None
     n_rows: int
+
+
+def _stage_arrow_part(path: str, stage: str, colmap: dict, iterator) -> _StagedPart:
+    """Executor-side half of the 2PC write: stream this task's Arrow
+    batches into ONE private parquet file under the write's stage dir,
+    renaming logical -> physical columns on mapped tables."""
+    import pyarrow.parquet as pq
+
+    rel = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+    full = os.path.join(path, rel)
+    writer, n = None, 0
+    try:
+        for batch in iterator:
+            if any(colmap.get(c, c) != c for c in batch.schema.names):
+                batch = batch.rename_columns(
+                    [colmap.get(c, c) for c in batch.schema.names]
+                )
+            if writer is None:
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                writer = pq.ParquetWriter(full, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if n == 0 and writer is None:
+        return _StagedPart(rel_stage=None, n_rows=0)
+    return _StagedPart(rel_stage=rel, n_rows=n)
+
+
+def _move_staged(path: str, staged: list[str], version: int) -> list[str]:
+    """Driver-side: move staged parts into data/ under version-unique
+    names; returns the committed-relative paths. Every source stage dir
+    is removed afterwards."""
+    import shutil
+
+    from ops_spark.io import snapshots as S
+
+    added = []
+    os.makedirs(os.path.join(path, S._DATA), exist_ok=True)
+    dirs = set()
+    for rel in sorted(staged):
+        dirs.add(os.path.dirname(rel))
+        base = os.path.basename(rel)
+        dst_rel = os.path.join(S._DATA, f"v{version}-{uuid.uuid4().hex[:8]}-{base}")
+        os.rename(os.path.join(path, rel), os.path.join(path, dst_rel))
+        added.append(dst_rel)
+    for d in dirs:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return added
 
 
 class SnapshotBatchWriter(DataSourceArrowWriter):
@@ -360,29 +415,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
     # -- executor side --------------------------------------------------
     def write(self, iterator) -> _StagedPart:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        full = os.path.join(self.path, self.stage, rel)
-        writer, n = None, 0
-        try:
-            for batch in iterator:
-                if any(self.colmap.get(c, c) != c for c in batch.schema.names):
-                    batch = batch.rename_columns(
-                        [self.colmap.get(c, c) for c in batch.schema.names]
-                    )
-                if writer is None:
-                    os.makedirs(os.path.dirname(full), exist_ok=True)
-                    writer = pq.ParquetWriter(full, batch.schema)
-                writer.write_batch(batch)
-                n += batch.num_rows
-        finally:
-            if writer is not None:
-                writer.close()
-        if n == 0 and writer is None:
-            return _StagedPart(rel_stage=None, n_rows=0)
-        return _StagedPart(rel_stage=rel, n_rows=n)
+        return _stage_arrow_part(self.path, self.stage, self.colmap, iterator)
 
     # -- driver side ------------------------------------------------------
     def commit(self, messages) -> None:
@@ -393,17 +426,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         staged = [m.rel_stage for m in messages if m and m.rel_stage]
         st = S._state(self.path)
         version = 0 if st is None else st.latest + 1
-        added = []
-        for i, rel in enumerate(sorted(staged)):
-            dst_rel = os.path.join(
-                S._DATA, f"v{version}-{uuid.uuid4().hex[:8]}-{rel}"
-            )
-            os.makedirs(os.path.join(self.path, S._DATA), exist_ok=True)
-            os.rename(
-                os.path.join(self.path, self.stage, rel),
-                os.path.join(self.path, dst_rel),
-            )
-            added.append(dst_rel)
+        added = _move_staged(self.path, staged, version)
         shutil.rmtree(os.path.join(self.path, self.stage), ignore_errors=True)
         commit = {
             "version": version,
@@ -428,6 +451,111 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         S._maybe_checkpoint(self.path, version)
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.stage), ignore_errors=True)
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """df.writeStream.format("ops_snapshot") — EXACTLY-ONCE streaming
+    appends into the commit log (Delta's streaming sink): every
+    micro-batch publishes ONE commit via the 2PC task staging above,
+    stamped with ``{"txn": {"app": <txnappid>, "batch": batchId}}``.
+    On restart, Spark replays the last unacknowledged batch; before
+    committing, the sink scans the log backwards for this app's newest
+    txn stamp and SKIPS any batch at or below it — the replay becomes a
+    no-op instead of duplicate rows (Delta's txnAppId/txnVersion
+    idempotence). Without .option("txnappid", ...) the sink still works
+    but a replayed batch can double-append — same caveat as Delta
+    without txn options; the checkpoint's WAL makes that window one
+    batch wide."""
+
+    def __init__(self, options: dict, df_schema: StructType) -> None:
+        from ops_spark.io.snapshots import (
+            SnapshotError,
+            _evolve_schema,
+            _physical_name,
+            _state,
+        )
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("ops_snapshot writer requires .option('path', dir)")
+        self.path = path
+        self.txn_app = options.get("txnappid")
+        st = _state(path)
+        if st is not None and st.constraints:
+            raise SnapshotError(
+                "table has CHECK constraints; stream through "
+                "io.snapshots.merge_stream (foreachBatch), which enforces "
+                "them in the write job"
+            )
+        out_schema = df_schema if st is None else _evolve_schema(
+            st.schema, df_schema
+        )
+        self.schema_json = out_schema.json()
+        by_name = {f.name: f for f in out_schema.fields}
+        self.colmap = {
+            f.name: _physical_name(by_name[f.name]) for f in df_schema.fields
+        }
+        self.stage = f".stage-{uuid.uuid4().hex}"
+
+    def write(self, iterator) -> _StagedPart:
+        return _stage_arrow_part(self.path, self.stage, self.colmap, iterator)
+
+    def _last_committed_batch(self) -> int | None:
+        """Newest txn stamp for this app, scanning the log backwards —
+        O(commits since this app's last write), typically 1."""
+        from ops_spark.io import snapshots as S
+
+        commit_vs, _ = S._log_entries(self.path)
+        for v in reversed(commit_vs):
+            txn = S._read_commit(self.path, v).get("txn")
+            if txn and txn.get("app") == self.txn_app:
+                return int(txn["batch"])
+        return None
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        import shutil
+
+        from ops_spark.io import snapshots as S
+
+        staged = [m.rel_stage for m in messages if m and m.rel_stage]
+        if self.txn_app is not None:
+            last = self._last_committed_batch()
+            if last is not None and batchId <= last:
+                # replayed batch already in the log: exactly-once no-op
+                for rel in staged:
+                    shutil.rmtree(
+                        os.path.join(self.path, os.path.dirname(rel)),
+                        ignore_errors=True,
+                    )
+                return
+        st = S._state(self.path)
+        version = 0 if st is None else st.latest + 1
+        added = _move_staged(self.path, staged, version)
+        commit = {
+            "version": version,
+            "op": "append",
+            "add": added,
+            "remove": [],
+            "schema": self.schema_json,
+            "stats": S._collect_stats(self.path, added),
+        }
+        if self.txn_app is not None:
+            commit["txn"] = {"app": self.txn_app, "batch": int(batchId)}
+        try:
+            version = S._commit_or_rebase(
+                self.path, commit,
+                {"kind": "append",
+                 "base_schema_json": st.schema_json if st else None},
+            )
+        except S.SnapshotError:
+            S._unstage(self.path, added)
+            raise
+        S._maybe_checkpoint(self.path, version)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         import shutil
 
         shutil.rmtree(os.path.join(self.path, self.stage), ignore_errors=True)
@@ -466,6 +594,11 @@ class SnapshotStreamDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
         return SnapshotBatchWriter(
             {k.lower(): v for k, v in self.options.items()}, schema, overwrite
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return SnapshotStreamWriter(
+            {k.lower(): v for k, v in self.options.items()}, schema
         )
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802

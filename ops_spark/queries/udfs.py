@@ -1682,3 +1682,72 @@ def source_snapshot_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@register(
+    "stream_snapshot_sink",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="Streaming WRITES into a snapshot table "
+    "(io/snapshot_stream.py:SnapshotStreamWriter — Delta's streaming "
+    "sink): orders flows through a file stream source into "
+    "writeStream.format('ops_snapshot') with availableNow, every "
+    "micro-batch landing as ONE txn-stamped append commit "
+    "(txnAppId/batch idempotence, so a replayed batch is a no-op), and "
+    "the query aggregates the RESULTING TABLE. The oracle recomputes "
+    "from raw orders: a dropped batch, a double-applied replay, or a "
+    "torn commit flips the hash. Restart/replay semantics pinned in "
+    "test_streaming_extra.py::test_snapshot_stream_writer_sink.",
+    tags=("stream", "snapshot", "sink", "exactly-once"),
+)
+def stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.io.snapshots import read_snapshot
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"ops_spark_ssink_{digest}")
+    shutil.rmtree(work, ignore_errors=True)
+    feed, tbl, ckpt = (
+        os.path.join(work, "in"), os.path.join(work, "tbl"),
+        os.path.join(work, "ckpt"),
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base.repartition(4).write.parquet(feed)
+    register_snapshot_source(spark)
+    schema = spark.read.parquet(feed).schema
+    q = (
+        spark.readStream.schema(schema).parquet(feed)
+        .writeStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("txnappid", "stream_snapshot_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -492,6 +492,71 @@ def test_snapshot_batch_writer(spark, tmp_path):
             .write.format("ops_snapshot").option("path", t2).mode("append").save()
 
 
+def test_snapshot_stream_writer_sink(spark, tmp_path):
+    """writeStream.format('ops_snapshot'): each micro-batch lands as ONE
+    txn-stamped append commit; a checkpointed continuation appends only
+    the new input; a REPLAYED batch id is a no-op (Delta's
+    txnAppId/txnVersion idempotence) — no duplicate rows, no commit."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import (
+        SnapshotStreamWriter,
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    src, tbl = str(tmp_path / "in"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(base):
+        spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)], "k long, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v string").parquet(src)
+            .writeStream.format("ops_snapshot")
+            .option("path", tbl)
+            .option("txnappid", "sinkA")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed(0)
+    feed(100)
+    run()
+    assert S.read_snapshot(spark, tbl).count() == 200
+    hist = S.history(tbl)
+    assert all(h["op"] == "append" for h in hist)
+
+    # continuation from the checkpoint: only the NEW file lands
+    feed(200)
+    run()
+    assert S.read_snapshot(spark, tbl).count() == 300
+    assert sorted(r.k for r in S.read_snapshot(spark, tbl).collect()) == list(
+        range(300)
+    )
+
+    # replay idempotence: committing an ALREADY-LANDED batch id again is
+    # a no-op — no new version, no rows (the restart-replay path)
+    v_before = S.latest_version(tbl)
+    w = SnapshotStreamWriter(
+        {"path": tbl, "txnappid": "sinkA"},
+        S.read_snapshot(spark, tbl).schema,
+    )
+    w.commit([], batchId=0)  # far below the newest stamp for sinkA
+    assert S.latest_version(tbl) == v_before
+    # ...but a DIFFERENT app with the same batch id is independent
+    w2 = SnapshotStreamWriter(
+        {"path": tbl, "txnappid": "sinkB"},
+        S.read_snapshot(spark, tbl).schema,
+    )
+    w2.commit([], batchId=0)
+    assert S.latest_version(tbl) == v_before + 1  # empty append commit
+
+
 def test_snapshot_stream_projects_through_evolved_schema(spark, tmp_path):
     """A batch projects its files through the schema of the batch's END
     version: files written before a schema evolution null-fill the
