@@ -369,14 +369,24 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
     streams its Arrow batches into ONE private parquet file under a
     write-scoped stage dir (physical column names on mapped tables) and
     returns a commit message; only the DRIVER's commit() moves the parts
-    into data/ and publishes ONE log commit — through the same
-    optimistic-concurrency loop as write_snapshot, so a racing append
-    rebases instead of failing, and a crashed/speculated task can never
-    leave visible rows. abort() discards the stage.
+    into data/ and publishes ONE log commit — anchored at the table
+    version READ during planning: an append goes through the same
+    optimistic-concurrency loop as write_snapshot (a racing append
+    rebases instead of failing, anything conflicting raises), an
+    overwrite fails fast if ANY commit landed since planning (its
+    remove set — the live files it replaces — would be stale, leaving
+    the interloper's files alive through the "overwrite"). A
+    crashed/speculated task can never leave visible rows. abort()
+    discards the stage.
 
-    Tables with CHECK constraints reject this path (constraint exprs are
-    Catalyst SQL, not evaluable inside the Arrow writer) — write via
-    io.snapshots.write_snapshot, which enforces them in the write job."""
+    Tables with CHECK constraints reject this path entirely — append
+    AND overwrite (constraint exprs are Catalyst SQL, not evaluable
+    inside the Arrow writer, and constraints persist in folded state
+    across overwrites, so an unvalidated overwrite would land
+    unchecked rows in a still-constrained table). Write via
+    io.snapshots.write_snapshot, which enforces them in the write job
+    on every mode — Delta likewise enforces CHECK on every write
+    path."""
 
     def __init__(self, options: dict, df_schema: StructType,
                  overwrite: bool) -> None:
@@ -393,12 +403,17 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self.path = path
         self.overwrite = overwrite
         st = _state(path)
-        if st is not None and st.constraints and not overwrite:
+        if st is not None and st.constraints:
             raise SnapshotError(
-                "table has CHECK constraints; append through "
+                "table has CHECK constraints; write through "
                 "ops_spark.io.snapshots.write_snapshot (the Arrow write "
                 "path cannot evaluate them)"
             )
+        # the commit anchors HERE: every commit landing between this
+        # read and commit() must pass conflict validation (append) or
+        # fail the write (overwrite) — never be silently absorbed
+        self.base_version = -1 if st is None else st.latest
+        self.base_schema_json = st.schema_json if st else None
         if overwrite or st is None:
             out_schema = df_schema
         else:
@@ -424,8 +439,12 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         from ops_spark.io import snapshots as S
 
         staged = [m.rel_stage for m in messages if m and m.rel_stage]
-        st = S._state(self.path)
-        version = 0 if st is None else st.latest + 1
+        # version anchors at the PLANNING-time base, never the fresh
+        # head: a commit that landed mid-write must collide here so the
+        # OCC loop (append) validates it or the overwrite fails fast —
+        # recomputing from the fresh head would silently absorb it
+        # (stale remove set on overwrite, stale schema on append)
+        version = self.base_version + 1
         added = _move_staged(self.path, staged, version)
         shutil.rmtree(os.path.join(self.path, self.stage), ignore_errors=True)
         commit = {
@@ -438,12 +457,14 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         }
         try:
             if self.overwrite:
+                # fail-fast like write_snapshot: our remove set is the
+                # live set AS OF planning; any interloper invalidates it
                 S._atomic_commit(self.path, commit)
             else:  # racing appends rebase, like write_snapshot
                 version = S._commit_or_rebase(
                     self.path, commit,
                     {"kind": "append",
-                     "base_schema_json": st.schema_json if st else None},
+                     "base_schema_json": self.base_schema_json},
                 )
         except S.SnapshotError:
             S._unstage(self.path, added)
@@ -499,20 +520,39 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             f.name: _physical_name(by_name[f.name]) for f in df_schema.fields
         }
         self.stage = f".stage-{uuid.uuid4().hex}"
+        # each batch commit anchors at the version this sink last SAW
+        # (init-time head, then our own last commit): any interloping
+        # commit collides and is conflict-validated by the OCC loop
+        # instead of being silently absorbed under a stale schema
+        self._base_version = -1 if st is None else st.latest
+        self._base_schema_json = st.schema_json if st else None
 
     def write(self, iterator) -> _StagedPart:
         return _stage_arrow_part(self.path, self.stage, self.colmap, iterator)
 
     def _last_committed_batch(self) -> int | None:
-        """Newest txn stamp for this app, scanning the log backwards —
-        O(commits since this app's last write), typically 1."""
+        """Newest txn stamp for this app: scan the log backwards only to
+        the newest checkpoint that folded a txn map (O(commits since the
+        last checkpoint), typically 1), then answer from the folded map —
+        a fresh app on a long-lived table no longer pays O(total commits)
+        driver I/O before its first batch. Legacy checkpoints without a
+        folded map fall back to the next-older one, finally a full scan."""
         from ops_spark.io import snapshots as S
 
-        commit_vs, _ = S._log_entries(self.path)
-        for v in reversed(commit_vs):
+        commit_vs, ckpt_vs = S._log_entries(self.path)
+        base, folded = -1, None
+        for cv in sorted(ckpt_vs, reverse=True):
+            got = S._checkpoint_txn(self.path, cv)
+            if got is not None:
+                base, folded = cv, got
+                break
+        for v in reversed([v for v in commit_vs if v > base]):
             txn = S._read_commit(self.path, v).get("txn")
             if txn and txn.get("app") == self.txn_app:
                 return int(txn["batch"])
+        if folded is not None and self.txn_app in folded:
+            b = folded[self.txn_app]
+            return None if b is None else int(b)
         return None
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
@@ -531,8 +571,7 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
                         ignore_errors=True,
                     )
                 return
-        st = S._state(self.path)
-        version = 0 if st is None else st.latest + 1
+        version = self._base_version + 1
         added = _move_staged(self.path, staged, version)
         commit = {
             "version": version,
@@ -548,11 +587,12 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
             version = S._commit_or_rebase(
                 self.path, commit,
                 {"kind": "append",
-                 "base_schema_json": st.schema_json if st else None},
+                 "base_schema_json": self._base_schema_json},
             )
         except S.SnapshotError:
             S._unstage(self.path, added)
             raise
+        self._base_version = version  # our own commit is the new anchor
         S._maybe_checkpoint(self.path, version)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)

@@ -132,36 +132,118 @@ class ConcurrentWriteConflict(SnapshotError):
     cannot both be serialized, so the loser must re-read and re-run."""
 
 
-def _atomic_commit(path: str, commit: dict) -> None:
-    """Exclusive commit: link(2) fails with EEXIST if the version file
-    already exists, so a concurrent writer loses cleanly instead of
-    silently overwriting the log. Every commit is stamped with the wall
-    clock (``ts``) for timestamp time travel and time-based retention.
+class LogStore:
+    """The claim-version primitive behind the commit protocol, extracted
+    as Delta's LogStore abstraction: ``put_if_absent(final, payload)``
+    must atomically publish ``payload`` at the commit file's ``final``
+    path, raising CommitRaceLost if ANY writer — thread, process, or
+    host — already claimed that path. Everything above this interface
+    (OCC rebase, conflict checking, checkpointing, readers) is
+    storage-agnostic; only the mutual-exclusion mechanism swaps per
+    storage system:
 
-    DEPLOY NOTE — the mutual-exclusion primitive is os.link's atomic
-    EEXIST, which holds on POSIX local filesystems and NFS. Object
-    stores have no atomic link: on S3-class storage this protocol needs
-    a conditional put (If-None-Match, which S3 supports natively now)
-    or an external lock service (the DynamoDB LogStore pattern Delta
-    uses) in place of link(2); the log format itself is unchanged."""
+    - POSIX local / NFS / HDFS: :class:`LinkLogStore` (the default) —
+      link(2)'s atomic EEXIST.
+    - S3-class object stores: a conditional put (If-None-Match, which
+      S3 now supports natively) — exactly the contract
+      :class:`ConditionalPutLogStore` models, with the PUT's
+      precondition as the arbiter.
+    - Stores without conditional writes: an external arbitration table
+      (Delta's DynamoDB LogStore) — ConditionalPutLogStore again, with
+      the table's attribute_not_exists put as the arbiter and the
+      payload stored IN the entry so an incomplete commit is
+      recoverable by any later participant."""
+
+    def put_if_absent(self, final: str, payload: bytes) -> None:
+        raise NotImplementedError
+
+
+class LinkLogStore(LogStore):
+    """Default LogStore: write-tmp → fsync → hard-link(tmp, final).
+    link(2) fails with EEXIST if the version file already exists, so a
+    concurrent writer loses cleanly instead of silently overwriting the
+    log. Holds on POSIX local filesystems and NFS; HDFS rename-if-absent
+    has the same semantics."""
+
+    def put_if_absent(self, final: str, payload: bytes) -> None:
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise CommitRaceLost(
+                f"concurrent commit: {os.path.basename(final)} already exists"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutLogStore(LogStore):
+    """Conditional-put LogStore (the S3 If-None-Match / DynamoDB
+    arbitration shape): versions are claimed in an external TABLE via an
+    atomic put-if-absent (``mapping.setdefault`` here — a Manager dict
+    proxy dispatches it as one atomic call, standing in for S3's
+    precondition or DynamoDB's attribute_not_exists), and the winning
+    entry carries the FULL payload, so a commit that crashed between
+    claim and file write is materialized by the next participant that
+    touches the version (the DynamoDB LogStore recovery rule) — the log
+    never wedges on a half-dead writer.
+
+    ``table`` is any mapping with atomic ``setdefault``: a plain dict
+    guarded by the GIL for single-process tests, a
+    ``multiprocessing.Manager().dict()`` for cross-process arbitration,
+    DynamoDB/S3 in a real deployment."""
+
+    def __init__(self, table) -> None:
+        self.table = table
+
+    def put_if_absent(self, final: str, payload: bytes) -> None:
+        token = uuid.uuid4().hex
+        won_token, won_payload = self.table.setdefault(final, (token, payload))
+        if not os.path.exists(final):
+            # materialize the WINNER's payload (ours or a crashed
+            # claimant's): atomic tmp+rename, content identical no
+            # matter who completes it, so last-rename-wins is safe
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(won_payload)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, final)
+        if won_token != token:
+            raise CommitRaceLost(
+                f"concurrent commit: {os.path.basename(final)} already "
+                "claimed in the arbitration table"
+            )
+
+
+_LOG_STORE: LogStore = LinkLogStore()
+
+
+def set_log_store(store: LogStore | None) -> LogStore:
+    """Swap the commit arbitration mechanism (None restores the
+    default LinkLogStore). Returns the previous store so callers can
+    restore it."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store if store is not None else LinkLogStore()
+    return prev
+
+
+def _atomic_commit(path: str, commit: dict) -> None:
+    """Exclusive commit through the configured LogStore: exactly one
+    writer claims each version; the loser raises CommitRaceLost with
+    nothing published. Every commit is stamped with the wall clock
+    (``ts``) for timestamp time travel and time-based retention."""
     import time as _time
 
     commit.setdefault("ts", _time.time())
     os.makedirs(_log_dir(path), exist_ok=True)
     final = _commit_path(path, commit["version"])
-    tmp = final + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(commit, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError as exc:
-        raise CommitRaceLost(
-            f"concurrent commit: version {commit['version']} already exists"
-        ) from exc
-    finally:
-        os.unlink(tmp)
+    _LOG_STORE.put_if_absent(final, json.dumps(commit).encode())
 
 
 # ops whose commits only move DATA (vs metadata ops like add_constraint,
@@ -450,6 +532,9 @@ def _write_checkpoint(path: str, version: int) -> None:
     # fold the whole log's commit stamps so timestampAsOf / time-based
     # vacuum resolve in O(interval) opens instead of replaying the log
     meta[b"commit_ts"] = json.dumps(_fold_commit_ts(path, version)).encode()
+    # fold the newest txn stamp per app so a streaming sink's
+    # exactly-once replay check never scans past a checkpoint
+    meta[b"txn"] = json.dumps(_fold_txn(path, version)).encode()
     table = table.replace_schema_metadata(meta)
     final = _checkpoint_path(path, version)
     tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -529,7 +614,80 @@ def _fold_commit_ts(path: str, version: int) -> list:
             break
     for v in range(base + 1, version + 1):
         ts.append(_read_commit(path, v).get("ts"))
+    # a checkpoint written BEFORE backfill_commit_ts ran can hold stale
+    # None entries; the commit files are the source of truth, so re-read
+    # just those (O(backfilled legacy commits), one-time until the next
+    # checkpoint folds the stamps)
+    for v, t in enumerate(ts):
+        if t is None:
+            ts[v] = _read_commit(path, v).get("ts")
     return ts
+
+
+def _checkpoint_txn(path: str, version: int) -> dict | None:
+    """The newest-txn-per-app map ({app: batch}) folded into a
+    checkpoint's footer, covering commits 0..version; None for
+    checkpoints written before txn folding (or unreadable ones).
+    Footer-only read — no row data."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.read_schema(_checkpoint_path(path, version)).metadata or {}
+    except Exception:
+        return None
+    raw = meta.get(b"txn")
+    return json.loads(raw.decode()) if raw else None
+
+
+def _fold_txn(path: str, version: int) -> dict:
+    """Newest txn stamp per app over commits 0..version: extend the
+    newest prior checkpoint's folded map with only the tail commits —
+    the same O(interval) shape as _fold_commit_ts."""
+    _, ckpt_vs = _log_entries(path)
+    base, txn = -1, {}
+    for cv in reversed([c for c in ckpt_vs if c <= version]):
+        got = _checkpoint_txn(path, cv)
+        if got is not None:
+            base, txn = cv, dict(got)
+            break
+    for v in range(base + 1, version + 1):
+        t = _read_commit(path, v).get("txn")
+        if t and t.get("app") is not None:
+            txn[str(t["app"])] = t.get("batch")
+    return txn
+
+
+def backfill_commit_ts(path: str) -> int:
+    """Maintenance utility for PRE-STAMP legacy tables: stamp every
+    commit that carries no ``ts`` with its commit FILE's mtime — the
+    best wall-clock evidence that exists for a legacy commit — so
+    timestampAsOf (which refuses to resolve against a mixed log, see
+    _version_at_timestamp) works again. Each rewrite is atomic
+    (tmp+rename); a concurrent reader sees the old or the new stamp of
+    a commit, both valid JSON. Returns the number of commits stamped.
+
+    The mtime approximates the original commit wall-clock (exact unless
+    the file was copied/touched since); run once, then resolution is
+    exact going forward because every new commit is stamped at commit
+    time."""
+    commit_vs, _ = _log_entries(path)
+    if not commit_vs:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    stamped = 0
+    for v in commit_vs:
+        c = _read_commit(path, v)
+        if c.get("ts") is not None:
+            continue
+        final = _commit_path(path, v)
+        c["ts"] = os.stat(final).st_mtime
+        tmp = final + f".backfill-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(c, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
+        stamped += 1
+    return stamped
 
 
 def _version_at_timestamp(path: str, timestamp) -> int:
@@ -551,7 +709,9 @@ def _version_at_timestamp(path: str, timestamp) -> int:
         raise SnapshotError(
             f"{len(missing)} commit(s) (first: version {missing[0]}) have "
             "no timestamp stamp; timestampAsOf cannot resolve reliably on "
-            "a mixed log — use version= time travel instead"
+            "a mixed log — use version= time travel, or run "
+            "backfill_commit_ts(path) once to stamp legacy commits from "
+            "their commit-file mtimes"
         )
     # exact rule over the in-memory list: max version whose ts <= want
     # (no monotonicity assumption — a clock-skewed log still resolves
@@ -2108,6 +2268,15 @@ def incremental_aggregate(
     is a new state frame — same columns as aggregate_snapshot."""
     from pyspark.sql import functions as F
 
+    missing = [f"nn_{out}" for out in sums if f"nn_{out}" not in state.columns]
+    if missing:
+        raise SnapshotError(
+            f"state frame lacks maintained non-null count column(s) "
+            f"{missing}: the aggregate state format gained nn_<out> "
+            "columns (they carry SUM's null semantics, which signed "
+            "deltas alone cannot recover) — re-run aggregate_snapshot at "
+            "the state's version to bootstrap a current-format state"
+        )
     diff = snapshot_diff(spark, path, v_from, v_to, on=on)
     sign = F.when(
         F.col("__change").isin("insert", "update_post"), F.lit(1)

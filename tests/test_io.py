@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ops_spark.io import load_table
@@ -1356,7 +1357,27 @@ def test_snapshot_uncommitted_stage_is_invisible(spark, tmp_path):
     assert _snap_rows(spark, t) == [(1, "a")]
 
 
-def test_snapshot_concurrent_commit_rebase_and_conflict(spark, tmp_path):
+@pytest.fixture(params=["link", "condput"])
+def snapshot_log_store(request):
+    """Run the commit-protocol tests against BOTH LogStore impls — the
+    default link(2) store and the conditional-put arbitration store
+    (the S3 If-None-Match / DynamoDB shape): everything above the
+    put_if_absent interface must behave identically."""
+    from ops_spark.io import snapshots as S
+
+    if request.param == "link":
+        yield "link"
+        return
+    prev = S.set_log_store(S.ConditionalPutLogStore({}))
+    try:
+        yield "condput"
+    finally:
+        S.set_log_store(prev)
+
+
+def test_snapshot_concurrent_commit_rebase_and_conflict(
+    spark, tmp_path, snapshot_log_store
+):
     """Optimistic concurrency at the commit point: a race-losing APPEND
     rebases past a same-schema data commit and lands at the next version
     (both writes survive); a winner that CHANGED THE SCHEMA is a real
@@ -1981,7 +2002,9 @@ def test_snapshot_merge_prunes_from_log_stats_zero_footer_reads(spark, tmp_path)
     assert stats3["files_rewritten"] == 1 and stats3["rows_updated"] == 1
 
 
-def test_snapshot_concurrent_writers_disjoint_merges_both_land(spark, tmp_path):
+def test_snapshot_concurrent_writers_disjoint_merges_both_land(
+    spark, tmp_path, snapshot_log_store
+):
     """VERDICT r8 #3 (supersedes r7 #4's loser-retries contract): two
     merges racing one table with PROVABLY DISJOINT key ranges both land
     — the race loser validates the winner's commit from the log
@@ -2037,7 +2060,9 @@ def test_snapshot_concurrent_writers_disjoint_merges_both_land(spark, tmp_path):
     assert set(os.listdir(os.path.join(t, "data"))) <= referenced
 
 
-def test_snapshot_concurrent_overlapping_merges_conflict(spark, tmp_path):
+def test_snapshot_concurrent_overlapping_merges_conflict(
+    spark, tmp_path, snapshot_log_store
+):
     """Two merges racing with OVERLAPPING key ranges (both rewrite the
     same file) cannot both serialize: exactly one lands, the loser
     raises ConcurrentWriteConflict with its staged files un-staged, and
@@ -3099,3 +3124,209 @@ def test_snapshot_incremental_aggregate_null_sums(spark, tmp_path):
     assert got == want
     assert got["gN"] == (3, None)  # all-null group stayed NULL, not 0
     assert got["gV"] == (1, None)  # lost its last non-null input -> NULL
+
+
+def test_snapshot_backfill_commit_ts(spark, tmp_path):
+    """ADVICE r9 (low): a pre-stamp legacy table is not permanently
+    locked out of timestampAsOf — backfill_commit_ts stamps unstamped
+    commits from their commit-file mtimes (atomic rewrites), after which
+    resolution works; a checkpoint written BEFORE the backfill (folding
+    stale None stamps) is healed by re-reading just the backfilled
+    commits."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 3
+    try:
+        for i in range(5):
+            S.write_snapshot(
+                spark, spark.createDataFrame([(i,)], "k long"), t, mode="append"
+            )
+        # make commits 0..2 legacy (no ts), drop the stamped-era
+        # checkpoints, and mint a fresh one — its folded commit_ts list
+        # now holds stale None entries (a checkpoint written before the
+        # backfill, the shape the healing path must see through)
+        base_ts = S._read_commit(t, 3)["ts"]
+        for v in range(3):
+            p = S._commit_path(t, v)
+            c = json.load(open(p))
+            del c["ts"]
+            json.dump(c, open(p, "w"))
+            # a real legacy table's commit files carry their original
+            # commit-time mtimes (ordered, older than later commits)
+            mt = base_ts - (3 - v) * 60.0
+            os.utime(p, (mt, mt))
+        for cv in S._log_entries(t)[1]:
+            os.remove(S._checkpoint_path(t, cv))
+        S._write_checkpoint(t, 3)
+        assert None in S._checkpoint_commit_ts(t, 3)
+
+        with _pytest.raises(S.SnapshotError, match="backfill_commit_ts"):
+            S.read_snapshot(spark, t, timestamp=1e12)
+
+        assert S.backfill_commit_ts(t) == 3  # stamps exactly the legacy ones
+        assert S.backfill_commit_ts(t) == 0  # idempotent
+        # resolves again — including THROUGH the stale checkpoint fold
+        assert S.read_snapshot(spark, t, timestamp=1e12).count() == 5
+        ts = S._fold_commit_ts(t, 4)
+        assert all(x is not None for x in ts) and ts == sorted(ts)
+        # mtime stamping keeps commit order: version at ts[2] is 2
+        assert S._version_at_timestamp(t, ts[2]) == 2
+        # no rewrite debris next to the log
+        assert not [n for n in os.listdir(S._log_dir(t)) if ".backfill-" in n]
+    finally:
+        S.CHECKPOINT_INTERVAL = old
+
+
+def test_snapshot_incremental_aggregate_legacy_state_raises(spark, tmp_path):
+    """ADVICE r9 (low): a state frame persisted by the pre-nn_ format
+    fails with a clear 'state format upgraded' SnapshotError instead of
+    an unresolved-column crash deep inside the join."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([("a", 1, 10), ("b", 2, 20)], "grp string, k long, cents long"),
+        t,
+    )
+    state = S.aggregate_snapshot(spark, t, ["grp"], {"total": "cents"})
+    legacy = state.drop("nn_total")  # the pre-upgrade persisted shape
+    S.write_snapshot(
+        spark, spark.createDataFrame([("a", 3, 30)], "grp string, k long, cents long"),
+        t, mode="append",
+    )
+    with _pytest.raises(S.SnapshotError, match="re-run aggregate_snapshot"):
+        S.incremental_aggregate(
+            spark, t, 0, 1, on=["k"], group_by=["grp"],
+            sums={"total": "cents"}, state=legacy,
+        )
+    # the current-format state still advances fine
+    out = S.incremental_aggregate(
+        spark, t, 0, 1, on=["k"], group_by=["grp"],
+        sums={"total": "cents"}, state=state,
+    )
+    assert {(r.grp, r.total) for r in out.collect()} == {("a", 40), ("b", 20)}
+
+
+def _condput_hammer(tbl, n_versions, me, table, barrier, out):
+    """Child-process body for the conditional-put multiprocess race:
+    hammer _atomic_commit through a SHARED arbitration table (a Manager
+    dict standing in for DynamoDB/S3-conditional-put)."""
+    import random
+    import time
+
+    from ops_spark.io import snapshots as S
+
+    S.set_log_store(S.ConditionalPutLogStore(table))
+    random.seed(me)
+    barrier.wait(120)
+    wins, losses = [], 0
+    while True:
+        time.sleep(random.random() * 0.004)
+        commits, _ = S._log_entries(tbl)
+        v = (commits[-1] + 1) if commits else 0
+        if v >= n_versions:
+            break
+        try:
+            S._atomic_commit(tbl, {"version": v, "op": "append", "add": [],
+                                   "remove": [], "writer": me})
+            wins.append(v)
+        except S.CommitRaceLost:
+            losses += 1
+    out[me] = {"wins": wins, "losses": losses}
+
+
+def test_snapshot_multiprocess_commit_race_conditional_put(tmp_path):
+    """VERDICT r9 #4: the commit protocol holds under the
+    CONDITIONAL-PUT LogStore across OS processes — two processes
+    arbitrate 40 versions through one shared put-if-absent table;
+    every version gets exactly one writer, losers retry cleanly, the
+    materialized commit files match the arbitration winners, and no
+    tmp files leak."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_log"))
+    n_versions = 40
+    ctx = mp.get_context("spawn")  # no JVM/fork interaction
+    with ctx.Manager() as mgr:
+        table = mgr.dict()
+        out = mgr.dict()
+        barrier = mgr.Barrier(2)
+        procs = [
+            ctx.Process(
+                target=_condput_hammer,
+                args=(t, n_versions, name, table, barrier, out),
+            )
+            for name in ("A", "B")
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(300)
+            assert p.exitcode == 0
+        outs = dict(out)
+        n_claims = len(table)
+
+    log = sorted(os.listdir(os.path.join(t, "_log")))
+    assert not [n for n in log if ".tmp-" in n], "tmp commit files leaked"
+    versions = [int(n.split(".")[0]) for n in log if n.endswith(".json")]
+    assert versions == list(range(n_versions))  # contiguous, no gaps
+    assert n_claims == n_versions  # one arbitration entry per version
+    all_wins = sorted(outs["A"]["wins"] + outs["B"]["wins"])
+    assert all_wins == versions  # exactly one winner per version
+    writers = {}
+    for n in log:
+        if n.endswith(".json"):
+            c = json.load(open(os.path.join(t, "_log", n)))
+            writers[c["version"]] = c["writer"]
+    for me in ("A", "B"):
+        assert all(writers[v] == me for v in outs[me]["wins"])
+    assert outs["A"]["wins"] and outs["B"]["wins"]
+    assert outs["A"]["losses"] + outs["B"]["losses"] > 0
+
+
+def test_snapshot_log_store_conditional_put_recovery(tmp_path):
+    """The DynamoDB-LogStore recovery rule: a writer that CLAIMED a
+    version in the arbitration table but crashed before writing the
+    commit file does not wedge the log — the payload lives in the
+    entry, and the next participant that touches the version
+    materializes it before losing the race."""
+    import json
+    import os
+
+    from ops_spark.io import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_log"))
+    table = {}
+    store = S.ConditionalPutLogStore(table)
+    final = S._commit_path(t, 0)
+    won = json.dumps({"version": 0, "op": "append", "add": [], "remove": [],
+                      "ts": 1.0, "writer": "crashed"}).encode()
+    table.setdefault(final, ("dead-claimant-token", won))  # claim, no file
+    assert not os.path.exists(final)
+
+    with pytest.raises(S.CommitRaceLost):
+        store.put_if_absent(final, b'{"version": 0, "op": "x"}')
+    # the loser materialized the WINNER's payload — log unwedged
+    assert json.load(open(final))["writer"] == "crashed"
+    # and the next version proceeds normally through the same store
+    store.put_if_absent(
+        S._commit_path(t, 1),
+        json.dumps({"version": 1, "op": "append", "add": [],
+                    "remove": [], "ts": 2.0}).encode(),
+    )
+    assert S._log_entries(t)[0] == [0, 1]
+    assert S._read_commit(t, 1)["ts"] == 2.0

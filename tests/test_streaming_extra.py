@@ -580,3 +580,207 @@ def test_snapshot_stream_projects_through_evolved_schema(spark, tmp_path):
     assert [f.name for f in sdf.schema.fields] == ["k", "v", "w"]
     got = {r.k: (r.v, r.w) for r in run_bounded(sdf, name="snap_evo").collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def _arrow_kv(rows):
+    """[(k, v), ...] -> one pyarrow RecordBatch matching 'k long, v string'."""
+    import pyarrow as pa
+
+    return pa.record_batch({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def test_snapshot_batch_writer_constraint_rejects_overwrite(spark, tmp_path):
+    """ADVICE r9 (high): a constrained table rejects the Arrow write path
+    for OVERWRITE too, not just append — constraints persist in folded
+    state across overwrite commits, so letting mode('overwrite') through
+    unvalidated would land unchecked rows in a still-constrained table
+    (write_snapshot enforces CHECK on every mode; Delta does too)."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    S.write_snapshot(spark, spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    S.add_constraint(spark, tbl, "pos", "k > 0")
+
+    with pytest.raises(Exception, match="write_snapshot"):
+        spark.createDataFrame([(-5, "bad")], "k long, v string") \
+            .write.format("ops_snapshot").option("path", tbl) \
+            .mode("overwrite").save()
+    # nothing landed: same version, same rows, constraint still folded
+    assert S.latest_version(tbl) == 1
+    assert [(r.k, r.v) for r in S.read_snapshot(spark, tbl).collect()] == [(1, "a")]
+    assert S._state(tbl).constraints  # still enforced for future writes
+
+    # and write_snapshot overwrite still enforces the constraint itself
+    with pytest.raises(Exception, match="CHECK constraint"):
+        S.write_snapshot(
+            spark, spark.createDataFrame([(-5, "bad")], "k long, v string"),
+            tbl, mode="overwrite",
+        )
+
+
+def test_snapshot_batch_writer_interloper_commits(spark, tmp_path):
+    """ADVICE r9 (medium): the Arrow writer's commit anchors at the
+    PLANNING-time version, so a commit landing between planning and
+    commit() is never silently absorbed —
+    - overwrite: fails fast (its remove set is the planning-time live
+      set; absorbing would leave the interloper's files alive through
+      the 'overwrite') and un-stages,
+    - append under a schema-CHANGING interloper: ConcurrentWriteConflict
+      (committing our stale schema would erase the new column),
+    - append under a benign same-schema interloper: rebases — both land.
+    """
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import SnapshotBatchWriter
+
+    tbl = str(tmp_path / "tbl")
+    kv = "k long, v string"
+    d = lambda rows: spark.createDataFrame(rows, kv)  # noqa: E731
+    S.write_snapshot(spark, d([(1, "a")]), tbl)
+    schema = d([(1, "a")]).schema
+
+    # --- overwrite vs interloper append: fail fast, stage cleaned up
+    w = SnapshotBatchWriter({"path": tbl}, schema, overwrite=True)
+    msg = w.write(iter([_arrow_kv([(100, "ow")])]))
+    S.write_snapshot(spark, d([(2, "interloper")]), tbl, mode="append")
+    with pytest.raises(S.CommitRaceLost):
+        w.commit([msg])
+    assert S.latest_version(tbl) == 1
+    got = sorted((r.k, r.v) for r in S.read_snapshot(spark, tbl).collect())
+    assert got == [(1, "a"), (2, "interloper")]  # interloper intact
+
+    # --- append vs schema-changing interloper: real conflict
+    w2 = SnapshotBatchWriter({"path": tbl}, schema, overwrite=False)
+    msg2 = w2.write(iter([_arrow_kv([(3, "stale")])]))
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([(9, "z", 1.5)], "k long, v string, extra double"),
+        tbl, mode="append",
+    )
+    with pytest.raises(S.ConcurrentWriteConflict, match="schema"):
+        w2.commit([msg2])
+    cur = S.read_snapshot(spark, tbl)
+    assert cur.columns == ["k", "v", "extra"]  # evolved column survived
+    assert cur.count() == 3
+
+    # --- append vs benign same-schema interloper: rebase, both land
+    evolved = cur.schema
+    w3 = SnapshotBatchWriter({"path": tbl}, evolved, overwrite=False)
+    import pyarrow as pa
+
+    b3 = pa.record_batch({
+        "k": pa.array([50], pa.int64()),
+        "v": pa.array(["mine"], pa.string()),
+        "extra": pa.array([2.5], pa.float64()),
+    })
+    msg3 = w3.write(iter([b3]))
+    S.write_snapshot(
+        spark, spark.createDataFrame([(60, "theirs", 3.5)], cur.schema),
+        tbl, mode="append",
+    )
+    w3.commit([msg3])  # rebases past the benign append
+    rows = {r.k: r.v for r in S.read_snapshot(spark, tbl).collect()}
+    assert rows[50] == "mine" and rows[60] == "theirs"
+    # no unreferenced files anywhere (every loser un-staged)
+    referenced = set()
+    for c in S._read_commits(tbl):
+        referenced |= {os.path.basename(f) for f in c["add"]}
+    assert set(os.listdir(os.path.join(tbl, "data"))) <= referenced
+
+
+def test_snapshot_stream_writer_interloper_commits(spark, tmp_path):
+    """ADVICE r9 (medium), sink half: each micro-batch commit anchors at
+    the version the sink last saw, so an interloping schema change
+    raises ConcurrentWriteConflict instead of being absorbed under the
+    sink's stale schema; a benign same-schema append rebases and both
+    survive; the sink's own commits advance the anchor (no rebase walk
+    over its own history)."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import SnapshotStreamWriter
+
+    tbl = str(tmp_path / "tbl")
+    kv = "k long, v string"
+    S.write_snapshot(spark, spark.createDataFrame([(1, "a")], kv), tbl)
+    w = SnapshotStreamWriter(
+        {"path": tbl, "txnappid": "appI"},
+        spark.createDataFrame([(1, "a")], kv).schema,
+    )
+    # batch 0 commits normally
+    w.commit([w.write(iter([_arrow_kv([(10, "b0")])]))], batchId=0)
+    assert S.latest_version(tbl) == 1
+
+    # benign interloper append between batches: batch 1 rebases past it
+    S.write_snapshot(
+        spark, spark.createDataFrame([(99, "ext")], kv), tbl, mode="append"
+    )
+    before = S.LOG_COMMIT_READS
+    w.commit([w.write(iter([_arrow_kv([(11, "b1")])]))], batchId=1)
+    rows = {r.k: r.v for r in S.read_snapshot(spark, tbl).collect()}
+    assert rows[11] == "b1" and rows[99] == "ext"
+    # anchor advanced: the rebase walk covered the ONE interloper, not
+    # the sink's whole history (txn scan + state fold dominate reads)
+    assert S.LOG_COMMIT_READS - before < 20
+
+    # schema-changing interloper: the next batch is a REAL conflict
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame([(7, "w", 0.5)], "k long, v string, extra double"),
+        tbl, mode="append",
+    )
+    with pytest.raises(S.ConcurrentWriteConflict, match="schema"):
+        w.commit([w.write(iter([_arrow_kv([(12, "b2")])]))], batchId=2)
+    cur = S.read_snapshot(spark, tbl)
+    assert cur.columns == ["k", "v", "extra"]  # evolution preserved
+    assert 12 not in {r.k for r in cur.collect()}
+
+
+def test_snapshot_stream_writer_txn_scan_stops_at_checkpoint(spark, tmp_path):
+    """ADVICE r9 (low): the exactly-once replay check folds the
+    newest-txn-per-app map into checkpoints, so a sink starting on a
+    long-lived table reads O(commits since the last checkpoint), not
+    O(total commits) — and a stamp BELOW the checkpoint is still found
+    (from the folded map), keeping replay idempotence exact."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import SnapshotStreamWriter
+
+    tbl = str(tmp_path / "tbl")
+    kv = "k long, v string"
+    schema = spark.createDataFrame([(1, "a")], kv).schema
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 5
+    try:
+        S.write_snapshot(spark, spark.createDataFrame([(0, "seed")], kv), tbl)
+        # app 'early' stamps batch 3 at version 1, far below the head
+        w_early = SnapshotStreamWriter({"path": tbl, "txnappid": "early"}, schema)
+        w_early.commit([w_early.write(iter([_arrow_kv([(1, "e")])]))], batchId=3)
+        for i in range(12):  # bury it under 12 commits (checkpoints at 5, 10)
+            S.write_snapshot(
+                spark, spark.createDataFrame([(100 + i, "x")], kv), tbl,
+                mode="append",
+            )
+        assert S._log_entries(tbl)[1]  # at least one checkpoint exists
+
+        before = S.LOG_COMMIT_READS
+        w = SnapshotStreamWriter({"path": tbl, "txnappid": "early"}, schema)
+        got = w._last_committed_batch()
+        reads = S.LOG_COMMIT_READS - before
+        assert got == 3  # found via the checkpoint's folded txn map
+        # scan stopped at the newest checkpoint: strictly fewer commit
+        # opens than the 14 commits in the log (init's _state replay also
+        # starts at the checkpoint, so the TOTAL stays bounded)
+        assert reads < 14
+        # replay of batch <= 3 is a no-op for 'early'
+        v = S.latest_version(tbl)
+        w.commit([], batchId=3)
+        assert S.latest_version(tbl) == v
+        # a fresh app on the same long table: None, still bounded reads
+        w2 = SnapshotStreamWriter({"path": tbl, "txnappid": "fresh"}, schema)
+        before2 = S.LOG_COMMIT_READS
+        assert w2._last_committed_batch() is None
+        assert S.LOG_COMMIT_READS - before2 < 14
+    finally:
+        S.CHECKPOINT_INTERVAL = old
