@@ -229,6 +229,16 @@ class SnapshotBatchReader(DataSourceReader):
             )
         self._st = st
         self._bounds: dict[str, list] = {}  # physical col -> [lo, hi]
+        # physical col -> exact IN-list value set (intersection across
+        # repeated IN filters). Exactness matters for SPARSE lists: the
+        # [min,max] hull of IN (lo, hi) keeps every file between the two
+        # endpoints; the value set prunes a file unless SOME listed value
+        # intersects its logged min/max. Capped to bound driver work —
+        # beyond the cap only the hull applies (still correct: pruning is
+        # always an over-approximation of the matching file set).
+        self._in_sets: dict[str, set] = {}
+
+    _IN_SET_CAP = 256  # values per column; above this, hull-only
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         from pyspark.sql.datasource import (
@@ -267,6 +277,11 @@ class SnapshotBatchReader(DataSourceReader):
                         lo, hi = min(vals), max(vals)
                     except TypeError:
                         lo = hi = None
+                    if lo is not None and len(vals) <= self._IN_SET_CAP:
+                        vset = set(vals)
+                        if col in self._in_sets:  # AND of INs: intersect
+                            vset &= self._in_sets[col]
+                        self._in_sets[col] = vset
             if lo is None and hi is None:
                 continue
             b = self._bounds.setdefault(col, [None, None])
@@ -293,6 +308,19 @@ class SnapshotBatchReader(DataSourceReader):
                 for rel in files
                 if _log_prune_decision(st.stats.get(rel, {}), col, qlo, qhi)
                 is not True
+            ]
+        for col, vals in self._in_sets.items():
+            # exact IN pruning: keep a file only if SOME listed value can
+            # fall inside its logged min/max (a file the log can't decide
+            # — no stats for col — returns None for every value and stays)
+            files = [
+                rel
+                for rel in files
+                if any(
+                    _log_prune_decision(st.stats.get(rel, {}), col, v, v)
+                    is not True
+                    for v in vals
+                )
             ]
         return [
             _FileSlice(os.path.join(self.path, rel), st.schema_json)
