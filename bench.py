@@ -33,6 +33,19 @@ def main() -> None:
     q.load_all()
     spark = get_session(app_name="ops_spark_bench", cores=cores)
 
+    def cum_task_ms() -> int:
+        """Cumulative executor task time (ms) from the executor summaries
+        — survives stage eviction (unlike per-stage listings), costs a
+        handful of py4j calls, and lets each query's CPU be attributed to
+        its family so wall-clock drift (box load) and CPU regressions
+        (plan changes) are separable per round (VERDICT r9 #1)."""
+        try:
+            lst = spark._jsparkSession.sparkContext().statusStore() \
+                .executorList(False)
+            return sum(lst.apply(i).totalDuration() for i in range(lst.size()))
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            return 0
+
     names = sorted(q.all_queries())
     # JVM/codegen warm-up on the flagship so q1 doesn't absorb session init.
     q.get_query("Q01_pricing_summary").builder(spark, sf_dir).count()
@@ -66,6 +79,14 @@ def main() -> None:
     # join, silently zeroing out enrichment-shaped queries' measurements.
     from ops_spark.conformance import consume
 
+    def family_of(name: str) -> str:
+        if name.startswith("Q"):
+            return "tpch"
+        return name.removeprefix("x_").split("_", 1)[0]
+
+    family_cpu: dict[str, int] = {}
+    cpu_mark = [cum_task_ms()]
+
     def run_once(name: str) -> float:
         query = q.get_query(name)
         t0 = time.perf_counter()
@@ -76,6 +97,10 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             elapsed = -1.0
         release_session_memory()
+        now = cum_task_ms()
+        fam = family_of(name)
+        family_cpu[fam] = family_cpu.get(fam, 0) + max(0, now - cpu_mark[0])
+        cpu_mark[0] = now
         return elapsed
 
     timings: dict[str, float] = {name: run_once(name) for name in names}
@@ -118,8 +143,14 @@ def main() -> None:
     # Headline battery on the wire; everything else rolled up per family so
     # the line stays inside the driver's 2000-char stdout tail.
     # 3-decimal wire precision (ms resolution) keeps the line inside the
-    # stdout budget as the io family grows; BENCH_FULL keeps 4 decimals
-    headline = {n: round(t, 3) for n, t in timings.items() if n.startswith("Q")}
+    # stdout budget as the io family grows; BENCH_FULL keeps 4 decimals.
+    # WIRE keys are shortened (VERDICT r9 #2: headroom was 68 chars):
+    # TPC-H "Q01_pricing_summary" -> "Q01", io_snapshot_* -> io_*;
+    # BENCH_FULL.json keeps the full names.
+    headline = {
+        n.split("_", 1)[0]: round(t, 3)
+        for n, t in timings.items() if n.startswith("Q")
+    }
     families: dict[str, float] = {}
     for n, t in timings.items():
         if n.startswith("Q") or t < 0:
@@ -131,7 +162,7 @@ def main() -> None:
             # round; per-query timings on the wire keep round-over-round
             # comparison honest (new-query cost vs regression) without
             # spelunking BENCH_FULL.json
-            families[n] = round(t, 3)
+            families[n.replace("io_snapshot_", "io_")] = round(t, 3)
             continue
         families[f"{fam}_total"] = round(families.get(f"{fam}_total", 0.0) + t, 3)
     payload = {
@@ -151,6 +182,11 @@ def main() -> None:
     full = dict(payload)
     full["queries"] = timings
     full["min_of_2"] = sorted(n for n, s in samples.items() if s == 2)
+    # Per-family executor TASK time (ms): CPU-side ground truth so a wall
+    # regression can be attributed (box drift vs plan change) without
+    # re-deriving it. Includes the min-of-2 rerun passes (steady-state);
+    # "tpch" is the Q* battery.
+    full["family_task_ms"] = dict(sorted(family_cpu.items()))
 
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:  # last-resort degrade: drop detail, keep the gate

@@ -29,7 +29,7 @@ import os
 import random
 from decimal import Decimal
 
-VERSION = 2  # bump to invalidate cached parquet
+VERSION = 3  # bump to invalidate cached parquet (v3: coverage injections)
 
 N_ITEM = 400
 N_CUSTOMER = 600
@@ -581,6 +581,12 @@ def generate(out_dir: str, scale: float = 1.0) -> dict[str, int]:
         "catalog_sales": cs, "catalog_returns": cr,
         "web_sales": ws, "web_returns": wr,
     }
+
+    # deterministic domain-coverage rows so corpus predicates the random
+    # domains never bind return NON-EMPTY results (VERDICT r9 #3)
+    from ops_spark.queries.tpcds_coverage import inject
+
+    inject(data, scale, JULIAN_D0, D0, N_ITEM, N_CUSTOMER, N_ADDRESS)
 
     def pa_type(t: str):
         if t == "int":
