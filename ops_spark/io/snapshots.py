@@ -2006,15 +2006,29 @@ def update_where(
 
 
 def vacuum(
-    path: str, retain_last: int = 2, retain_hours: float | None = None
+    path: str, retain_last: int = 2, retain_hours: float | None = None,
+    orphan_grace_hours: float = 1.0,
 ) -> dict:
     """Delete data files referenced ONLY by versions outside the
-    retention window (plus any never-committed stage orphans). The
-    window is the last ``retain_last`` versions; ``retain_hours``
-    (Delta's time-based retention, default 168h there) WIDENS it to
-    also keep every version committed within that many hours — the two
-    compose as a union, so a burst of CDC commits can never vacuum away
-    an hour-old version just because many versions followed it.
+    retention window (plus stale never-committed orphans). The window
+    is the last ``retain_last`` versions; ``retain_hours`` (Delta's
+    time-based retention, default 168h there) WIDENS it to also keep
+    every version committed within that many hours — the two compose as
+    a union, so a burst of CDC commits can never vacuum away an
+    hour-old version just because many versions followed it.
+
+    ``orphan_grace_hours`` guards the IN-FLIGHT-WRITE race: every
+    committer (write_snapshot, merge, the 2PC Arrow writers) moves its
+    finished files into data/ — and stages task output under
+    ``.stage-*`` — BEFORE publishing the commit, so a file referenced
+    by NO commit is either a crashed write's debris or a commit that
+    hasn't landed YET. Files/stage-dirs younger than the grace are
+    kept (Delta's vacuum likewise only deletes unreferenced files older
+    than its retention, default 7 days, for exactly this race); pass 0
+    to force-sweep when no writer can be live. Files referenced by SOME
+    commit are retired data with a known position — the version window
+    above governs them, not the grace.
+
     Returns {removed_files, removed_bytes, retained_from_version}."""
     import time as _time
 
@@ -2039,19 +2053,40 @@ def vacuum(
     keep: set[str] = set(st.live)
     for v in range(keep_from, st.latest):
         keep |= set(_state(path, v).live)
+    ever_referenced: set[str] = set()
+    for c in _read_commits(path):
+        ever_referenced |= set(c["add"])
+    grace_cutoff = _time.time() - orphan_grace_hours * 3600.0
     removed_files = 0
     removed_bytes = 0
     data_dir = os.path.join(path, _DATA)
     for nm in sorted(os.listdir(data_dir)):
         rel = os.path.join(_DATA, nm)
-        if rel not in keep:
-            full = os.path.join(path, rel)
-            removed_bytes += os.path.getsize(full)
+        if rel in keep:
+            continue
+        full = os.path.join(path, rel)
+        if rel not in ever_referenced:
+            try:
+                if os.path.getmtime(full) >= grace_cutoff:
+                    continue  # possible in-flight commit: not ours to sweep
+            except OSError:
+                continue  # raced its own commit/unstage: leave it alone
+        try:
+            size = os.path.getsize(full)
             os.remove(full)
-            removed_files += 1
+        except OSError:
+            continue
+        removed_bytes += size
+        removed_files += 1
     for nm in os.listdir(path):  # never-committed staging leftovers
         if nm.startswith(".stage-"):
-            shutil.rmtree(os.path.join(path, nm), ignore_errors=True)
+            full = os.path.join(path, nm)
+            try:
+                if os.path.getmtime(full) >= grace_cutoff:
+                    continue  # a live 2PC write is staging tasks here
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
     return {
         "removed_files": removed_files,
         "removed_bytes": removed_bytes,

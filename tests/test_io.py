@@ -3470,3 +3470,53 @@ print("RESULT" + json.dumps(out))
     assert rows[100] in ("A100", "B100")  # exactly the round-2 winner
     assert rows[0] == "z0" and rows[900] == "z9"
     assert S.latest_version(t) == 3
+
+
+def test_snapshot_vacuum_spares_inflight_writes(spark, tmp_path):
+    """vacuum vs a concurrent writer: every committer moves finished
+    files into data/ (and stages under .stage-*) BEFORE publishing the
+    commit, so an unreferenced-but-FRESH file may be a commit in flight
+    — vacuum must leave it (and fresh stage dirs) alone, sweeping only
+    orphans older than the grace (Delta's uncommitted-file retention).
+    Retired files referenced by old commits are governed by the version
+    window as before, regardless of mtime."""
+    import os
+    import time
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):  # overwrites: v0/v1 files retire
+        S.write_snapshot(
+            spark, spark.createDataFrame([(i,)], "k long"), t, mode="overwrite"
+        )
+    # simulate an in-flight 2PC commit: moved data file + stage dir,
+    # commit not yet published
+    fresh_orphan = os.path.join(t, "data", "v99-deadbeef-part-inflight.parquet")
+    open(fresh_orphan, "wb").write(b"PAR1inflight")
+    stage = os.path.join(t, ".stage-inflight")
+    os.makedirs(stage)
+    open(os.path.join(stage, "part-x.parquet"), "wb").write(b"PAR1task")
+    # and a CRASHED write from yesterday: same shapes, backdated mtime
+    stale_orphan = os.path.join(t, "data", "v98-cafebabe-part-crashed.parquet")
+    open(stale_orphan, "wb").write(b"PAR1crashed")
+    old = time.time() - 48 * 3600
+    os.utime(stale_orphan, (old, old))
+    stale_stage = os.path.join(t, ".stage-crashed")
+    os.makedirs(stale_stage)
+    os.utime(stale_stage, (old, old))
+
+    rep = S.vacuum(t, retain_last=1)
+    # retired v0/v1 files swept (referenced by commits, outside window),
+    # the stale orphan swept, the fresh in-flight file + stage spared
+    assert os.path.exists(fresh_orphan)
+    assert os.path.isdir(stage)
+    assert not os.path.exists(stale_orphan)
+    assert not os.path.isdir(stale_stage)
+    assert rep["removed_files"] >= 3  # v0 + v1 + the stale orphan
+    assert S.read_snapshot(spark, t).count() == 1  # live data untouched
+
+    # grace 0 = force-sweep (operator asserts no writer is live)
+    S.vacuum(t, retain_last=1, orphan_grace_hours=0.0)
+    assert not os.path.exists(fresh_orphan)
+    assert not os.path.isdir(stage)
