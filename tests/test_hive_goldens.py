@@ -19,7 +19,17 @@ import json
 
 import pytest
 
-from tests.hive_golden_data import ENTRIES, FAMILY_TABLES, SETUP_SQL, SRC_ROWS
+from tests.hive_golden_data import (
+    ENTRIES as ENTRIES1,
+    FAMILY_TABLES as FAMILY_TABLES1,
+    SETUP_SQL as SETUP_SQL1,
+    SRC_ROWS,
+)
+from tests.hive_golden_data2 import ENTRIES2, FAMILY_TABLES2, SETUP_SQL2
+
+ENTRIES = ENTRIES1 + ENTRIES2
+FAMILY_TABLES = {**FAMILY_TABLES1, **FAMILY_TABLES2}
+SETUP_SQL = {**SETUP_SQL1, **SETUP_SQL2}
 
 FAMILIES = sorted({fam for fam, _, _ in ENTRIES})
 
@@ -30,6 +40,10 @@ def _fmt(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        if v != v:
+            return "NaN"  # java Double.toString spelling, like the goldens
+        if v in (float("inf"), float("-inf")):
+            return "Infinity" if v > 0 else "-Infinity"
         return repr(v)
     if isinstance(v, (list, dict)):
         return json.dumps(v, separators=(",", ":"))
@@ -38,19 +52,27 @@ def _fmt(v):
 
 @pytest.fixture(scope="module")
 def hive_views(spark):
-    """The classic Hive base fixtures as temp views. Family tables are
-    registered PER FAMILY inside the test — several families reuse the
-    name myinput1 with different payloads, so a global registration
-    would cross-contaminate them."""
+    """The classic Hive base fixtures as temp views, with TestHive's
+    exact schemas (reference TestHive.scala:312-318: src/src1/srcpart
+    all declare key INT — the golden answer files were recorded against
+    INT keys, so numeric ORDER BY / string-vs-int predicate coercion
+    must match). Family tables are registered PER FAMILY inside the
+    test — several families reuse the name myinput1 with different
+    payloads, so a global registration would cross-contaminate them."""
+    from tests.hive_golden_data2 import SRC1_ROWS
+
     spark.createDataFrame(SRC_ROWS, "key string, value string") \
+        .selectExpr("cast(key as int) as key", "value") \
         .createOrReplaceTempView("src")
+    spark.createDataFrame(SRC1_ROWS, "key int, value string") \
+        .createOrReplaceTempView("src1")
     spark.sql(
         "SELECT key, value, ds, hr FROM src "
         "LATERAL VIEW explode(array('2008-04-08','2008-04-09')) d AS ds "
         "LATERAL VIEW explode(array('11','12')) h AS hr"
     ).createOrReplaceTempView("srcpart")
     yield spark
-    for name in ("src", "srcpart"):
+    for name in ("src", "src1", "srcpart"):
         spark.catalog.dropTempView(name)
 
 
@@ -59,8 +81,19 @@ def test_hive_golden_family(hive_views, family):
     spark = hive_views
     for name, (schema, rows) in FAMILY_TABLES.get(family, {}).items():
         spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
-    for name, sel in SETUP_SQL.get(family, []):
-        spark.sql(sel).createOrReplaceTempView(name)
+    for entry in SETUP_SQL.get(family, []):
+        # (name, select) from the r9 tranche; (name, select, declared
+        # schema) from the r10 extractor — an INSERT OVERWRITE into a
+        # declared table takes its column NAMES AND TYPES from the
+        # declaration, not from the select (Hive insert semantics)
+        name, sel = entry[0], entry[1]
+        df = spark.sql(sel)
+        if len(entry) > 2 and entry[2]:
+            cols = [c.rsplit(" ", 1) for c in entry[2].split(", ")]
+            df = df.toDF(*[n for n, _ in cols]).selectExpr(
+                *[f"cast(`{n}` as {t}) as `{n}`" for n, t in cols]
+            )
+        df.createOrReplaceTempView(name)
     failures = []
     n = 0
     for fam, sql, expected in ENTRIES:
