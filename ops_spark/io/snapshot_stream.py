@@ -73,6 +73,7 @@ from pyspark.sql.types import StructType
 class _FileSlice(InputPartition):
     abs_path: str | None  # None = planned empty batch (no files added)
     schema_json: str
+    dv_abs: str | None = None  # deletion-vector blob (absolute), if any
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -132,12 +133,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         parts: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             c = _read_commit(self.path, v)
-            if c["remove"] and self.mode == "append":
+            if (c["remove"] or c.get("dv")) and self.mode == "append":
                 raise SnapshotError(
-                    f"commit {v} ({c['op']}) removes files; streaming in "
-                    "append mode requires append-only commits — restart "
-                    "with .option('changemode', 'ignore_changes') to "
-                    "re-emit rewritten files (and dedup downstream)"
+                    f"commit {v} ({c['op']}) removes files or rows "
+                    "(deletion vectors); streaming in append mode "
+                    "requires append-only commits — restart with "
+                    ".option('changemode', 'ignore_changes') to re-emit "
+                    "rewritten files (and dedup downstream)"
                 )
             for rel in c["add"]:
                 parts.append(
@@ -173,6 +175,22 @@ def _read_slice(partition: _FileSlice):
     if partition.abs_path is None:
         return iter(())
     tbl = pq.read_table(partition.abs_path)
+    if partition.dv_abs is not None:
+        # deletion vector: drop the blob's positions for THIS file.
+        # Positions are physical row indices of the whole file, which is
+        # exactly what pq.read_table materialized — mask before any
+        # projection.
+        import numpy as np
+        import pyarrow.compute as pc
+
+        dvt = pq.read_table(partition.dv_abs, columns=["file", "pos"])
+        base = os.path.basename(partition.abs_path)
+        pos = dvt.filter(pc.equal(dvt.column("file"), base)) \
+            .column("pos").to_pylist()
+        if pos:
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[np.asarray(pos, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(keep))
     cols = []
     for field, sf in zip(a_schema, target.fields):
         phys = (sf.metadata or {}).get("ops_physical", field.name)
@@ -323,7 +341,12 @@ class SnapshotBatchReader(DataSourceReader):
                 )
             ]
         return [
-            _FileSlice(os.path.join(self.path, rel), st.schema_json)
+            _FileSlice(
+                os.path.join(self.path, rel),
+                st.schema_json,
+                (os.path.join(self.path, st.dv[rel])
+                 if st.dv.get(rel) is not None else None),
+            )
             for rel in files
         ] or [_FileSlice(None, st.schema_json)]
 

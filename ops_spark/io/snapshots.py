@@ -250,7 +250,7 @@ def _atomic_commit(path: str, commit: dict) -> None:
 # whose concurrent landing invalidates rows staged under the old rules)
 def _is_data_op(op: str) -> bool:
     return op in ("append", "overwrite", "merge", "delete_where",
-                  "update_where", "compact") or op.startswith(
+                  "delete_dv", "update_where", "compact") or op.startswith(
         ("replace_range:", "rollback:")
     )
 
@@ -400,12 +400,12 @@ class _State:
 
     __slots__ = (
         "latest", "version", "live", "stats", "schema_json",
-        "constraints", "commit_reads",
+        "constraints", "commit_reads", "dv",
     )
 
     def __init__(
         self, latest, version, live, stats, schema_json, constraints,
-        commit_reads,
+        commit_reads, dv=None,
     ):
         self.latest = latest
         self.version = version
@@ -414,6 +414,7 @@ class _State:
         self.schema_json = schema_json
         self.constraints = constraints  # name -> SQL boolean expr
         self.commit_reads = commit_reads
+        self.dv = dv or {}  # rel -> deletion-vector blob rel (current)
 
     @property
     def schema(self):
@@ -426,9 +427,9 @@ class _State:
 
 def _read_checkpoint(
     path: str, version: int
-) -> tuple[set, dict, str | None, dict]:
+) -> tuple[set, dict, str | None, dict, dict]:
     """Load a checkpoint's (live set, stats map, schema json,
-    constraints)."""
+    constraints, deletion-vector map)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_checkpoint_path(path, version))
@@ -437,17 +438,25 @@ def _read_checkpoint(
     constraints = json.loads(meta.get(b"constraints", b"{}").decode() or "{}")
     live: set[str] = set()
     stats: dict[str, dict] = {}
-    for rel, is_live, rows, mm in zip(
+    dv: dict[str, str] = {}
+    # pre-DV checkpoints have no "dv" column; they also predate any dv
+    # commit, so an empty map is exact, not lossy
+    dvs = (t.column("dv").to_pylist() if "dv" in t.column_names
+           else [None] * t.num_rows)
+    for rel, is_live, rows, mm, d in zip(
         t.column("file").to_pylist(),
         t.column("live").to_pylist(),
         t.column("rows").to_pylist(),
         t.column("minmax").to_pylist(),
+        dvs,
     ):
         if is_live:
             live.add(rel)
         if mm is not None:
             stats[rel] = {"rows": rows, "minmax": json.loads(mm)}
-    return live, stats, schema_json, constraints
+        if d is not None:
+            dv[rel] = d
+    return live, stats, schema_json, constraints, dv
 
 
 def _state(path: str, version: int | None = None) -> _State | None:
@@ -470,28 +479,40 @@ def _state(path: str, version: int | None = None) -> _State | None:
     stats: dict[str, dict] = {}
     schema_json: str | None = None
     constraints: dict = {}
+    dv: dict[str, str] = {}
     start = 0
     for base in reversed([c for c in ckpt_vs if c <= v]):
         try:
-            live, stats, schema_json, constraints = _read_checkpoint(path, base)
+            live, stats, schema_json, constraints, dv = _read_checkpoint(
+                path, base
+            )
             start = base + 1
             break
         except Exception:
             # unreadable/corrupt checkpoint: try an older one, finally
             # the full replay — checkpoints only ever accelerate
-            live, stats, schema_json, constraints = set(), {}, None, {}
+            live, stats, schema_json, constraints, dv = set(), {}, None, {}, {}
     reads = 0
     for i in range(start, v + 1):
         c = _read_commit(path, i)
         reads += 1
         live -= set(c["remove"])
         live |= set(c["add"])
+        for rel in c["remove"]:  # a rewritten/retired file sheds its DV
+            dv.pop(rel, None)
+        for rel, d in (c.get("dv") or {}).items():
+            if d is None:  # explicit clear (rollback restoring pre-delete)
+                dv.pop(rel, None)
+            else:  # newest blob per file wins (blobs hold the full union)
+                dv[rel] = d
         stats.update(c.get("stats") or {})
         if c.get("schema"):
             schema_json = c["schema"]
         if "constraints" in c:  # full map per constraint-changing commit
             constraints = c["constraints"]
-    return _State(latest, v, sorted(live), stats, schema_json, constraints, reads)
+    return _State(
+        latest, v, sorted(live), stats, schema_json, constraints, reads, dv
+    )
 
 
 def _write_checkpoint(path: str, version: int) -> None:
@@ -507,7 +528,7 @@ def _write_checkpoint(path: str, version: int) -> None:
     if st is None:
         return
     live_set = set(st.live)
-    files, lives, rows, mm = [], [], [], []
+    files, lives, rows, mm, dvs = [], [], [], [], []
     for rel in sorted(set(st.stats) | live_set):
         if rel not in live_set and not os.path.exists(os.path.join(path, rel)):
             continue
@@ -516,12 +537,14 @@ def _write_checkpoint(path: str, version: int) -> None:
         lives.append(rel in live_set)
         rows.append(None if entry is None else entry.get("rows"))
         mm.append(None if entry is None else json.dumps(entry.get("minmax") or {}))
+        dvs.append(st.dv.get(rel))
     table = pa.table(
         {
             "file": pa.array(files, pa.string()),
             "live": pa.array(lives, pa.bool_()),
             "rows": pa.array(rows, pa.int64()),
             "minmax": pa.array(mm, pa.string()),
+            "dv": pa.array(dvs, pa.string()),
         }
     )
     meta = {b"snapshot_version": str(version).encode()}
@@ -942,24 +965,77 @@ def _to_physical(df: DataFrame, schema) -> DataFrame:
     ])
 
 
-def _read_files(spark: SparkSession, path: str, files: list[str], schema):
+def _dv_applied(spark: SparkSession, path: str, need: dict):
+    """The (file, pos) rows that CURRENTLY apply, for files whose dv
+    blob is in ``need`` (basename -> blob rel). A blob may contain rows
+    for files whose dv was later superseded by a newer blob, so rows
+    only apply when they come from the file's OWN mapped blob."""
+    from pyspark.sql import functions as F
+
+    dvdf = None
+    for b in sorted(set(need.values())):
+        part = spark.read.parquet(os.path.join(path, b)) \
+            .select("file", "pos").withColumn("__b", F.lit(b))
+        dvdf = part if dvdf is None else dvdf.unionByName(part)
+    mapdf = spark.createDataFrame(
+        list(need.items()), "file string, __b string"
+    )
+    return dvdf.join(F.broadcast(mapdf), ["file", "__b"]).select("file", "pos")
+
+
+def _read_files(spark: SparkSession, path: str, files: list[str], schema,
+                dv: dict | None = None, with_pos: bool = False):
     """Read data files projected through a version's LOGICAL schema:
     scan with the physical schema (files written before an evolution
     null-fill appended columns; dropped columns are simply not asked
     for), then alias physical -> logical. The alias is a zero-cost
-    projection; on unmapped tables it disappears entirely."""
-    paths = [os.path.join(path, f) for f in files]
-    if schema is None:
-        return spark.read.parquet(*paths)
-    phys = _physical_schema(schema)
-    out = spark.read.schema(phys).parquet(*paths)
-    if phys.fieldNames() != schema.fieldNames():
-        from pyspark.sql import functions as F
+    projection; on unmapped tables it disappears entirely.
 
-        out = out.select(*[
-            F.col(pf.name).alias(lf.name)
-            for pf, lf in zip(phys.fields, schema.fields)
-        ])
+    ``dv`` (rel -> deletion-vector blob rel) applies DELETION VECTORS:
+    rows whose (file basename, physical row position) appear in the
+    file's current blob are dropped scan-side via a BROADCAST anti-join
+    on Spark's parquet ``_metadata.file_path`` / ``row_index`` columns —
+    positions are physical, so the filter is exact regardless of the
+    logical projection, and no data file is ever rewritten (the Delta
+    deletion-vector read shape). ``with_pos=True`` keeps the helper
+    columns ``__dv_file`` (basename) / ``__dv_pos`` (row position) for
+    callers that need positions (the DV writer itself)."""
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(path, f) for f in files]
+    need = {
+        os.path.basename(f): dv[f]
+        for f in files
+        if dv and dv.get(f) is not None
+    }
+    phys = _physical_schema(schema) if schema is not None else None
+    out = (spark.read.parquet(*paths) if phys is None
+           else spark.read.schema(phys).parquet(*paths))
+    if need or with_pos:
+        out = out.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+    if need:
+        applied = _dv_applied(spark, path, need)
+        out = out.join(
+            F.broadcast(applied),
+            (out["__dv_file"] == applied["file"])
+            & (out["__dv_pos"] == applied["pos"]),
+            "left_anti",
+        )
+    if schema is not None and phys.fieldNames() != schema.fieldNames():
+        extras = [c for c in ("__dv_file", "__dv_pos") if c in out.columns]
+        out = out.select(
+            *[F.col(pf.name).alias(lf.name)
+              for pf, lf in zip(phys.fields, schema.fields)],
+            *[F.col(c) for c in extras],
+        )
+    if not with_pos and need:
+        out = out.drop("__dv_file", "__dv_pos")
     return out
 
 
@@ -1113,7 +1189,10 @@ def read_snapshot(
         if hi is not None:
             p2 = F.col(key) <= F.lit(hi)
             pred = p2 if pred is None else (pred & p2)
-    missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
+    wanted = list(files) + sorted(
+        {st.dv[f] for f in files if st.dv.get(f) is not None}
+    )
+    missing = [f for f in wanted if not os.path.exists(os.path.join(path, f))]
     if missing:
         raise SnapshotError(
             f"version {version} was vacuumed ({len(missing)} files gone); "
@@ -1128,7 +1207,7 @@ def read_snapshot(
     # project through the version's recorded schema: files written before
     # a schema evolution null-fill the appended columns; column-mapped
     # tables scan physical names and alias back to logical
-    out = _read_files(spark, path, files, schema)
+    out = _read_files(spark, path, files, schema, dv=st.dv)
     return out.filter(pred) if pred is not None else out
 
 
@@ -1324,6 +1403,17 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     new_version = st_cur.latest + 1
     cur = set(st_cur.live)
     want = set(st_old.live)
+    # Restore the TARGET version's deletion vectors too: a kept file
+    # whose dv changed since re-points at the old blob; one whose dv
+    # did not exist then is explicitly cleared (None). Re-added files
+    # shed any dv when they were removed, so only a non-None target
+    # needs recording for them.
+    dv_restore: dict[str, str | None] = {}
+    for rel in want:
+        tgt = st_old.dv.get(rel)
+        now = st_cur.dv.get(rel) if rel in cur else None
+        if tgt != now:
+            dv_restore[rel] = tgt
     # Record the restored version's schema: without it, the schema fold
     # would walk past the rollback to the schema of the very overwrite
     # being UNDONE, and reads of the restored files would project through
@@ -1336,6 +1426,7 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
             "op": f"rollback:{version}",
             "add": sorted(want - cur),
             "remove": sorted(cur - want),
+            **({"dv": dv_restore} if dv_restore else {}),
             **({"schema": st_old.schema_json} if st_old.schema_json else {}),
         },
     )
@@ -1561,19 +1652,20 @@ def merge_snapshot(
     # instead of failing inference-dependent analysis
     touched: list[str] = []
     if candidates:
-        cand_df = _read_files(spark, path, candidates, target_schema)
+        cand_df = _read_files(spark, path, candidates, target_schema,
+                              dv=st.dv, with_pos=True)
         by_base = {os.path.basename(f): f for f in live}
         hits = (
-            cand_df.select(*on, F.input_file_name().alias("__f"))
+            cand_df.select(*on, F.col("__dv_file").alias("__f"))
             .join(source.select(*on).distinct(), on=on, how="leftsemi")
             .select("__f").distinct().collect()
         )
-        touched = sorted(by_base[os.path.basename(r["__f"])] for r in hits)
+        touched = sorted(by_base[r["__f"]] for r in hits)
 
     version = st.latest + 1
     t = None
     if touched:
-        t = _read_files(spark, path, touched, target_schema)
+        t = _read_files(spark, path, touched, target_schema, dv=st.dv)
     elif when_not_matched == "ignore":
         return {
             "version": -1, "files_live": len(live),
@@ -1671,7 +1763,8 @@ def merge_snapshot(
     # count from the touched rows minus the survivors that came from t
     rows_deleted = 0
     if when_matched == "delete" and touched:
-        n_touched = _read_files(spark, path, touched, target_schema).count()
+        n_touched = _read_files(spark, path, touched, target_schema,
+                                dv=st.dv).count()
         rows_deleted = n_touched - counts.get("copy", 0)
     qlo, qhi = _stat_val(rng.lo), _stat_val(rng.hi)
     commit = {
@@ -1800,7 +1893,7 @@ def replace_range(
     n_inserted = new.count()
     n_retained = 0
     if rewrite:
-        old = _read_files(spark, path, rewrite, target_schema)
+        old = _read_files(spark, path, rewrite, target_schema, dv=st.dv)
         # complement: rows outside [lo, hi]; null keys are retained too
         retained = old.filter(
             F.col(key).isNull()
@@ -1855,30 +1948,48 @@ def _touched_by_predicate(
         raise SnapshotError("no schema recorded; cannot run predicate DML")
     if not st.live:
         return [], None
-    df = _read_files(spark, path, st.live, schema)
+    # _metadata-based file identity (input_file_name() refuses plans
+    # with a second source, which the DV anti-join legitimately adds)
+    df = _read_files(spark, path, st.live, schema, dv=st.dv, with_pos=True)
     by_base = {os.path.basename(f): f for f in st.live}
     hits = (
         df.where(cond)
-        .select(F.input_file_name().alias("__f"))
+        .select(F.col("__dv_file").alias("__f"))
         .distinct()
         .collect()
     )
-    touched = sorted(by_base[os.path.basename(r["__f"])] for r in hits)
+    touched = sorted(by_base[r["__f"]] for r in hits)
     if not touched:
         return [], None
-    return touched, _read_files(spark, path, touched, schema)
+    return touched, _read_files(spark, path, touched, schema, dv=st.dv)
 
 
-def delete_where(spark: SparkSession, path: str, condition) -> dict:
+def delete_where(
+    spark: SparkSession, path: str, condition, dv: bool = False
+) -> dict:
     """DELETE FROM <table> WHERE <condition> — Delta DELETE semantics as
-    one atomic copy-on-write commit. Only files containing at least one
-    matching row are rewritten (with their non-matching rows retained);
-    every other file keeps its name and bytes. SQL three-valued logic:
-    rows where the condition is NULL are NOT deleted.
+    one atomic commit. Only files containing at least one matching row
+    are touched; every other file keeps its name and bytes. SQL
+    three-valued logic: rows where the condition is NULL are NOT
+    deleted.
+
+    ``dv=False`` (default) is COPY-ON-WRITE: touched files are rewritten
+    with their non-matching rows retained. ``dv=True`` writes DELETION
+    VECTORS instead (Delta's DV mode): no data file is rewritten — the
+    commit records one position blob (file basename + physical row
+    position of every deleted row, UNIONED with the file's previous
+    blob so the newest blob is always the whole vector) and readers
+    filter scan-side. DV wins when deletes are small and frequent
+    (GDPR/point deletes on a 100 TB table: the copy-on-write cost is
+    the touched FILES, the DV cost is the deleted ROWS); compaction or
+    a later copy-on-write pass folds vectors away naturally (a removed
+    file sheds its DV).
 
     ``condition`` is a SQL boolean expression string (or a Column).
     Returns {version, files_rewritten, files_kept, rows_deleted,
-    rows_retained}; version -1 when nothing matches (no commit)."""
+    rows_retained}; version -1 when nothing matches (no commit). In DV
+    mode ``files_rewritten`` counts the files that GAINED a vector and
+    ``rows_retained`` the rows those files still serve."""
     from pyspark.sql import functions as F
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1892,6 +2003,8 @@ def delete_where(spark: SparkSession, path: str, condition) -> dict:
             "rows_deleted": 0, "rows_retained": 0,
         }
     version = st.latest + 1
+    if dv:
+        return _delete_where_dv(spark, path, st, cond, touched, version)
     # NULL-condition rows are retained (DELETE's WHERE keeps them)
     retained = t.where(~F.coalesce(cond, F.lit(False)))
     counts = t.agg(
@@ -1909,6 +2022,66 @@ def delete_where(spark: SparkSession, path: str, condition) -> dict:
                 "remove": touched,
                 "schema": st.schema_json,
                 "stats": _collect_stats(path, added),
+            },
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_kept": len(st.live) - len(touched),
+        "rows_deleted": counts.matched,
+        "rows_retained": counts.n - counts.matched,
+    }
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, st: _State, cond, touched: list[str],
+    version: int,
+) -> dict:
+    """The deletion-vector half of delete_where: compute the physical
+    positions of matching rows in the touched files (through their
+    CURRENT vectors, so re-deleting is idempotent), union with those
+    files' previous vectors, and publish ONE commit whose ``dv`` map
+    re-points every touched file at the new blob. Entirely distributed —
+    positions never land on the driver; the blob is one parquet file
+    written through the same staging path as data (so a crash leaves
+    only an unreferenced file and vacuum's orphan grace applies)."""
+    from pyspark.sql import functions as F
+
+    schema = st.schema
+    df = _read_files(spark, path, touched, schema, dv=st.dv, with_pos=True)
+    hits = df.where(cond).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    need_prev = {
+        os.path.basename(r): st.dv[r] for r in touched
+        if st.dv.get(r) is not None
+    }
+    posdf = hits
+    if need_prev:
+        posdf = posdf.unionByName(_dv_applied(spark, path, need_prev))
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(cond, 1)).alias("matched"),
+    ).first()
+    added = _stage_add(posdf.coalesce(1), path, version)
+    if len(added) != 1:  # one blob per commit: the dv map points at it
+        _unstage(path, added)
+        raise SnapshotError(f"expected one dv blob, staged {len(added)}")
+    blob = added[0]
+    try:
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": "delete_dv",
+                "add": [],
+                "remove": [],
+                "dv": {rel: blob for rel in touched},
+                "schema": st.schema_json,
             },
         )
     except SnapshotError:
@@ -2050,12 +2223,18 @@ def vacuum(
                 first_in = v  # oldest in-window or undatable version
                 break
         keep_from = min(keep_from, first_in)
-    keep: set[str] = set(st.live)
+    keep: set[str] = set(st.live) | {
+        d for d in st.dv.values() if d is not None
+    }
     for v in range(keep_from, st.latest):
-        keep |= set(_state(path, v).live)
+        sv = _state(path, v)
+        keep |= set(sv.live) | {d for d in sv.dv.values() if d is not None}
     ever_referenced: set[str] = set()
     for c in _read_commits(path):
         ever_referenced |= set(c["add"])
+        ever_referenced |= {
+            d for d in (c.get("dv") or {}).values() if d is not None
+        }
     grace_cutoff = _time.time() - orphan_grace_hours * 3600.0
     removed_files = 0
     removed_bytes = 0
@@ -2198,8 +2377,12 @@ def snapshot_diff(
             raise SnapshotError(f"no such version: {v}")
     st_to = st if v_to == st.latest else _state(path, v_to)
     st_from = st if v_from == st.latest else _state(path, v_from)
-    a = set(st_from.live)
-    b = set(st_to.live)
+    # share identity is (file, deletion vector): an immutable file whose
+    # DV changed between the versions has DIFFERENT visible rows, so it
+    # must be read on BOTH sides (its unchanged rows still cancel in the
+    # key join; newly DV-deleted rows surface as deletes)
+    a = {(rel, st_from.dv.get(rel)) for rel in st_from.live}
+    b = {(rel, st_to.dv.get(rel)) for rel in st_to.live}
     schema = (st_to if v_to >= v_from else st_from).schema
     if schema is None:
         raise SnapshotError("no schema recorded; cannot diff")
@@ -2209,8 +2392,8 @@ def snapshot_diff(
         raise SnapshotError(f"diff keys absent from table: {missing}")
     payload = [c for c in cols if c not in on]
 
-    def _side(rels):
-        files = sorted(rels)
+    def _side(pairs, dvmap):
+        files = sorted(rel for rel, _ in pairs)
         gone = [f for f in files if not os.path.exists(os.path.join(path, f))]
         if gone:
             raise SnapshotError(
@@ -2219,10 +2402,11 @@ def snapshot_diff(
             )
         if not files:
             return spark.createDataFrame([], schema)
-        return _read_files(spark, path, sorted(files), schema)
+        return _read_files(spark, path, files, schema,
+                           dv={r: dvmap.get(r) for r in files})
 
-    pre = _side(a - b).withColumn("__p", F.lit(1)).alias("p")
-    post = _side(b - a).withColumn("__q", F.lit(1)).alias("q")
+    pre = _side(a - b, st_from.dv).withColumn("__p", F.lit(1)).alias("p")
+    post = _side(b - a, st_to.dv).withColumn("__q", F.lit(1)).alias("q")
     cond = None
     for k in on:
         eq = F.col(f"p.{k}") == F.col(f"q.{k}")
@@ -2412,7 +2596,7 @@ def compact_snapshot(
             "rewritten_bytes": 0,
         }
     schema = st.schema
-    df = _read_files(spark, path, small, schema)
+    df = _read_files(spark, path, small, schema, dv=st.dv)
     if sort_by:
         from pyspark.sql import functions as F
 

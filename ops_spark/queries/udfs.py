@@ -1269,6 +1269,88 @@ def io_snapshot_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_dv",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), final AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+        AND NOT (cents % 10 = 7)
+    )
+    SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__v0' AS o_orderpriority, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM base
+    """,
+    description="DELETION VECTORS on a snapshot table (io/snapshots.py:"
+    "delete_where(dv=True) — Delta's DV mode): orders lands as a "
+    "multi-file snapshot, then TWO dv deletes land as position-blob "
+    "commits that rewrite NO data file (the second unions with the "
+    "first on overlapping files); readers drop deleted rows scan-side "
+    "via a broadcast anti-join on parquet _metadata row positions. The "
+    "result aggregates the final state AND the '__v0' row re-reads the "
+    "pre-delete version through time travel — so a row deleted from "
+    "history, a surviving deleted row, or a vector applied to the "
+    "wrong file all flip the hash. Union/idempotence/rollback/vacuum/"
+    "merge-folds-vector pins live in test_io.py::test_snapshot_dv_*.",
+    tags=("io", "snapshot", "dml", "maintenance"),
+)
+def io_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_dv_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    S.write_snapshot(spark, base.repartitionByRange(8, "o_orderkey"), tbl)
+    S.delete_where(
+        spark, tbl, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0",
+        dv=True,
+    )
+    S.delete_where(spark, tbl, "cents % 10 = 7", dv=True)
+    final = (
+        S.read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    v0 = (
+        S.read_snapshot(spark, tbl, version=0)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.lit("__v0").alias("o_orderpriority"), "n_rows", "total_cents"
+        )
+    )
+    return final.unionByName(v0)
+
+
+@register(
     "io_snapshot_ivm",
     oracle="""
     WITH base AS (

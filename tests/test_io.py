@@ -2591,7 +2591,7 @@ def test_snapshot_checkpoint_drops_vacuumed_stats(spark, tmp_path):
         S.write_snapshot(spark, df, t, mode="overwrite")  # v4: orphan v0-v3 files
         S.vacuum(t, retain_last=1)  # physically delete the old files
         S._write_checkpoint(t, 4)
-        live, stats, _, _ = S._read_checkpoint(t, 4)
+        live, stats, _, _, _ = S._read_checkpoint(t, 4)
         assert len(live) >= 1
         assert set(stats) == set(live)  # vacuumed entries dropped
         assert S.read_snapshot(spark, t).count() == 1
@@ -3520,3 +3520,195 @@ def test_snapshot_vacuum_spares_inflight_writes(spark, tmp_path):
     S.vacuum(t, retain_last=1, orphan_grace_hours=0.0)
     assert not os.path.exists(fresh_orphan)
     assert not os.path.isdir(stage)
+
+
+def _dv_table(spark, tmp_path, n=200, files=2):
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    S.write_snapshot(
+        spark, d([(i, f"v{i}") for i in range(n // 2)]).coalesce(files), t
+    )
+    S.write_snapshot(
+        spark, d([(i, f"v{i}") for i in range(n // 2, n)]).coalesce(files),
+        t, mode="append",
+    )
+    return t
+
+
+def test_snapshot_dv_delete_rewrites_nothing(spark, tmp_path):
+    """delete_where(dv=True): rows disappear, NO data file is rewritten
+    (the commit adds one position blob, removes nothing), the deleted
+    rows stay reachable via time travel, and a second vector on the
+    same files UNIONS with the first. Re-deleting already-deleted rows
+    is a no-op (positions are computed through the current vector)."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    files_before = set(S._state(t).live)
+
+    r = S.delete_where(spark, t, "k % 10 = 3", dv=True)
+    assert r["rows_deleted"] == 20 and r["version"] == 2
+    c = S._read_commit(t, 2)
+    assert c["op"] == "delete_dv" and c["add"] == [] and c["remove"] == []
+    assert len(set(c["dv"].values())) == 1  # one blob per commit
+    st = S._state(t)
+    assert set(st.live) == files_before  # no data file touched
+    cur = S.read_snapshot(spark, t)
+    assert cur.count() == 180 and cur.filter("k % 10 = 3").count() == 0
+    assert S.read_snapshot(spark, t, version=1).count() == 200  # time travel
+
+    r2 = S.delete_where(spark, t, "k % 10 = 7", dv=True)
+    assert r2["rows_deleted"] == 20
+    assert S.read_snapshot(spark, t).count() == 160
+    assert S.read_snapshot(spark, t, version=2).count() == 180
+    # idempotent: everything matching is already invisible
+    r3 = S.delete_where(spark, t, "k % 10 = 7", dv=True)
+    assert r3["version"] == -1 and r3["rows_deleted"] == 0
+    # a dv'd file is counted once per file in the newest blob: the v3
+    # blob holds BOTH vectors' positions for the files it re-points
+    assert all(b == list(S._state(t).dv.values())[0]
+               for b in S._state(t).dv.values())
+
+
+def test_snapshot_dv_interacts_with_dml_and_diff(spark, tmp_path):
+    """DV composes with the rest of the table format: CDF sees dv-only
+    commits as row deletes (share identity is (file, vector)), IVM
+    advances exactly across them, copy-on-write DML over a dv'd file
+    folds the vector away (rewritten file sheds it), and a plain
+    copy-on-write delete still works on a table that has vectors."""
+    from collections import Counter
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    S.delete_where(spark, t, "k % 10 = 3", dv=True)  # v2
+
+    diff = S.snapshot_diff(spark, t, 1, 2, on=["k"])
+    got = Counter(r["__change"] for r in diff.collect())
+    assert got == {"delete": 20}
+
+    state = S.aggregate_snapshot(spark, t, ["v"], {"tot": "k"}, version=1)
+    inc = S.incremental_aggregate(
+        spark, t, 1, 2, on=["k"], group_by=["v"], sums={"tot": "k"},
+        state=state,
+    )
+    full = S.aggregate_snapshot(spark, t, ["v"], {"tot": "k"}, version=2)
+    assert sorted((r.v, r.tot) for r in inc.collect()) == sorted(
+        (r.v, r.tot) for r in full.collect()
+    )
+
+    # merge rewrites the touched file -> its vector folds away, deleted
+    # rows stay deleted, the update lands
+    S.merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(5, "MERGED")], "k long, v string"), on=["k"],
+    )
+    cur = S.read_snapshot(spark, t)
+    assert cur.filter("k = 5").first().v == "MERGED"
+    assert cur.count() == 180 and cur.filter("k % 10 = 3").count() == 0
+
+    # copy-on-write delete on a dv table: k=3 is already vector-deleted,
+    # so only the 4 VISIBLE rows below 5 match
+    cow = S.delete_where(spark, t, "k < 5")
+    assert cow["rows_deleted"] == 4
+    assert S.read_snapshot(spark, t).count() == 176
+
+
+def test_snapshot_dv_rollback_vacuum_checkpoint(spark, tmp_path):
+    """Rollback restores the TARGET version's vectors (clearing newer
+    ones); vacuum keeps the blobs of retained versions and a reader of
+    a retired dv version fails cleanly; checkpointed state folds the dv
+    map (a fold THROUGH a checkpoint sees the same vectors as a full
+    replay)."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    old = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 3
+    try:
+        t = _dv_table(spark, tmp_path)
+        S.delete_where(spark, t, "k % 10 = 3", dv=True)   # v2
+        S.delete_where(spark, t, "k % 10 = 7", dv=True)   # v3 -> checkpoint
+        assert S._log_entries(t)[1]  # checkpoint minted
+        st = S._state(t)  # folds THROUGH the checkpoint
+        assert st.dv and S.read_snapshot(spark, t).count() == 160
+
+        v = S.rollback(spark, t, 1)  # pre-DV state
+        assert S.read_snapshot(spark, t).count() == 200
+        assert S._state(t).dv == {}
+        # roll FORWARD again to v3 (vectors restored from the log)
+        S.rollback(spark, t, 3)
+        assert S.read_snapshot(spark, t).count() == 160
+
+        # vacuum with wide retention keeps every blob
+        rep = S.vacuum(t, retain_last=20)
+        assert rep["removed_files"] == 0
+        assert S.read_snapshot(spark, t, version=3).count() == 160
+        # retire history: versions live on the SAME files here, so the
+        # blobs survive as long as any retained version references them
+        rep = S.vacuum(t, retain_last=1, retain_hours=0.0,
+                       orphan_grace_hours=0.0)
+        assert S.read_snapshot(spark, t).count() == 160
+    finally:
+        S.CHECKPOINT_INTERVAL = old
+
+    # a table whose dv'd files were REWRITTEN away, then vacuumed:
+    # reading the dv version fails cleanly (blob swept with the files)
+    t2 = _dv_table(spark, tmp_path / "t2")
+    S.delete_where(spark, t2, "k % 10 = 3", dv=True)          # v2 (dv)
+    S.write_snapshot(
+        spark, spark.createDataFrame([(999, "x")], "k long, v string"),
+        t2, mode="overwrite",                                  # v3
+    )
+    S.vacuum(t2, retain_last=1, orphan_grace_hours=0.0)
+    with _pytest.raises(S.SnapshotError, match="vacuumed"):
+        S.read_snapshot(spark, t2, version=2)
+
+
+def test_snapshot_dv_datasource_and_stream(spark, tmp_path):
+    """The ops_snapshot data source applies vectors: batch reads (and
+    versionasof) drop deleted rows executor-side; the streaming source
+    in append mode REFUSES a dv commit (rows changed), ignore_changes
+    tolerates it."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import (
+        SnapshotStreamReader,
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = _dv_table(spark, tmp_path)
+    S.delete_where(spark, t, "k % 10 = 3", dv=True)
+
+    out = spark.read.format("ops_snapshot").option("path", t).load()
+    assert out.count() == 180 and out.filter("k % 10 = 3").count() == 0
+    v1 = spark.read.format("ops_snapshot").option("path", t) \
+        .option("versionasof", "1").load()
+    assert v1.count() == 200
+
+    r = SnapshotStreamReader({"path": t})
+    with _pytest.raises(S.SnapshotError, match="deletion vectors"):
+        r.partitions(r.initialOffset(), {"version": 2})
+    r2 = SnapshotStreamReader({"path": t, "changemode": "ignore_changes"})
+    assert r2.partitions(r2.initialOffset(), {"version": 2})
+
+
+def test_snapshot_dv_column_mapped_table(spark, tmp_path):
+    """Vectors are POSITIONAL, so they survive column mapping: delete by
+    the renamed logical column, read back through the mapped schema."""
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    S.rename_column(spark, t, "k", "ident")
+    r = S.delete_where(spark, t, "ident % 10 = 3", dv=True)
+    assert r["rows_deleted"] == 20
+    cur = S.read_snapshot(spark, t)
+    assert cur.columns == ["ident", "v"]
+    assert cur.count() == 180 and cur.filter("ident % 10 = 3").count() == 0
