@@ -37,6 +37,13 @@ staying pure Spark + JSON:
   (``stats``), recorded once at write time — so MERGE's data-skipping
   reads the log, not 10⁵ parquet footers per merge (the Delta
   AddFile.stats / Iceberg manifest-bounds idea).
+- DELETION VECTORS (``delete_where(dv=True)``, Delta's DV mode): a
+  commit may carry a ``dv`` map re-pointing files at a position blob;
+  readers drop those (file, row-position) pairs scan-side via a
+  broadcast anti-join on parquet ``_metadata`` — point deletes cost the
+  deleted ROWS, not the touched files, and no data file is rewritten.
+  A removed/rewritten file sheds its vector, so copy-on-write and
+  compaction fold vectors away naturally.
 
 Concurrency contract: SINGLE WRITER PER VERSION. Two writers may race;
 exactly one claims version N (the hard-link commit), the loser raises
