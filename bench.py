@@ -151,6 +151,13 @@ def main() -> None:
         n.split("_", 1)[0]: round(t, 3)
         for n, t in timings.items() if n.startswith("Q")
     }
+    # two Q-queries sharing a pre-underscore prefix would silently
+    # collide here and drop a timing from the gate line (ADVICE r10)
+    n_q = sum(1 for n in timings if n.startswith("Q"))
+    assert len(headline) == n_q, (
+        f"shortened wire keys collide ({n_q} Q-queries -> "
+        f"{len(headline)} keys); give the new query a unique Qxx prefix"
+    )
     families: dict[str, float] = {}
     for n, t in timings.items():
         if n.startswith("Q") or t < 0:

@@ -395,7 +395,9 @@ def _stage_arrow_part(path: str, stage: str, colmap: dict, iterator) -> _StagedP
 def _move_staged(path: str, staged: list[str], version: int) -> list[str]:
     """Driver-side: move staged parts into data/ under version-unique
     names; returns the committed-relative paths. Every source stage dir
-    is removed afterwards."""
+    is removed afterwards. Moved files are utime'd and manifested (see
+    snapshots.py's in-flight-protection note) so a concurrent vacuum
+    spares them until the commit publishes."""
     import shutil
 
     from ops_spark.io import snapshots as S
@@ -408,9 +410,14 @@ def _move_staged(path: str, staged: list[str], version: int) -> list[str]:
         base = os.path.basename(rel)
         dst_rel = os.path.join(S._DATA, f"v{version}-{uuid.uuid4().hex[:8]}-{base}")
         os.rename(os.path.join(path, rel), os.path.join(path, dst_rel))
+        try:
+            os.utime(os.path.join(path, dst_rel))
+        except OSError:
+            pass
         added.append(dst_rel)
     for d in dirs:
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    S._manifest_stage(path, added)
     return added
 
 

@@ -577,6 +577,7 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     """Called by every committer after a successful commit. Best-effort
     like Delta's: a failed checkpoint write is retried at the next
     interval and readers fall back to commit replay meanwhile."""
+    _retire_stages(path)  # commit published: manifests no longer needed
     if CHECKPOINT_INTERVAL <= 0 or version <= 0:
         return
     if version % CHECKPOINT_INTERVAL != 0:
@@ -646,12 +647,26 @@ def _fold_commit_ts(path: str, version: int) -> list:
         ts.append(_read_commit(path, v).get("ts"))
     # a checkpoint written BEFORE backfill_commit_ts ran can hold stale
     # None entries; the commit files are the source of truth, so re-read
-    # just those (O(backfilled legacy commits), one-time until the next
-    # checkpoint folds the stamps)
-    for v, t in enumerate(ts):
-        if t is None:
+    # just those. Scoped to the checkpoint-folded PREFIX (tail entries
+    # were just read from their commit files — a None there is ground
+    # truth), and versions confirmed ts-less are cached so a
+    # never-backfilled legacy log doesn't pay O(unstamped commits) of
+    # driver I/O on every fold (ADVICE r10). backfill_commit_ts drops
+    # the cache for its path.
+    key = os.path.abspath(path)
+    for v in range(min(base, version) + 1):
+        if ts[v] is None and (key, v) not in _KNOWN_TSLESS:
             ts[v] = _read_commit(path, v).get("ts")
+            if ts[v] is None:
+                _KNOWN_TSLESS.add((key, v))
     return ts
+
+
+# (table abspath, version) pairs whose commit file is KNOWN to carry no
+# ``ts`` — see the stale-None repair in _fold_commit_ts. Process-local;
+# a backfill in another process is picked up lazily by
+# _version_at_timestamp's error-path re-read.
+_KNOWN_TSLESS: set[tuple[str, int]] = set()
 
 
 def _checkpoint_txn(path: str, version: int) -> dict | None:
@@ -717,6 +732,10 @@ def backfill_commit_ts(path: str) -> int:
             os.fsync(fh.fileno())
         os.replace(tmp, final)
         stamped += 1
+    key = os.path.abspath(path)
+    _KNOWN_TSLESS.difference_update(
+        {kv for kv in _KNOWN_TSLESS if kv[0] == key}
+    )
     return stamped
 
 
@@ -735,6 +754,17 @@ def _version_at_timestamp(path: str, timestamp) -> int:
         raise SnapshotError(f"not a snapshot table: {path}")
     ts = _fold_commit_ts(path, commit_vs[-1])
     missing = [v for v, t in enumerate(ts) if t is None]
+    if missing:
+        # a backfill run by ANOTHER process invalidates our ts-less
+        # cache silently; re-read the offenders once before raising (the
+        # cost lands only on this already-failing path)
+        key = os.path.abspath(path)
+        for v in missing:
+            got = _read_commit(path, v).get("ts")
+            if got is not None:
+                ts[v] = got
+                _KNOWN_TSLESS.discard((key, v))
+        missing = [v for v, t in enumerate(ts) if t is None]
     if missing:
         raise SnapshotError(
             f"{len(missing)} commit(s) (first: version {missing[0]}) have "
@@ -790,11 +820,75 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
     return df.filter(guard)
 
 
+# ---- in-flight-write protection for vacuum -------------------------
+# os.rename preserves the mtime a task WROTE a file at, so a big job's
+# earliest parts can look hours old by the time the commit publishes —
+# racing a default-grace vacuum (ADVICE r10). Two guards compose:
+# (1) moved files are utime'd so the orphan-grace clock starts at MOVE
+#     time (seconds before the commit), and
+# (2) a ``_moved.json`` manifest naming the just-moved files is left in
+#     the write's stage dir until the commit publishes; vacuum spares
+#     manifested files regardless of mtime, so even a writer with a
+#     skewed clock can't lose its about-to-be-committed files. Manifest
+#     dirs are retired on commit (_maybe_checkpoint) or unstage; a
+#     crashed writer's manifest falls to vacuum's stale-stage sweep
+#     once it outlives the grace.
+
+_STAGE_MANIFEST = "_moved.json"
+_INFLIGHT_STAGES: dict[str, list[str]] = {}  # abspath(table) -> stage dirs
+
+
+def _manifest_stage(path: str, added: list[str]) -> None:
+    """Record just-moved (not yet committed) files in a fresh stage-dir
+    manifest so a concurrent vacuum spares them by NAME, not mtime.
+    Best-effort: on any failure the utime grace still protects."""
+    if not added:
+        return
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    try:
+        os.makedirs(stage, exist_ok=True)
+        tmp = os.path.join(stage, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"files": added}, fh)
+        os.replace(tmp, os.path.join(stage, _STAGE_MANIFEST))
+        _INFLIGHT_STAGES.setdefault(os.path.abspath(path), []).append(stage)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _retire_stages(path: str) -> None:
+    """Drop this process's manifest dirs for ``path`` — called once the
+    commit published (files now referenced) or unstaged (files gone)."""
+    for stage in _INFLIGHT_STAGES.pop(os.path.abspath(path), []):
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _manifested_files(path: str) -> set[str]:
+    """Every file named by ANY on-disk stage manifest (ours or another
+    process's) — vacuum's clock-skew-proof in-flight set."""
+    out: set[str] = set()
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return out
+    for nm in names:
+        if not nm.startswith(".stage-"):
+            continue
+        try:
+            with open(os.path.join(path, nm, _STAGE_MANIFEST)) as fh:
+                out.update(json.load(fh).get("files", []))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def _stage_add(df: DataFrame, path: str, version: int) -> list[str]:
     """Write ``df`` through Spark's own committer into a scratch dir (so
     executor-side task retries stay exactly-once), then move the finished
     parts into data/ under version-unique names. Returns the relative
-    paths; nothing is visible to readers until a commit references them."""
+    paths; nothing is visible to readers until a commit references them.
+    Moved files are utime'd (grace clock starts at move, not task write)
+    and manifested (see the in-flight-protection note above)."""
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     try:
@@ -809,8 +903,13 @@ def _stage_add(df: DataFrame, path: str, version: int) -> list[str]:
         if nm.endswith(".parquet") and not nm.startswith("."):
             rel = os.path.join(_DATA, f"v{version}-{uuid.uuid4().hex[:8]}-{nm}")
             os.rename(os.path.join(stage, nm), os.path.join(path, rel))
+            try:
+                os.utime(os.path.join(path, rel))
+            except OSError:
+                pass
             added.append(rel)
     shutil.rmtree(stage, ignore_errors=True)
+    _manifest_stage(path, added)
     return added
 
 
@@ -820,6 +919,7 @@ def _unstage(path: str, added: list[str]) -> None:
             os.remove(os.path.join(path, rel))
         except OSError:
             pass
+    _retire_stages(path)
 
 
 def _stat_val(v):
@@ -2187,7 +2287,7 @@ def update_where(
 
 def vacuum(
     path: str, retain_last: int = 2, retain_hours: float | None = None,
-    orphan_grace_hours: float = 1.0,
+    orphan_grace_hours: float = 24.0,
 ) -> dict:
     """Delete data files referenced ONLY by versions outside the
     retention window (plus stale never-committed orphans). The window
@@ -2204,10 +2304,15 @@ def vacuum(
     by NO commit is either a crashed write's debris or a commit that
     hasn't landed YET. Files/stage-dirs younger than the grace are
     kept (Delta's vacuum likewise only deletes unreferenced files older
-    than its retention, default 7 days, for exactly this race); pass 0
-    to force-sweep when no writer can be live. Files referenced by SOME
-    commit are retired data with a known position — the version window
-    above governs them, not the grace.
+    than its retention, default 7 days, for exactly this race). Moved
+    files are utime'd at move time (the grace clock never reflects a
+    task's write time, hours earlier on a big job) AND named in a
+    stage-dir ``_moved.json`` manifest until their commit publishes —
+    manifested files are spared regardless of mtime, so a writer with a
+    skewed clock can't lose its in-flight files either. Pass 0 to
+    force-sweep when no writer can be live (also ignores manifests).
+    Files referenced by SOME commit are retired data with a known
+    position — the version window above governs them, not the grace.
 
     Returns {removed_files, removed_bytes, retained_from_version}."""
     import time as _time
@@ -2243,6 +2348,9 @@ def vacuum(
             d for d in (c.get("dv") or {}).values() if d is not None
         }
     grace_cutoff = _time.time() - orphan_grace_hours * 3600.0
+    manifested = (
+        _manifested_files(path) if orphan_grace_hours > 0 else set()
+    )
     removed_files = 0
     removed_bytes = 0
     data_dir = os.path.join(path, _DATA)
@@ -2252,6 +2360,11 @@ def vacuum(
             continue
         full = os.path.join(path, rel)
         if rel not in ever_referenced:
+            if rel in manifested:
+                # named by a live write's stage manifest: its commit is
+                # about to publish — spare it even if its mtime looks
+                # old (clock-skewed writer)
+                continue
             try:
                 if os.path.getmtime(full) >= grace_cutoff:
                     continue  # possible in-flight commit: not ours to sweep
@@ -2401,7 +2514,12 @@ def snapshot_diff(
 
     def _side(pairs, dvmap):
         files = sorted(rel for rel, _ in pairs)
-        gone = [f for f in files if not os.path.exists(os.path.join(path, f))]
+        need = {r: dvmap.get(r) for r in files}
+        # existence check covers the dv BLOBS this side reads too — a
+        # vacuumed blob must surface as the same clean retention error
+        # as a vacuumed data file, not a raw path-not-found mid-scan
+        wanted = files + sorted({d for d in need.values() if d is not None})
+        gone = [f for f in wanted if not os.path.exists(os.path.join(path, f))]
         if gone:
             raise SnapshotError(
                 f"{len(gone)} churned files were vacuumed; the diff window "
@@ -2409,8 +2527,7 @@ def snapshot_diff(
             )
         if not files:
             return spark.createDataFrame([], schema)
-        return _read_files(spark, path, files, schema,
-                           dv={r: dvmap.get(r) for r in files})
+        return _read_files(spark, path, files, schema, dv=need)
 
     pre = _side(a - b, st_from.dv).withColumn("__p", F.lit(1)).alias("p")
     post = _side(b - a, st_to.dv).withColumn("__q", F.lit(1)).alias("q")

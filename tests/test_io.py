@@ -3522,6 +3522,126 @@ def test_snapshot_vacuum_spares_inflight_writes(spark, tmp_path):
     assert not os.path.isdir(stage)
 
 
+def test_snapshot_vacuum_manifest_spares_skewed_clock_writer(spark, tmp_path):
+    """Clock-skew hardening (VERDICT r10 #6): an in-flight file whose
+    mtime looks ancient (skewed writer clock / copied file) survives
+    vacuum as long as a stage-dir manifest names it; once the manifest
+    retires, the normal mtime grace governs again."""
+    import json as _json
+    import os
+    import time
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.write_snapshot(spark, spark.createDataFrame([(1,)], "k long"), t)
+    # in-flight write from a writer whose clock is 3 days behind: moved
+    # file backdated, manifest names it
+    victim = os.path.join("data", "v9-skewed-part-0.parquet")
+    full = os.path.join(t, victim)
+    open(full, "wb").write(b"PAR1skewed")
+    old = time.time() - 72 * 3600
+    os.utime(full, (old, old))
+    stage = os.path.join(t, ".stage-skewed")
+    os.makedirs(stage)
+    with open(os.path.join(stage, S._STAGE_MANIFEST), "w") as fh:
+        _json.dump({"files": [victim]}, fh)
+
+    S.vacuum(t, retain_last=1)  # default grace
+    assert os.path.exists(full)  # manifested: spared despite 72h mtime
+    # manifest retired (commit published / writer cleaned up): the file
+    # is an orphan past the grace now — swept
+    import shutil as _shutil
+
+    _shutil.rmtree(stage)
+    S.vacuum(t, retain_last=1)
+    assert not os.path.exists(full)
+
+
+def test_snapshot_stage_manifests_retire_after_commit(spark, tmp_path):
+    """Every successful committer retires its in-flight manifest (no
+    .stage-* debris accumulates), and a failed write leaves none."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.write_snapshot(spark, spark.createDataFrame([(1, "a")], "k long, v string"), t)
+    S.write_snapshot(
+        spark, spark.createDataFrame([(2, "b")], "k long, v string"), t,
+        mode="append",
+    )
+    S.delete_where(spark, t, "k = 1", dv=True)
+    S.merge_snapshot(
+        spark, t, spark.createDataFrame([(3, "c")], "k long, v string"),
+        on=["k"],
+    )
+    assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
+
+
+def test_snapshot_diff_vacuumed_dv_blob_raises_cleanly(spark, tmp_path):
+    """A diff whose side needs a vacuumed DV BLOB raises the same clean
+    retention error as a vacuumed data file — never a raw Spark
+    path-not-found mid-scan (ADVICE r10). Construction: rollback clears
+    the vectors while keeping the same data files live, so vacuum can
+    retire the blob without touching any data file."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    S.delete_where(spark, t, "k % 10 = 3", dv=True)  # v2: dv blob
+    S.rollback(spark, t, 1)                          # v3: same files, no dv
+    # window = v3 only: data files are live (kept); the blob is
+    # referenced only by v2 (outside the window) -> swept
+    S.vacuum(t, retain_last=1, retain_hours=0.0, orphan_grace_hours=0.0)
+    assert S.read_snapshot(spark, t).count() == 200  # table intact
+    with _pytest.raises(S.SnapshotError, match="vacuumed"):
+        S.snapshot_diff(spark, t, 1, 2, on=["k"]).collect()
+
+
+def test_fold_commit_ts_caches_tsless_commits(spark, tmp_path):
+    """The stale-None repair in _fold_commit_ts only re-reads commits the
+    CHECKPOINT folded as None, and caches genuinely ts-less ones — a
+    never-backfilled legacy log pays the re-read once, not on every
+    fold (ADVICE r10). backfill_commit_ts invalidates the cache."""
+    import json as _json
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    old_iv = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 3
+    try:
+        t = str(tmp_path / "tbl")
+        d = lambda i: spark.createDataFrame([(i,)], "k long")  # noqa: E731
+        S.write_snapshot(spark, d(0), t)
+        S.write_snapshot(spark, d(1), t, mode="append")
+        S.write_snapshot(spark, d(2), t, mode="append")
+        # make commit 0 a legacy unstamped commit BEFORE the checkpoint
+        p0 = S._commit_path(t, 0)
+        c0 = _json.load(open(p0))
+        del c0["ts"]
+        _json.dump(c0, open(p0, "w"))
+        S.write_snapshot(spark, d(3), t, mode="append")  # v3 -> checkpoint
+        assert S._log_entries(t)[1] == [3]
+
+        got = S._fold_commit_ts(t, 3)
+        assert got[0] is None and all(x is not None for x in got[1:])
+        before = S.LOG_COMMIT_READS
+        got2 = S._fold_commit_ts(t, 3)  # cached: zero commit re-reads
+        assert got2 == got
+        assert S.LOG_COMMIT_READS == before
+
+        assert S.backfill_commit_ts(t) == 1  # stamps v0, drops the cache
+        got3 = S._fold_commit_ts(t, 3)
+        assert all(x is not None for x in got3)
+        v = S._version_at_timestamp(t, got3[-1] + 1)
+        assert v == 3
+    finally:
+        S.CHECKPOINT_INTERVAL = old_iv
+
+
 def _dv_table(spark, tmp_path, n=200, files=2):
     import ops_spark.io.snapshots as S
 
