@@ -39,11 +39,21 @@ staying pure Spark + JSON:
   AddFile.stats / Iceberg manifest-bounds idea).
 - DELETION VECTORS (``delete_where(dv=True)``, Delta's DV mode): a
   commit may carry a ``dv`` map re-pointing files at a position blob;
-  readers drop those (file, row-position) pairs scan-side via a
-  broadcast anti-join on parquet ``_metadata`` — point deletes cost the
-  deleted ROWS, not the touched files, and no data file is rewritten.
+  readers drop those (file, row-position) pairs scan-side via an
+  anti-join on parquet ``_metadata`` — broadcast while the blobs stay
+  under ``DV_BROADCAST_MAX_BYTES``, a plain AQE-planned anti-join above
+  it (a vector of 10⁸ positions must never transit the driver) — so
+  point deletes cost the deleted ROWS, not the touched files, and no
+  data file is rewritten.
   A removed/rewritten file sheds its vector, so copy-on-write and
   compaction fold vectors away naturally.
+
+- PROTOCOL / FEATURE STAMP (Delta's table-features rule): every commit
+  (and checkpoint) whose content a naive reader would silently misread
+  is stamped with the reader ``features`` it requires (``dv``,
+  ``column_mapping``); folding a stamp outside ``_READER_FEATURES``
+  raises ``FeatureUnsupported`` — a table written by a future version
+  fails loudly, never returns wrong rows.
 
 Concurrency contract: SINGLE WRITER PER VERSION. Two writers may race;
 exactly one claims version N (the hard-link commit), the loser raises
@@ -99,6 +109,37 @@ class SnapshotError(RuntimeError):
     pass
 
 
+class FeatureUnsupported(SnapshotError):
+    """A commit/checkpoint requires a reader feature this version does
+    not implement — reading on anyway would silently return wrong rows
+    (e.g. ignoring an unknown deletion-vector encoding). Delta's
+    protocol-version / table-features rule."""
+
+
+# READER features this version understands (Delta's table-features
+# idea): any commit whose semantics a naive reader would silently
+# misread is stamped with the feature names required to read it —
+# ``dv`` (rows disappear scan-side) and ``column_mapping`` (bytes live
+# under physical names). A reader folding a commit (or checkpoint)
+# stamped with a name outside this set raises FeatureUnsupported
+# instead of returning wrong rows. Write-side-only capabilities
+# (constraints, txn stamps, commit_ts, stats) don't gate reads and are
+# deliberately NOT stamped — an old reader ignoring them still returns
+# exact rows.
+_READER_FEATURES = frozenset({"dv", "column_mapping"})
+
+
+def _check_features(required, where: str) -> None:
+    unknown = sorted(set(required or []) - _READER_FEATURES)
+    if unknown:
+        raise FeatureUnsupported(
+            f"{where} requires reader feature(s) {unknown} that this "
+            f"version of ops_spark does not implement (supported: "
+            f"{sorted(_READER_FEATURES)}); upgrade before reading this "
+            "table"
+        )
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
 
@@ -119,6 +160,7 @@ def _read_commits(path: str) -> list[dict]:
     for i, c in enumerate(out):
         if c["version"] != i:
             raise SnapshotError(f"commit log has a gap at version {i}")
+        _check_features(c.get("features"), f"commit {i}")
     return out
 
 
@@ -244,10 +286,22 @@ def _atomic_commit(path: str, commit: dict) -> None:
     """Exclusive commit through the configured LogStore: exactly one
     writer claims each version; the loser raises CommitRaceLost with
     nothing published. Every commit is stamped with the wall clock
-    (``ts``) for timestamp time travel and time-based retention."""
+    (``ts``) for timestamp time travel and time-based retention, and
+    with the reader ``features`` its content depends on (see
+    _READER_FEATURES) so a future reader lacking one fails cleanly
+    instead of misreading."""
     import time as _time
 
     commit.setdefault("ts", _time.time())
+    feats = set(commit.get("features") or [])
+    if any(v is not None for v in (commit.get("dv") or {}).values()):
+        feats.add("dv")
+    # schema JSON carrying a physical-name mapping key means files may
+    # store bytes under names the logical schema doesn't spell
+    if commit.get("schema") and _PHYS_KEY in commit["schema"]:
+        feats.add("column_mapping")
+    if feats:
+        commit["features"] = sorted(feats)
     os.makedirs(_log_dir(path), exist_ok=True)
     final = _commit_path(path, commit["version"])
     _LOG_STORE.put_if_absent(final, json.dumps(commit).encode())
@@ -396,7 +450,9 @@ def _read_commit(path: str, version: int) -> dict:
     global LOG_COMMIT_READS
     LOG_COMMIT_READS += 1
     with open(_commit_path(path, version)) as fh:
-        return json.load(fh)
+        c = json.load(fh)
+    _check_features(c.get("features"), f"commit {version}")
+    return c
 
 
 class _State:
@@ -441,6 +497,14 @@ def _read_checkpoint(
 
     t = pq.read_table(_checkpoint_path(path, version))
     meta = t.schema.metadata or {}
+    if meta.get(b"features"):
+        # a checkpoint can fold state from commits OLDER than any tail
+        # replay would revisit, so the feature gate must fire HERE too
+        # (and _state re-raises it rather than falling back)
+        _check_features(
+            json.loads(meta[b"features"].decode()),
+            f"checkpoint {version}",
+        )
     schema_json = meta.get(b"schema", b"").decode() or None
     constraints = json.loads(meta.get(b"constraints", b"{}").decode() or "{}")
     live: set[str] = set()
@@ -495,6 +559,8 @@ def _state(path: str, version: int | None = None) -> _State | None:
             )
             start = base + 1
             break
+        except FeatureUnsupported:
+            raise  # NOT a fallback case: replaying would misread too
         except Exception:
             # unreadable/corrupt checkpoint: try an older one, finally
             # the full replay — checkpoints only ever accelerate
@@ -559,6 +625,16 @@ def _write_checkpoint(path: str, version: int) -> None:
         meta[b"schema"] = st.schema_json.encode()
     if st.constraints:
         meta[b"constraints"] = json.dumps(st.constraints).encode()
+    # reader features the FOLDED STATE depends on (not the whole
+    # history: a table whose vectors were all compacted away needs no
+    # dv support to read this checkpoint)
+    feats = set()
+    if any(d is not None for d in st.dv.values()):
+        feats.add("dv")
+    if st.schema_json and _PHYS_KEY in st.schema_json:
+        feats.add("column_mapping")
+    if feats:
+        meta[b"features"] = json.dumps(sorted(feats)).encode()
     # fold the whole log's commit stamps so timestampAsOf / time-based
     # vacuum resolve in O(interval) opens instead of replaying the log
     meta[b"commit_ts"] = json.dumps(_fold_commit_ts(path, version)).encode()
@@ -1072,6 +1148,19 @@ def _to_physical(df: DataFrame, schema) -> DataFrame:
     ])
 
 
+# Ceiling for FORCING the deletion-vector anti-join's build side through
+# a broadcast: when the applied blobs total at most this many bytes on
+# disk, the (file, pos) set is broadcast (no shuffle of the data side —
+# the sparse-delete fast path). Bigger vectors fall back to a plain
+# anti-join and AQE picks the strategy at runtime — a long-lived table
+# with hundreds of millions of deleted positions must never be funneled
+# through the driver by an unconditional broadcast hint (VERDICT r10 #1;
+# Delta solves the same problem with per-file bitmaps inside the scan).
+# Parquet blob bytes under-count in-memory row size ~2-4x, so 8 MB of
+# blob is comfortably inside Spark's 10 MB autoBroadcast default.
+DV_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
+
+
 def _dv_applied(spark: SparkSession, path: str, need: dict):
     """The (file, pos) rows that CURRENTLY apply, for files whose dv
     blob is in ``need`` (basename -> blob rel). A blob may contain rows
@@ -1090,6 +1179,20 @@ def _dv_applied(spark: SparkSession, path: str, need: dict):
     return dvdf.join(F.broadcast(mapdf), ["file", "__b"]).select("file", "pos")
 
 
+def _dv_blob_bytes(path: str, need: dict) -> int | None:
+    """Total on-disk bytes of the blobs ``need`` references — the
+    driver-side size signal for the broadcast gate (one stat(2) per
+    distinct blob, no data I/O). None when any blob is unstattable
+    (treated as too big: never force a broadcast on unknown size)."""
+    total = 0
+    for b in sorted(set(need.values())):
+        try:
+            total += os.path.getsize(os.path.join(path, b))
+        except OSError:
+            return None
+    return total
+
+
 def _read_files(spark: SparkSession, path: str, files: list[str], schema,
                 dv: dict | None = None, with_pos: bool = False):
     """Read data files projected through a version's LOGICAL schema:
@@ -1100,7 +1203,8 @@ def _read_files(spark: SparkSession, path: str, files: list[str], schema,
 
     ``dv`` (rel -> deletion-vector blob rel) applies DELETION VECTORS:
     rows whose (file basename, physical row position) appear in the
-    file's current blob are dropped scan-side via a BROADCAST anti-join
+    file's current blob are dropped scan-side via an anti-join — forced
+    broadcast only while the blobs stay under DV_BROADCAST_MAX_BYTES —
     on Spark's parquet ``_metadata.file_path`` / ``row_index`` columns —
     positions are physical, so the filter is exact regardless of the
     logical projection, and no data file is ever rewritten (the Delta
@@ -1128,8 +1232,13 @@ def _read_files(spark: SparkSession, path: str, files: list[str], schema,
         )
     if need:
         applied = _dv_applied(spark, path, need)
+        size = _dv_blob_bytes(path, need)
+        if size is not None and size <= DV_BROADCAST_MAX_BYTES:
+            applied = F.broadcast(applied)  # sparse deletes: no shuffle
+        # else: plain anti-join; AQE picks the strategy from runtime
+        # sizes — huge vectors must not be collected through the driver
         out = out.join(
-            F.broadcast(applied),
+            applied,
             (out["__dv_file"] == applied["file"])
             & (out["__dv_pos"] == applied["pos"]),
             "left_anti",

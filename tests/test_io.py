@@ -3820,6 +3820,92 @@ def test_snapshot_dv_datasource_and_stream(spark, tmp_path):
     assert r2.partitions(r2.initialOffset(), {"version": 2})
 
 
+def test_snapshot_reader_feature_gate(spark, tmp_path):
+    """Protocol stamp (VERDICT r10 #3): commits carrying deletion
+    vectors / column mapping are stamped with the reader features they
+    require; a commit (or checkpoint) stamped with an UNKNOWN feature —
+    written by a future version — raises FeatureUnsupported instead of
+    silently returning wrong rows."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    assert "features" not in S._read_commit(t, 0)  # plain append: unstamped
+    S.delete_where(spark, t, "k % 10 = 3", dv=True)
+    assert S._read_commit(t, 2)["features"] == ["dv"]
+    S.rename_column(spark, t, "k", "ident")  # activates column mapping
+    assert "column_mapping" in S._read_commit(t, 3)["features"]
+
+    # inject a commit from "the future" with an unknown reader feature
+    c = S._read_commit(t, 3)
+    fake = dict(c, version=4, op="append", add=[], remove=[],
+                features=["dv2-roaring-trees"])
+    with open(os.path.join(t, "_log", f"{4:011d}.json"), "w") as fh:
+        _json.dump(fake, fh)
+    with _pytest.raises(S.FeatureUnsupported, match="dv2-roaring-trees"):
+        S.read_snapshot(spark, t)
+    # version= time travel BELOW the alien commit still works
+    assert S.read_snapshot(spark, t, version=2).count() == 180
+
+    # checkpoint path: a checkpoint whose metadata demands an unknown
+    # feature must raise too (its folded state may predate any tail
+    # commit the replay would revisit) — and must NOT silently fall
+    # back to replay, which would misread the same state
+    import pyarrow.parquet as pq
+
+    os.remove(os.path.join(t, "_log", f"{4:011d}.json"))
+    t2 = _dv_table(spark, tmp_path / "t2")
+    old_iv = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 2
+    try:
+        S.delete_where(spark, t2, "k % 10 = 3", dv=True)  # v2 -> checkpoint
+    finally:
+        S.CHECKPOINT_INTERVAL = old_iv
+    ckpt = S._checkpoint_path(t2, 2)
+    tbl = pq.read_table(ckpt)
+    meta = dict(tbl.schema.metadata or {})
+    meta[b"features"] = _json.dumps(["dv2-roaring-trees"]).encode()
+    pq.write_table(tbl.replace_schema_metadata(meta), ckpt)
+    with _pytest.raises(S.FeatureUnsupported, match="dv2-roaring-trees"):
+        S._state(t2)
+
+
+def test_snapshot_dv_broadcast_size_gate(spark, tmp_path):
+    """The DV anti-join's build side is broadcast ONLY while the applied
+    blobs fit DV_BROADCAST_MAX_BYTES; above the gate the plan carries no
+    broadcast hint (AQE plans from runtime sizes — a huge vector must
+    never be collected through the driver), and the result is identical
+    either way (VERDICT r10 #1)."""
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    S.delete_where(spark, t, "k % 10 = 3", dv=True)
+
+    def anti_join_lines(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [l for l in plan.splitlines() if "LeftAnti" in l]
+
+    # sparse vector (default gate): broadcast hint on the DV anti-join
+    small = S.read_snapshot(spark, t)
+    assert any("broadcast" in l for l in anti_join_lines(small))
+    assert small.count() == 180
+
+    old = S.DV_BROADCAST_MAX_BYTES
+    S.DV_BROADCAST_MAX_BYTES = 0  # force the over-threshold path
+    try:
+        big = S.read_snapshot(spark, t)
+        lines = anti_join_lines(big)
+        assert lines and not any("broadcast" in l for l in lines)
+        assert big.count() == 180  # same rows through the plain anti-join
+        assert big.filter("k % 10 = 3").count() == 0
+    finally:
+        S.DV_BROADCAST_MAX_BYTES = old
+
+
 def test_snapshot_dv_column_mapped_table(spark, tmp_path):
     """Vectors are POSITIONAL, so they survive column mapping: delete by
     the renamed logical column, read back through the mapped schema."""
