@@ -371,11 +371,17 @@ def _assert_rebase_safe(winner: dict, ours: dict, read_info: dict) -> None:
                 f"concurrent merge {v} on a different/unrecorded key "
                 f"({wkey!r}); re-read and retry"
             )
-        overlap_rm = set(winner.get("remove", [])) & set(ours.get("remove", []))
+        # a merge "touches" a file by rewriting it (remove) OR by
+        # re-pointing its deletion vector (dv): either way the loser's
+        # staged rows/blob were computed through the file's pre-winner
+        # state and would resurrect the winner's deletes
+        w_touch = set(winner.get("remove", [])) | set(winner.get("dv") or {})
+        o_touch = set(ours.get("remove", [])) | set(ours.get("dv") or {})
+        overlap_rm = w_touch & o_touch
         if overlap_rm:
             raise ConcurrentWriteConflict(
-                f"concurrent merge {v} rewrote the same file(s) "
-                f"{sorted(overlap_rm)[:3]}; re-read and retry"
+                f"concurrent merge {v} rewrote/re-vectored the same "
+                f"file(s) {sorted(overlap_rm)[:3]}; re-read and retry"
             )
         try:
             disjoint = wrng[1] < qlo or wrng[0] > qhi
@@ -1739,6 +1745,7 @@ def merge_snapshot(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     allow_schema_evolution: bool = False,
+    dv: bool = False,
 ) -> dict:
     """MERGE INTO for snapshot tables — the CDC upsert every continuously
     refreshed corpus needs (Delta/Iceberg MERGE semantics; concurrent
@@ -1777,6 +1784,15 @@ def merge_snapshot(
     values on matched rows, and a dtype change raises. The commit
     records the evolved schema; time travel to pre-merge versions still
     reads the old schema.
+
+    ``dv=True`` runs the merge in DELETION-VECTOR mode (Delta's DV
+    MERGE): touched files keep their bytes — matched rows are
+    vector-deleted via one position blob, and the post-merge rows
+    (updates taking source values; not-matched inserts) land as NEW
+    files in the same commit. Write amplification becomes O(changed
+    rows) instead of O(rows in touched files) — where CDC-upsert cost
+    actually bites at 100 TB. Copy-on-write (default) remains the
+    vector-folding path: a rewrite sheds the file's vector.
 
     Returns {version, files_live, files_pruned_by_stats,
     footer_fallback_reads, files_rewritten, rows_updated/deleted/
@@ -1879,6 +1895,12 @@ def merge_snapshot(
         touched = sorted(by_base[r["__f"]] for r in hits)
 
     version = st.latest + 1
+    if dv and touched:
+        return _merge_dv(
+            spark, path, st, source, on, when_matched, when_not_matched,
+            target_schema, out_schema, touched, pruned, footer_reads,
+            phys_key, _stat_val(rng.lo), _stat_val(rng.hi),
+        )
     t = None
     if touched:
         t = _read_files(spark, path, touched, target_schema, dv=st.dv)
@@ -2017,6 +2039,122 @@ def merge_snapshot(
         "rows_deleted": rows_deleted,
         "rows_inserted": counts.get("insert", 0),
         "rows_copied": counts.get("copy", 0),
+    }
+
+
+def _merge_dv(
+    spark: SparkSession, path: str, st: _State, source: DataFrame,
+    on: list[str], when_matched: str, when_not_matched: str,
+    target_schema, out_schema, touched: list[str], pruned: int,
+    footer_reads: int, phys_key: str, qlo, qhi,
+) -> dict:
+    """The deletion-vector MERGE path: every MATCHED target row's
+    physical position goes into one blob (touched files keep their
+    bytes), and the post-merge rows — updates carrying source values,
+    plus not-matched inserts — are staged as NEW files; ONE commit
+    publishes both, flowing through the same OCC loop as copy-on-write
+    (a DV re-point counts as touching the file for conflict detection —
+    see _assert_rebase_safe). Unchanged rows in touched files are never
+    rewritten: rows_copied is 0 by construction."""
+    from pyspark.sql import functions as F
+
+    version = st.latest + 1
+    target_cols = [f.name for f in target_schema.fields]
+    t = _read_files(spark, path, touched, target_schema, dv=st.dv,
+                    with_pos=True)
+    matched = t.join(source.select(*on).distinct(), on, "leftsemi")
+    matched.persist()
+    blob = None
+    try:
+        hits = matched.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        n_matched = matched.count()
+        blob = _stage_dv_blob(spark, path, st, hits, touched, version)
+
+        pieces = []
+        if when_matched == "update":
+            tt = matched.drop("__dv_file", "__dv_pos").alias("t")
+            s = source.alias("s")
+            cond = None
+            for k in on:
+                eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+                cond = eq if cond is None else (cond & eq)
+            # dup guard upstream: exactly one source row per matched key,
+            # so this inner join re-emits each matched target row once,
+            # with source values for source-carried columns
+            pieces.append(tt.join(s, cond, "inner").select(*[
+                (
+                    F.col(f"s.{f.name}") if f.name in source.columns
+                    else (
+                        F.col(f"t.{f.name}") if f.name in target_cols
+                        else F.lit(None).cast(f.dataType)
+                    )
+                ).alias(f.name)
+                for f in out_schema.fields
+            ]))
+        n_insert = 0
+        if when_not_matched == "insert":
+            ins = source.join(
+                matched.select(*on).distinct(), on, "left_anti"
+            ).select(*[
+                (
+                    F.col(f.name) if f.name in source.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in out_schema.fields
+            ])
+            n_insert = ins.count()
+            if n_insert:
+                pieces.append(ins)
+        new_rows = None
+        for p in pieces:
+            new_rows = p if new_rows is None else new_rows.unionByName(p)
+
+        added: list[str] = []
+        try:
+            if new_rows is not None:
+                added = _stage_add(
+                    _to_physical(
+                        _enforce_constraints(new_rows, st.constraints),
+                        out_schema,
+                    ),
+                    path,
+                    version,
+                )
+            commit = {
+                "version": version,
+                "op": "merge",
+                "add": added,
+                "remove": [],
+                "dv": {rel: blob for rel in touched},
+                "schema": out_schema.json(),
+                "stats": _collect_stats(path, added),
+                "merge_key": phys_key,
+                "merge_range": [qlo, qhi],
+            }
+            version = _commit_or_rebase(
+                path, commit,
+                {"kind": "merge", "base_schema_json": st.schema_json,
+                 "key": phys_key, "lo": qlo, "hi": qhi},
+            )
+        except Exception:
+            _unstage(path, added + [blob])
+            raise
+    finally:
+        matched.unpersist()
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_live": len(st.live),
+        "files_pruned_by_stats": pruned,
+        "footer_fallback_reads": footer_reads,
+        "files_rewritten": 0,
+        "files_dv": len(touched),
+        "rows_updated": n_matched if when_matched == "update" else 0,
+        "rows_deleted": n_matched if when_matched == "delete" else 0,
+        "rows_inserted": n_insert,
+        "rows_copied": 0,
     }
 
 
@@ -2253,25 +2391,18 @@ def delete_where(
     }
 
 
-def _delete_where_dv(
-    spark: SparkSession, path: str, st: _State, cond, touched: list[str],
+def _stage_dv_blob(
+    spark: SparkSession, path: str, st: _State, hits, touched: list[str],
     version: int,
-) -> dict:
-    """The deletion-vector half of delete_where: compute the physical
-    positions of matching rows in the touched files (through their
-    CURRENT vectors, so re-deleting is idempotent), union with those
-    files' previous vectors, and publish ONE commit whose ``dv`` map
-    re-points every touched file at the new blob. Entirely distributed —
-    positions never land on the driver; the blob is one parquet file
-    written through the same staging path as data (so a crash leaves
-    only an unreferenced file and vacuum's orphan grace applies)."""
-    from pyspark.sql import functions as F
-
-    schema = st.schema
-    df = _read_files(spark, path, touched, schema, dv=st.dv, with_pos=True)
-    hits = df.where(cond).select(
-        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
-    )
+) -> str:
+    """Union the deleted-position ``hits`` (a (file, pos) DataFrame of
+    PHYSICAL row positions) with the touched files' PREVIOUS vectors —
+    the newest blob is always a file's whole vector — and stage the
+    result as ONE parquet blob through the same path as data files (a
+    crash leaves only an unreferenced file; vacuum's orphan grace
+    applies). Entirely distributed: positions never land on the driver.
+    Returns the blob's rel path. Shared by delete_where(dv=True),
+    merge_snapshot(dv=True) and update_where(dv=True)."""
     need_prev = {
         os.path.basename(r): st.dv[r] for r in touched
         if st.dv.get(r) is not None
@@ -2279,15 +2410,34 @@ def _delete_where_dv(
     posdf = hits
     if need_prev:
         posdf = posdf.unionByName(_dv_applied(spark, path, need_prev))
-    counts = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(cond, 1)).alias("matched"),
-    ).first()
     added = _stage_add(posdf.coalesce(1), path, version)
     if len(added) != 1:  # one blob per commit: the dv map points at it
         _unstage(path, added)
         raise SnapshotError(f"expected one dv blob, staged {len(added)}")
-    blob = added[0]
+    return added[0]
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, st: _State, cond, touched: list[str],
+    version: int,
+) -> dict:
+    """The deletion-vector half of delete_where: compute the physical
+    positions of matching rows in the touched files (through their
+    CURRENT vectors, so re-deleting is idempotent) and publish ONE
+    commit whose ``dv`` map re-points every touched file at the staged
+    blob (_stage_dv_blob folds in the previous vectors)."""
+    from pyspark.sql import functions as F
+
+    schema = st.schema
+    df = _read_files(spark, path, touched, schema, dv=st.dv, with_pos=True)
+    hits = df.where(cond).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(cond, 1)).alias("matched"),
+    ).first()
+    blob = _stage_dv_blob(spark, path, st, hits, touched, version)
     try:
         _atomic_commit(
             path,
@@ -2301,7 +2451,7 @@ def _delete_where_dv(
             },
         )
     except SnapshotError:
-        _unstage(path, added)
+        _unstage(path, [blob])
         raise
     _maybe_checkpoint(path, version)
     return {
@@ -2314,18 +2464,27 @@ def _delete_where_dv(
 
 
 def update_where(
-    spark: SparkSession, path: str, assignments: dict, condition
+    spark: SparkSession, path: str, assignments: dict, condition,
+    dv: bool = False,
 ) -> dict:
     """UPDATE <table> SET col = expr, ... WHERE <condition> — Delta
-    UPDATE semantics as one atomic copy-on-write commit over only the
-    files containing a matching row. ``assignments`` maps existing column
-    names to SQL expression strings (or Columns) evaluated against the
-    pre-update row; each value is CAST to the column's recorded dtype,
-    so an expression cannot silently diverge the staged files from the
-    table schema. Rows where the condition is NULL are not updated.
+    UPDATE semantics as one atomic commit over only the files containing
+    a matching row. ``assignments`` maps existing column names to SQL
+    expression strings (or Columns) evaluated against the pre-update
+    row; each value is CAST to the column's recorded dtype, so an
+    expression cannot silently diverge the staged files from the table
+    schema. Rows where the condition is NULL are not updated.
+
+    ``dv=False`` (default) is COPY-ON-WRITE: touched files are rewritten
+    whole. ``dv=True`` is Delta's DV UPDATE: touched files keep their
+    bytes — matched rows are vector-deleted via one position blob and
+    re-inserted with their new values as NEW files in the same commit,
+    so the write cost is O(updated rows), not O(rows in touched files).
 
     Returns {version, files_rewritten, files_kept, rows_updated,
-    rows_copied}; version -1 when nothing matches (no commit)."""
+    rows_copied} (plus files_dv in dv mode, where files_rewritten and
+    rows_copied are 0 by construction); version -1 when nothing matches
+    (no commit)."""
     from pyspark.sql import functions as F
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -2346,6 +2505,10 @@ def update_where(
             "rows_updated": 0, "rows_copied": 0,
         }
     version = st.latest + 1
+    if dv:
+        return _update_where_dv(
+            spark, path, st, assignments, cond, touched, version
+        )
     hit = F.coalesce(cond, F.lit(False))
 
     def _val(name):
@@ -2391,6 +2554,76 @@ def update_where(
         "files_kept": len(st.live) - len(touched),
         "rows_updated": counts.matched,
         "rows_copied": counts.n - counts.matched,
+    }
+
+
+def _update_where_dv(
+    spark: SparkSession, path: str, st: _State, assignments: dict, cond,
+    touched: list[str], version: int,
+) -> dict:
+    """The deletion-vector UPDATE path: matched rows' physical positions
+    go into one blob (touched files keep their bytes) and the updated
+    rows are staged as new files — the same one-commit shape as
+    _merge_dv, with the SET expressions evaluated against the pre-update
+    row (applied unconditionally here: only matched rows reach them)."""
+    from pyspark.sql import functions as F
+
+    schema = st.schema
+    cols = [f.name for f in schema.fields]
+    df = _read_files(spark, path, touched, schema, dv=st.dv, with_pos=True)
+    matched = df.where(F.coalesce(cond, F.lit(False)))
+    matched.persist()
+    blob = None
+    try:
+        hits = matched.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        n_matched = matched.count()
+        blob = _stage_dv_blob(spark, path, st, hits, touched, version)
+
+        def _val(name):
+            if name not in assignments:
+                return F.col(name)
+            expr = assignments[name]
+            expr = F.expr(expr) if isinstance(expr, str) else expr
+            # cast to the RECORDED dtype, like the copy-on-write path
+            return expr.cast(schema[name].dataType)
+
+        updated = matched.select(*[_val(c).alias(c) for c in cols])
+        added: list[str] = []
+        try:
+            added = _stage_add(
+                _to_physical(
+                    _enforce_constraints(updated, st.constraints), schema
+                ),
+                path,
+                version,
+            )
+            _atomic_commit(
+                path,
+                {
+                    "version": version,
+                    "op": "update_where",
+                    "add": added,
+                    "remove": [],
+                    "dv": {rel: blob for rel in touched},
+                    "schema": st.schema_json,
+                    "stats": _collect_stats(path, added),
+                },
+            )
+        except Exception:
+            _unstage(path, added + [blob])
+            raise
+    finally:
+        matched.unpersist()
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_rewritten": 0,
+        "files_dv": len(touched),
+        "files_kept": len(st.live),
+        "rows_updated": n_matched,
+        "rows_copied": 0,
     }
 
 

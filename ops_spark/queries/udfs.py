@@ -1351,6 +1351,122 @@ def io_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_dv_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 97 = 0 THEN cents * 2 ELSE cents END
+               AS cents
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 100000000, '8-DVM', cents
+      FROM base WHERE o_orderkey % 89 = 0
+    ), afterdel AS (
+      SELECT * FROM merged
+      WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM base WHERE o_orderkey % 83 = 0
+      )
+    ), final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 0
+                  THEN cents + 1 ELSE cents END AS cents
+      FROM afterdel
+    )
+    SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__v0' AS o_orderpriority, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM base
+    """,
+    description="DELETION-VECTOR MERGE/UPDATE (io/snapshots.py:_merge_dv,"
+    "_update_where_dv — Delta's DV MERGE): a CDC batch (price doubling "
+    "on %97 keys + synthetic '8-DVM' inserts) lands as a dv merge that "
+    "REWRITES NO FILE (matched rows vector-deleted, post-merge rows as "
+    "new files), then a delete-mode dv merge retires the %83 keys, then "
+    "update_where(dv=True) bumps '2-HIGH' %7 rows — three commits whose "
+    "write cost is O(changed rows), not O(rows in touched files). The "
+    "builder asserts files_rewritten == 0 on each, and the result "
+    "aggregates the final state plus a '__v0' time-travel row, so a "
+    "resurrected deleted row, a lost update, or a vector applied to the "
+    "wrong file flips the hash. OCC/CDF/constraint pins live in "
+    "test_io.py::test_snapshot_dv_merge_*.",
+    tags=("io", "snapshot", "dml", "cdc", "maintenance"),
+)
+def io_snapshot_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_dvm_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    S.write_snapshot(spark, base.repartitionByRange(8, "o_orderkey"), tbl)
+
+    upd = base.filter("o_orderkey % 97 = 0").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    ins = base.filter("o_orderkey % 89 = 0").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("8-DVM").alias("o_orderpriority"),
+        "cents",
+    )
+    r1 = S.merge_snapshot(spark, tbl, upd.unionByName(ins), on=["o_orderkey"],
+                          dv=True)
+    r2 = S.merge_snapshot(
+        spark, tbl,
+        base.filter("o_orderkey % 83 = 0"),
+        on=["o_orderkey"], when_matched="delete", when_not_matched="ignore",
+        dv=True,
+    )
+    r3 = S.update_where(
+        spark, tbl, {"cents": "cents + 1"},
+        "o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 0", dv=True,
+    )
+    for r in (r1, r2, r3):  # the DV invariant: no data file rewritten
+        assert r["files_rewritten"] == 0, r
+
+    final = (
+        S.read_snapshot(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    v0 = (
+        S.read_snapshot(spark, tbl, version=0)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.lit("__v0").alias("o_orderpriority"), "n_rows", "total_cents"
+        )
+    )
+    return final.unionByName(v0)
+
+
+@register(
     "io_snapshot_ivm",
     oracle="""
     WITH base AS (

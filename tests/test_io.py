@@ -3918,3 +3918,158 @@ def test_snapshot_dv_column_mapped_table(spark, tmp_path):
     cur = S.read_snapshot(spark, t)
     assert cur.columns == ["ident", "v"]
     assert cur.count() == 180 and cur.filter("ident % 10 = 3").count() == 0
+
+
+def test_snapshot_dv_merge_rewrites_nothing(spark, tmp_path):
+    """merge_snapshot(dv=True) — Delta's DV MERGE (VERDICT r10 #2):
+    matched rows are vector-deleted, updated/inserted rows land as NEW
+    files, and NO touched file is rewritten: write amplification is
+    O(changed rows). CDF/diff stays exact across the commit, time
+    travel reaches the pre-merge rows, and delete-mode merges work the
+    same way."""
+    from collections import Counter
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)  # v0+v1: k 0..199, 4 files
+    files_before = set(S._state(t).live)
+
+    src = spark.createDataFrame(
+        [(5, "UPD5"), (10, "UPD10"), (1000, "NEW0"), (1001, "NEW1")],
+        "k long, v string",
+    )
+    r = S.merge_snapshot(spark, t, src, on=["k"], dv=True)  # v2
+    assert r["files_rewritten"] == 0 and r["files_dv"] >= 1
+    assert r["rows_updated"] == 2 and r["rows_inserted"] == 2
+    assert r["rows_copied"] == 0 and r["rows_deleted"] == 0
+    c = S._read_commit(t, 2)
+    assert c["op"] == "merge" and c["remove"] == [] and c["dv"] and c["add"]
+    assert "dv" in c["features"]
+    st = S._state(t)
+    assert files_before <= set(st.live)  # every pre-merge file kept
+
+    cur = S.read_snapshot(spark, t)
+    assert cur.count() == 202
+    rows = {x.k: x.v for x in cur.collect()}
+    assert rows[5] == "UPD5" and rows[10] == "UPD10"
+    assert rows[1000] == "NEW0" and rows[4] == "v4"
+    v1 = {x.k: x.v for x in S.read_snapshot(spark, t, version=1).collect()}
+    assert v1[5] == "v5" and 1000 not in v1  # pre-merge rows intact
+
+    # CDF across the dv merge is row-exact
+    diff = S.snapshot_diff(spark, t, 1, 2, on=["k"])
+    got = Counter(x["__change"] for x in diff.collect())
+    assert got == {"update_pre": 2, "update_post": 2, "insert": 2}
+
+    # delete-mode dv merge: positions blob only, nothing rewritten
+    from pyspark.sql import functions as F
+
+    victims = spark.createDataFrame([(10,), (1000,)], "k long")
+    r2 = S.merge_snapshot(
+        spark, t, victims.withColumn("v", F.lit("x")), on=["k"],
+        when_matched="delete", when_not_matched="ignore", dv=True,
+    )
+    assert r2["rows_deleted"] == 2 and r2["files_rewritten"] == 0
+    cur2 = S.read_snapshot(spark, t)
+    assert cur2.count() == 200
+    assert cur2.filter("k in (10, 1000)").count() == 0
+
+    # IVM advances exactly across both dv-merge commits
+    state = S.aggregate_snapshot(spark, t, ["v"], {"tot": "k"}, version=1)
+    inc = S.incremental_aggregate(
+        spark, t, 1, S.latest_version(t), on=["k"], group_by=["v"],
+        sums={"tot": "k"}, state=state,
+    )
+    full = S.aggregate_snapshot(spark, t, ["v"], {"tot": "k"})
+    assert sorted((x.v, x.tot) for x in inc.collect()) == sorted(
+        (x.v, x.tot) for x in full.collect()
+    )
+
+
+def test_snapshot_dv_update_where(spark, tmp_path):
+    """update_where(dv=True): matched rows are vector-deleted and
+    re-inserted with their new values; touched files keep their bytes;
+    re-reading through the vector chain stays exact after a second
+    update hits the same files."""
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    files_before = set(S._state(t).live)
+    r = S.update_where(spark, t, {"v": "concat(v, '!')"}, "k % 50 = 7",
+                       dv=True)
+    assert r["rows_updated"] == 4 and r["files_rewritten"] == 0
+    assert r["files_dv"] >= 1 and r["rows_copied"] == 0
+    assert files_before <= set(S._state(t).live)
+    cur = {x.k: x.v for x in S.read_snapshot(spark, t).collect()}
+    assert len(cur) == 200
+    assert cur[7] == "v7!" and cur[57] == "v57!" and cur[8] == "v8"
+
+    # second dv update over the SAME logical rows: the new files carry
+    # them now, and the old files' vectors still apply
+    r2 = S.update_where(spark, t, {"v": "upper(v)"}, "k % 50 = 7", dv=True)
+    assert r2["rows_updated"] == 4
+    cur2 = {x.k: x.v for x in S.read_snapshot(spark, t).collect()}
+    assert len(cur2) == 200 and cur2[7] == "V7!" and cur2[107] == "V107!"
+    # copy-on-write compaction folds every vector away
+    S.compact_snapshot(spark, t)
+    assert S._state(t).dv == {}
+    cur3 = {x.k: x.v for x in S.read_snapshot(spark, t).collect()}
+    assert cur3 == cur2
+
+
+def test_snapshot_dv_merge_occ_conflicts(spark, tmp_path):
+    """OCC treats a DV re-point as TOUCHING the file: a rebase over a
+    winner that re-vectored a file we also touch (rewrite or
+    re-vector) conflicts; provably disjoint dv merges still both
+    land."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    winner = {
+        "version": 5, "op": "merge", "add": [], "remove": [],
+        "dv": {"data/f1.parquet": "data/blob1.parquet"},
+        "schema": "SCH", "merge_key": "k", "merge_range": [0, 10],
+    }
+    ours_dv = {
+        "op": "merge", "add": [], "remove": [],
+        "dv": {"data/f1.parquet": "data/blob2.parquet"}, "schema": "SCH",
+        "merge_key": "k", "merge_range": [50, 60],
+    }
+    info = {"kind": "merge", "base_schema_json": "SCH", "key": "k",
+            "lo": 50, "hi": 60}
+    with _pytest.raises(S.ConcurrentWriteConflict, match="re-vectored"):
+        S._assert_rebase_safe(winner, ours_dv, info)
+    # copy-on-write loser rewriting the winner's re-vectored file: same
+    ours_cow = dict(ours_dv, dv={}, remove=["data/f1.parquet"])
+    with _pytest.raises(S.ConcurrentWriteConflict, match="re-vectored"):
+        S._assert_rebase_safe(winner, ours_cow, info)
+    # disjoint files AND ranges: rebase allowed
+    ours_ok = dict(ours_dv, dv={"data/f2.parquet": "data/blob2.parquet"})
+    S._assert_rebase_safe(winner, ours_ok, info)
+
+
+def test_snapshot_dv_merge_enforces_constraints(spark, tmp_path):
+    """DV-merge's new rows run through CHECK enforcement inside the
+    write job; a violation commits nothing and leaves no staged debris
+    (blob included)."""
+    import os
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)
+    S.add_constraint(spark, t, "k_small", "k < 5000")
+    pre = S.latest_version(t)
+    data_before = set(os.listdir(os.path.join(t, "data")))
+    with _pytest.raises(Exception, match="k_small"):
+        S.merge_snapshot(
+            spark, t,
+            spark.createDataFrame([(5, "ok"), (9999, "bad")],
+                                  "k long, v string"),
+            on=["k"], dv=True,
+        )
+    assert S.latest_version(t) == pre
+    assert set(os.listdir(os.path.join(t, "data"))) == data_before
+    assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
