@@ -29,6 +29,14 @@ Change semantics mirror Delta's:
 - ``changemode=ignore_changes``: non-append commits are tolerated and
   their ADDED files are emitted (Delta's ignoreChanges caveat applies:
   rewritten files re-emit their copied rows; dedup downstream on a key).
+  Replayed/backfilled files are read through the END version's deletion
+  vectors, so rows a later dv commit deleted are never re-emitted raw.
+- ``changemode=cdf``: row-level changes (the Delta CDF stream): each
+  batch's rows carry ``_change_type`` ('insert' for added files,
+  'delete' retractions for the positions a dv commit newly covers) and
+  ``_commit_version``. A DV MERGE surfaces as delete+insert pairs
+  (split-update representation). Copy-on-write rewrites still fail the
+  stream — use snapshots.snapshot_diff across those.
 - ``startingversion=N``: begin tailing at commit N (Delta's
   startingVersion) instead of 0. N beyond the current head is fine:
   the offset holds at N-1 until the log catches up, so no batch is
@@ -74,6 +82,18 @@ class _FileSlice(InputPartition):
     abs_path: str | None  # None = planned empty batch (no files added)
     schema_json: str
     dv_abs: str | None = None  # deletion-vector blob (absolute), if any
+    # CDF-mode fields (changemode=cdf): emit this slice's rows as change
+    # rows of the given type, stamped with the commit that produced
+    # them. For change="delete", the rows are the positions newly added
+    # by dv_abs relative to prev_dv_abs (the file's previous vector).
+    change: str | None = None
+    commit_version: int | None = None
+    prev_dv_abs: str | None = None
+
+
+# Extra columns changemode=cdf appends to the table schema (the Delta
+# CDF reader shape: _change_type + the commit that produced the change).
+_CDF_COLS = [("_change_type", "string"), ("_commit_version", "long")]
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -85,7 +105,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             raise ValueError("ops_snapshot requires .option('path', table_dir)")
         self.path = path
         self.mode = options.get("changemode", "append")
-        if self.mode not in ("append", "ignore_changes"):
+        if self.mode not in ("append", "ignore_changes", "cdf"):
             raise ValueError(f"unsupported changemode: {self.mode}")
         self.start_version = int(options.get("startingversion", 0))
         mft = options.get("maxfilespertrigger")
@@ -130,6 +150,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
             raise SnapshotError(
                 f"not a snapshot table with a recorded schema: {self.path}"
             )
+        if self.mode == "cdf":
+            return self._cdf_partitions(lo, hi, st)
         parts: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             c = _read_commit(self.path, v)
@@ -138,15 +160,72 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"commit {v} ({c['op']}) removes files or rows "
                     "(deletion vectors); streaming in append mode "
                     "requires append-only commits — restart with "
-                    ".option('changemode', 'ignore_changes') to re-emit "
-                    "rewritten files (and dedup downstream)"
+                    ".option('changemode', 'cdf') to stream row-level "
+                    "changes (dv deletes become retraction rows), or "
+                    "'ignore_changes' to re-emit rewritten files (and "
+                    "dedup downstream)"
                 )
             for rel in c["add"]:
-                parts.append(
-                    _FileSlice(os.path.join(self.path, rel), st.schema_json)
-                )
+                # ignore_changes replays apply the END version's vectors
+                # so a backfill never re-emits rows a later dv commit
+                # deleted (a dv commit re-adds no file, so downstream
+                # dedup would have nothing newer to converge on)
+                d = st.dv.get(rel) if self.mode == "ignore_changes" else None
+                parts.append(_FileSlice(
+                    os.path.join(self.path, rel),
+                    st.schema_json,
+                    os.path.join(self.path, d) if d is not None else None,
+                ))
         if not parts:  # all-metadata commits: plan one explicit empty slice
             parts.append(_FileSlice(None, st.schema_json))
+        return parts
+
+    def _cdf_partitions(self, lo: int, hi: int, st) -> list[_FileSlice]:
+        """changemode=cdf — emit row-level CHANGES per commit (the Delta
+        CDF-stream shape): added files become 'insert' rows; a dv commit
+        becomes 'delete' rows for exactly the positions its blob newly
+        covers (new blob minus the file's previous vector). A DV MERGE
+        surfaces as delete+insert pairs (split-update CDF
+        representation — keyed consumers converge). Commits that REMOVE
+        files (copy-on-write rewrites, compaction, rollback) are not
+        row-exact in a file-sliced stream and fail it — use
+        snapshot_diff for version-to-version CDF over rewrites."""
+        from ops_spark.io.snapshots import SnapshotError, _read_commit, _state
+
+        # the dv state each commit's deltas are computed AGAINST: fold
+        # forward from the batch's start version
+        dvmap = dict(_state(self.path, lo).dv) if lo >= 0 else {}
+        parts: list[_FileSlice] = []
+        for v in range(lo + 1, hi + 1):
+            c = _read_commit(self.path, v)
+            if c["remove"]:
+                raise SnapshotError(
+                    f"commit {v} ({c['op']}) rewrites/removes files; the "
+                    "cdf stream mode is exact only over appends and "
+                    "deletion-vector commits — read changes across "
+                    "rewrites with snapshots.snapshot_diff"
+                )
+            for rel in c["add"]:
+                parts.append(_FileSlice(
+                    os.path.join(self.path, rel), st.schema_json,
+                    change="insert", commit_version=v,
+                ))
+            for rel, d in (c.get("dv") or {}).items():
+                if d is None:
+                    continue  # explicit clear (no remove): nothing deleted
+                prev = dvmap.get(rel)
+                parts.append(_FileSlice(
+                    os.path.join(self.path, rel), st.schema_json,
+                    dv_abs=os.path.join(self.path, d),
+                    change="delete", commit_version=v,
+                    prev_dv_abs=(
+                        os.path.join(self.path, prev)
+                        if prev is not None else None
+                    ),
+                ))
+                dvmap[rel] = d
+        if not parts:
+            parts.append(_FileSlice(None, st.schema_json, change="insert"))
         return parts
 
     # -- executor-side read (self-contained: no ops_spark imports) -----
@@ -160,11 +239,28 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._cursor = max(self._cursor if self._cursor is not None else v, v)
 
 
+def _blob_positions(blob_abs: str, base: str) -> set:
+    """The physical row positions a deletion-vector blob holds for ONE
+    file (blobs are per-commit and may cover several files)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dvt = pq.read_table(blob_abs, columns=["file", "pos"])
+    return set(
+        dvt.filter(pc.equal(dvt.column("file"), base))
+        .column("pos").to_pylist()
+    )
+
+
 def _read_slice(partition: _FileSlice):
     """Executor-side file read shared by the batch and stream readers:
     pyarrow record batches projected through the slice's LOGICAL schema
     (files written before a schema evolution null-fill appended columns;
-    column-mapped tables store bytes under physical names)."""
+    column-mapped tables store bytes under physical names). CDF slices
+    (``change`` set) emit change rows instead: 'insert' = the file's
+    rows; 'delete' = ONLY the positions the slice's blob newly covers
+    relative to the file's previous vector — both stamped with
+    ``_change_type`` / ``_commit_version``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -172,21 +268,39 @@ def _read_slice(partition: _FileSlice):
 
     target = _ST.fromJson(json.loads(partition.schema_json))
     a_schema = to_arrow_schema(target)
+    if partition.change is not None:
+        a_out = a_schema
+        for nm, t in _CDF_COLS:
+            a_out = a_out.append(
+                pa.field(nm, pa.string() if t == "string" else pa.int64())
+            )
+    else:
+        a_out = a_schema
     if partition.abs_path is None:
         return iter(())
     tbl = pq.read_table(partition.abs_path)
-    if partition.dv_abs is not None:
+    base = os.path.basename(partition.abs_path)
+    if partition.change == "delete":
+        # retraction rows: the blob's positions MINUS the previous
+        # vector's (a blob always holds the file's whole vector)
+        new_pos = _blob_positions(partition.dv_abs, base)
+        prev_pos = (
+            _blob_positions(partition.prev_dv_abs, base)
+            if partition.prev_dv_abs is not None else set()
+        )
+        fresh = sorted(new_pos - prev_pos)
+        tbl = (
+            tbl.take(pa.array(fresh, pa.int64()))
+            if fresh else tbl.slice(0, 0)
+        )
+    elif partition.dv_abs is not None:
         # deletion vector: drop the blob's positions for THIS file.
         # Positions are physical row indices of the whole file, which is
         # exactly what pq.read_table materialized — mask before any
         # projection.
         import numpy as np
-        import pyarrow.compute as pc
 
-        dvt = pq.read_table(partition.dv_abs, columns=["file", "pos"])
-        base = os.path.basename(partition.abs_path)
-        pos = dvt.filter(pc.equal(dvt.column("file"), base)) \
-            .column("pos").to_pylist()
+        pos = sorted(_blob_positions(partition.dv_abs, base))
         if pos:
             keep = np.ones(tbl.num_rows, dtype=bool)
             keep[np.asarray(pos, dtype=np.int64)] = False
@@ -198,7 +312,11 @@ def _read_slice(partition: _FileSlice):
             cols.append(tbl.column(phys).cast(field.type))
         else:
             cols.append(pa.nulls(tbl.num_rows, field.type))
-    out = pa.Table.from_arrays(cols, schema=a_schema)
+    if partition.change is not None:
+        n = tbl.num_rows
+        cols.append(pa.array([partition.change] * n, pa.string()))
+        cols.append(pa.array([partition.commit_version] * n, pa.int64()))
+    out = pa.Table.from_arrays(cols, schema=a_out)
     return iter(out.to_batches())
 
 
@@ -682,7 +800,15 @@ class SnapshotStreamDataSource(DataSource):
                 "not a snapshot table with a recorded schema: "
                 f"{opts['path']}"
             )
-        return StructType.fromJson(json.loads(st.schema_json))
+        out = StructType.fromJson(json.loads(st.schema_json))
+        if opts.get("changemode") == "cdf":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            for nm, t in _CDF_COLS:
+                out = out.add(StructField(
+                    nm, StringType() if t == "string" else LongType()
+                ))
+        return out
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:
         return SnapshotBatchReader(

@@ -1351,6 +1351,93 @@ def io_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_snapshot_dv_cdf",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'insert' AS _change_type, o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM base GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'delete' AS _change_type, o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM base
+    WHERE (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+       OR cents % 10 = 7
+    GROUP BY o_orderpriority
+    """,
+    description="CDF STREAMING from a snapshot table (io/snapshot_stream"
+    ".py changemode=cdf — the Delta CDF-stream shape, incl. deletion-"
+    "vector retractions): orders lands as two append commits, then TWO "
+    "dv deletes (overlapping conditions) re-point files at position "
+    "blobs; the bounded cdf stream must emit every appended row as an "
+    "'insert' and every vector-deleted row as EXACTLY ONE 'delete' "
+    "retraction — the second blob holds the whole vector, so a reader "
+    "that replays it naively retracts the first delete's rows twice "
+    "and flips the hash (new-minus-previous-vector is load-bearing). "
+    "Aggregated by change type x priority against the oracle's direct "
+    "recompute. Merge-as-delete+insert pairs and copy-on-write refusal "
+    "are pinned in test_streaming_extra.py::test_snapshot_stream_cdf_"
+    "mode.",
+    tags=("io", "snapshot", "streaming", "cdf", "dml"),
+)
+def io_snapshot_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ops_spark.io import snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    src = os.path.join(sf_dir, "orders.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    tbl = os.path.join(tempfile.gettempdir(), f"ops_spark_dvcdf_{digest}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    for i in range(2):
+        S.write_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey") % 2 == i).repartition(2),
+            tbl,
+            mode="append",
+        )
+    S.delete_where(
+        spark, tbl, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0",
+        dv=True,
+    )
+    S.delete_where(spark, tbl, "cents % 10 = 7", dv=True)
+
+    cdf = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "cdf")
+        .load()
+    )
+    drained = run_bounded(cdf, name=f"snap_dvcdf_{digest}")
+    return drained.groupBy("_change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@register(
     "io_snapshot_dv_merge",
     oracle="""
     WITH base AS (

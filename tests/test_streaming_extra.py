@@ -305,6 +305,119 @@ def test_snapshot_stream_change_modes_and_starting_version(spark, tmp_path):
     assert run_bounded(sv, name="snap_sv").count() == 50
 
 
+def test_snapshot_stream_ignore_changes_applies_vectors(spark, tmp_path):
+    """A replay/backfill in ignore_changes mode reads added files
+    through the END version's deletion vectors: rows a later dv commit
+    deleted are never re-emitted raw (ADVICE r10 — unlike copy-on-write,
+    a dv commit re-adds no file, so downstream dedup would have nothing
+    newer to converge on)."""
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    for base in (0, 100):
+        df = spark.createDataFrame(
+            [(base + i, f"v{base + i}") for i in range(100)],
+            "k long, v string",
+        )
+        S.write_snapshot(spark, df.coalesce(1), tbl, mode="append")
+    S.delete_where(spark, tbl, "k % 10 = 3", dv=True)  # v2: dv only
+
+    ic = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "ignore_changes")
+        .load()
+    )
+    out = run_bounded(ic, name="snap_ic_dv")
+    ks = sorted(x.k for x in out.collect())
+    assert len(ks) == 180  # deleted rows NOT replayed
+    assert not [k for k in ks if k % 10 == 3]
+
+
+def test_snapshot_stream_cdf_mode(spark, tmp_path):
+    """changemode=cdf streams ROW-LEVEL changes (the Delta CDF-stream
+    shape, VERDICT r10 #5): append -> dv-delete -> append replays as
+    insert rows, exact delete retractions for the newly-vector-deleted
+    positions (not the whole vector again), and more inserts — each
+    stamped with _change_type/_commit_version. A dv MERGE surfaces as
+    delete+insert pairs; copy-on-write rewrites still fail the
+    stream."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import register_snapshot_source
+    from ops_spark.streaming.runner import run_bounded
+
+    register_snapshot_source(spark)
+    tbl = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"v{i}") for i in range(lo, hi)], "k long, v string"
+    )
+    S.write_snapshot(spark, mk(0, 100).coalesce(1), tbl)            # v0
+    S.delete_where(spark, tbl, "k % 10 = 3", dv=True)               # v1
+    S.write_snapshot(spark, mk(100, 150).coalesce(1), tbl,
+                     mode="append")                                 # v2
+    S.delete_where(spark, tbl, "k % 10 = 3 or k % 10 = 7", dv=True)  # v3
+
+    cdf = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "cdf")
+        .load()
+    )
+    rows = run_bounded(cdf, name="snap_cdf").collect()
+    by = Counter((r["_change_type"], r["_commit_version"]) for r in rows)
+    assert by[("insert", 0)] == 100 and by[("insert", 2)] == 50
+    assert by[("delete", 1)] == 10  # k%10=3 of v0's file
+    # v3 newly deletes ONLY the %7 rows of both files (plus %3 of the
+    # v2 file) — the %3 positions of v0's file are already in its
+    # previous vector and must NOT retract twice
+    d3 = sorted(r.k for r in rows
+                if r["_change_type"] == "delete" and r["_commit_version"] == 3)
+    assert d3 == sorted(
+        [k for k in range(100) if k % 10 == 7]
+        + [k for k in range(100, 150) if k % 10 in (3, 7)]
+    )
+    # net state from the change stream == the table
+    inserted = {r.k for r in rows if r["_change_type"] == "insert"}
+    deleted = {r.k for r in rows if r["_change_type"] == "delete"}
+    assert sorted(inserted - deleted) == sorted(
+        x.k for x in S.read_snapshot(spark, tbl).collect()
+    )
+
+    # dv MERGE replays as delete+insert pairs
+    src = spark.createDataFrame([(5, "UPD"), (999, "NEW")], "k long, v string")
+    S.merge_snapshot(spark, tbl, src, on=["k"], dv=True)            # v4
+    tail = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "cdf")
+        .option("startingversion", "4")
+        .load()
+    )
+    trows = run_bounded(tail, name="snap_cdf_tail").collect()
+    got = sorted((r["_change_type"], r.k, r.v) for r in trows)
+    assert got == [("delete", 5, "v5"), ("insert", 5, "UPD"),
+                   ("insert", 999, "NEW")]
+
+    # copy-on-write rewrites are not expressible file-sliced: fail
+    S.delete_where(spark, tbl, "k = 1")                             # v5: CoW
+    cow = (
+        spark.readStream.format("ops_snapshot")
+        .option("path", tbl)
+        .option("changemode", "cdf")
+        .option("startingversion", "5")
+        .load()
+    )
+    with _pytest.raises(Exception, match="snapshot_diff"):
+        run_bounded(cow, name="snap_cdf_cow")
+
+
 def test_snapshot_stream_max_files_per_trigger(spark, tmp_path):
     """maxfilespertrigger paces a backlogged tail into bounded batches:
     whole commits only, >= 1 commit per trigger, offsets pinned per
