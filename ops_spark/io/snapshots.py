@@ -311,7 +311,8 @@ def _atomic_commit(path: str, commit: dict) -> None:
 # whose concurrent landing invalidates rows staged under the old rules)
 def _is_data_op(op: str) -> bool:
     return op in ("append", "overwrite", "merge", "delete_where",
-                  "delete_dv", "update_where", "compact") or op.startswith(
+                  "delete_dv", "update_where", "compact",
+                  "reorg_purge") or op.startswith(
         ("replace_range:", "rollback:")
     )
 
@@ -2743,6 +2744,7 @@ def merge_stream(
     when_not_matched: str = "insert",
     checkpoint: str | None = None,
     allow_schema_evolution: bool = False,
+    dv: bool = False,
 ):
     """Streaming CDC upsert sink — the Delta `foreachBatch + MERGE`
     pattern: every micro-batch merges into the snapshot table, so the
@@ -2765,6 +2767,11 @@ def merge_stream(
     The first batch on a fresh path bootstraps the table by committing
     an EMPTY version with the batch schema, then merging — so the dup
     guard and the insert path run uniformly from batch one.
+
+    ``dv=True`` runs every batch's merge in deletion-vector mode (see
+    merge_snapshot) — the steady-state CDC posture at 100 TB: each
+    micro-batch costs its changed rows, with reorg_purge/compaction as
+    the periodic vector-folding maintenance.
 
     Returns the started StreamingQuery (use trigger/availableNow and
     awaitTermination at the call site via the returned handle).
@@ -2793,6 +2800,7 @@ def merge_stream(
             when_matched=when_matched,
             when_not_matched=when_not_matched,
             allow_schema_evolution=allow_schema_evolution,
+            dv=dv,
         )
 
     ckpt = checkpoint or tempfile.mkdtemp(prefix="ops_spark_merge_stream_ckpt_")
@@ -3097,4 +3105,99 @@ def compact_snapshot(
         "files_after": len(live) - len(small) + len(added),
         "rewritten_files": len(small),
         "rewritten_bytes": small_bytes,
+    }
+
+
+def reorg_purge(
+    spark: SparkSession, path: str, min_deleted_ratio: float = 0.05,
+) -> dict:
+    """Delta's ``REORG TABLE ... APPLY (PURGE)`` for snapshot tables:
+    rewrite ONLY the live files whose deletion-vector fraction reaches
+    ``min_deleted_ratio``, dropping their deleted rows and shedding
+    their vectors — the periodic maintenance that keeps the DV read tax
+    (anti-join work + blob bytes) bounded under a steady point-delete /
+    dv-CDC workload WITHOUT paying a full compaction. Lightly-deleted
+    files keep their bytes and vectors.
+
+    The rewrite is visible-row-IDENTICAL (purged rows were already
+    invisible), so this is a pure layout commit like compact: readers
+    are never torn, snapshot_diff across it is empty, and time travel
+    still reaches the pre-purge layout until vacuum. Per-file deleted
+    counts come from a distributed scan of the applied vectors (counts,
+    not positions, land on the driver); totals from the commit-log
+    stats, with a driver footer read only for legacy files the log has
+    no row count for.
+
+    Returns {version, files_purged, rows_dropped, files_kept};
+    version -1 when no file crosses the threshold (no commit)."""
+    from pyspark.sql import functions as F
+
+    st = _state(path)
+    if st is None:
+        raise SnapshotError(f"not a snapshot table: {path}")
+    need = {
+        os.path.basename(f): st.dv[f]
+        for f in st.live
+        if st.dv.get(f) is not None
+    }
+    if not need:
+        return {"version": -1, "files_purged": 0, "rows_dropped": 0,
+                "files_kept": len(st.live)}
+    deleted = {
+        r["file"]: r["n"]
+        for r in _dv_applied(spark, path, need)
+        .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_base = {os.path.basename(f): f for f in st.live}
+
+    def _rows(rel: str) -> int | None:
+        entry = st.stats.get(rel)
+        if entry is not None and entry.get("rows") is not None:
+            return entry["rows"]
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        except Exception:
+            return None  # unreadable footer: skip (never purge blind)
+
+    purge, dropped = [], 0
+    for base, n_del in sorted(deleted.items()):
+        rel = by_base.get(base)
+        if rel is None:
+            continue
+        total = _rows(rel)
+        if total and n_del / total >= min_deleted_ratio:
+            purge.append(rel)
+            dropped += n_del
+    if not purge:
+        return {"version": -1, "files_purged": 0, "rows_dropped": 0,
+                "files_kept": len(st.live)}
+    version = st.latest + 1
+    schema = st.schema
+    df = _read_files(spark, path, purge, schema, dv=st.dv)
+    added = _stage_add(
+        _to_physical(df.repartition(len(purge)), schema), path, version
+    )
+    try:
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": "reorg_purge",
+                "add": added,
+                "remove": purge,  # removed files shed their vectors
+                **({"schema": schema.json()} if schema is not None else {}),
+                "stats": _collect_stats(path, added),
+            },
+        )
+    except SnapshotError:
+        _unstage(path, added)
+        raise
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_purged": len(purge),
+        "rows_dropped": dropped,
+        "files_kept": len(st.live) - len(purge),
     }

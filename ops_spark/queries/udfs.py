@@ -1531,6 +1531,11 @@ def io_snapshot_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for r in (r1, r2, r3):  # the DV invariant: no data file rewritten
         assert r["files_rewritten"] == 0, r
+    # REORG APPLY (PURGE): fold every vector back into plain files —
+    # visible rows are identical, so the oracle match doubles as the
+    # purge-correctness check
+    S.reorg_purge(spark, tbl, min_deleted_ratio=1e-9)
+    assert not S._state(tbl).dv, "purge left a live vector behind"
 
     final = (
         S.read_snapshot(spark, tbl)

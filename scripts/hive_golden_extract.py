@@ -83,6 +83,34 @@ EXCLUDED_MD5 = {
     # double expansion — display-only, the DOUBLE/DECIMAL variants of
     # the same statement are pinned
     "798ef5064b61d0ae403e3e11c8fd749b": "float32 display",
+    # Hive prints doubles via Java Double.toString (3.14E8); Python
+    # prints 314000000.0 — display-only (r11 tranche)
+    "3863c17e03c9c1cd68452106a8721d13": "java Double.toString display",
+    # 'face''book' is adjacent-literal CONCATENATION in Hive (facebook)
+    # but a doubled-quote ESCAPE (face'book) in Spark/ANSI — a
+    # deliberate modern-Spark parser divergence
+    "2cf4b7268b47246afdf6c792acca379d": "adjacent string-literal concat",
+    # per-branch ORDER BY/LIMIT inside UNION ALL without parentheses:
+    # Hive binds them to the branch; Spark requires parens (ANSI)
+    "8272225744e83ba4cbe158a5c113fce3": "unparenthesized union branch limit",
+}
+# Hive-only SYNTAX Spark's parser rejects outright: the FROM-first
+# nested form ("FROM ( FROM src SELECT ... )") and script TRANSFORM
+# pipelines ("SELECT TRANSFORM(...) USING 'cat'"). Families leaning on
+# them are skipped whole — transpiling them would pin the transpiler,
+# not the engine.
+_HIVE_ONLY_SYNTAX = re.compile(
+    r"from\s*\(\s*from\b|transform\s*\(", re.I)
+# Whole families excluded with cause:
+EXCLUDED_FAMILIES = {
+    # FIELD() is a MySQL-ism Hive ships and Spark deliberately does not
+    # (ELT/ARRAY_POSITION cover it); every statement leans on it
+    "udf_field": "no FIELD() builtin in Spark",
+    # the .q file DROPs and REDEFINES dest1 mid-file (int column, then
+    # string + LOAD) — the extractor's flat table/setup model registers
+    # one definition per name, so the second half would read the first
+    # half's view
+    "udf_length": "mid-file table redefinition",
 }
 # hash() is murmur3 in Spark (2.0+, the bucketing hash) by design;
 # goldens for sum(hash(...)) probes record Hive's Java-hashCode UDF —
@@ -201,6 +229,8 @@ def src1_rows() -> list[tuple]:
 
 
 def extract_family(family: str):
+    if family in EXCLUDED_FAMILIES:
+        return None, EXCLUDED_FAMILIES[family]
     qfile = os.path.join(QDIR, f"{family}.q")
     if not os.path.exists(qfile):
         return None, f"no .q file"
@@ -212,6 +242,9 @@ def extract_family(family: str):
     for stmt in split_statements(open(qfile).read()):
         low = stmt.lower()
         first = low.split(None, 1)[0] if low.split() else ""
+        if first in ("select", "with", "insert", "from") and \
+                _HIVE_ONLY_SYNTAX.search(low):
+            return None, "hive-only FROM-first/TRANSFORM syntax"
         if first in ("set", "explain", "describe", "desc", "show", "analyze",
                      "drop", "reset", "add", "alter", "use", "dfs"):
             continue
@@ -256,6 +289,8 @@ def extract_family(family: str):
             if name in written or low.count("insert overwrite") > 1:
                 return None, "multi-insert accumulation: skipped"
             written.add(name)
+            if "select" not in low:
+                return None, f"non-SELECT insert: {stmt[:60]!r}"
             si = stmt.lower().index("select")
             sel = stmt[si:]
             if first == "from":
@@ -265,7 +300,7 @@ def extract_family(family: str):
             # declared column names AND types, not the select's
             setup.append((name, sel, tables.get(name, (None,))[0]))
             continue
-        if first == "select":
+        if first in ("select", "with"):
             h = hashlib.md5(stmt.encode()).hexdigest()
             if h in EXCLUDED_MD5 or _HASH_PROBE.search(stmt):
                 continue

@@ -26,10 +26,11 @@ from tests.hive_golden_data import (
     SRC_ROWS,
 )
 from tests.hive_golden_data2 import ENTRIES2, FAMILY_TABLES2, SETUP_SQL2
+from tests.hive_golden_data3 import ENTRIES3, FAMILY_TABLES3, SETUP_SQL3
 
-ENTRIES = ENTRIES1 + ENTRIES2
-FAMILY_TABLES = {**FAMILY_TABLES1, **FAMILY_TABLES2}
-SETUP_SQL = {**SETUP_SQL1, **SETUP_SQL2}
+ENTRIES = ENTRIES1 + ENTRIES2 + ENTRIES3
+FAMILY_TABLES = {**FAMILY_TABLES1, **FAMILY_TABLES2, **FAMILY_TABLES3}
+SETUP_SQL = {**SETUP_SQL1, **SETUP_SQL2, **SETUP_SQL3}
 
 FAMILIES = sorted({fam for fam, _, _ in ENTRIES})
 
@@ -113,7 +114,8 @@ def test_hive_golden_family(hive_views, family):
 
 
 def test_hive_golden_sample_size():
-    """The sample must stay meaningful: >= 200 golden-pinned statements
-    across >= 10 families (join / lateral view / udf coercion groups)."""
-    assert len(ENTRIES) >= 200
-    assert len(FAMILIES) >= 10
+    """The sample must stay meaningful: >= 500 golden-pinned statements
+    across >= 100 families (join / ppd / subquery / lateral view / udf
+    coercion / type / union groups)."""
+    assert len(ENTRIES) >= 500
+    assert len(FAMILIES) >= 100

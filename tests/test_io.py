@@ -4017,6 +4017,48 @@ def test_snapshot_dv_update_where(spark, tmp_path):
     assert cur3 == cur2
 
 
+def test_snapshot_dv_reorg_purge(spark, tmp_path):
+    """reorg_purge (Delta's REORG APPLY PURGE): only files whose
+    deleted fraction reaches the threshold are rewritten (shedding
+    their vectors); lightly-deleted files keep bytes AND vectors. The
+    commit is visible-row-identical — snapshot_diff across it is empty
+    — and below-threshold calls are no-ops."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path, n=200, files=1)  # 2 files of 100
+    S.delete_where(spark, t, "k < 30", dv=True)        # file1: 30%
+    S.delete_where(spark, t, "k = 150", dv=True)       # file2: 1%
+    pre_live = set(S._state(t).live)
+    pre_version = S.latest_version(t)
+
+    r = S.reorg_purge(spark, t, min_deleted_ratio=0.1)
+    assert r["files_purged"] == 1 and r["rows_dropped"] == 30
+    assert r["files_kept"] == 1
+    st = S._state(t)
+    # the heavy file was replaced (vector shed); the light one keeps
+    # its bytes and its vector
+    kept = pre_live & set(st.live)
+    assert len(kept) == 1 and st.dv.get(next(iter(kept)))
+    assert len(st.dv) == 1
+    cur = sorted(x.k for x in S.read_snapshot(spark, t).collect())
+    assert cur == [k for k in range(30, 200) if k != 150]
+    # pure layout change: the diff is EMPTY and time travel intact
+    assert S.snapshot_diff(
+        spark, t, pre_version, st.latest, on=["k"]
+    ).count() == 0
+    assert S.read_snapshot(spark, t, version=1).count() == 200
+
+    # below threshold: no-op, no commit
+    r2 = S.reorg_purge(spark, t, min_deleted_ratio=0.1)
+    assert r2["version"] == -1 and S.latest_version(t) == st.latest
+    # threshold ~0 folds the remaining vector away
+    r3 = S.reorg_purge(spark, t, min_deleted_ratio=1e-9)
+    assert r3["rows_dropped"] == 1 and S._state(t).dv == {}
+    assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
+
+
 def test_snapshot_dv_merge_occ_conflicts(spark, tmp_path):
     """OCC treats a DV re-point as TOUCHING the file: a rebase over a
     winner that re-vectored a file we also touch (rewrite or
