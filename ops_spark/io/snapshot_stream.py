@@ -29,8 +29,12 @@ Change semantics mirror Delta's:
 - ``changemode=ignore_changes``: non-append commits are tolerated and
   their ADDED files are emitted (Delta's ignoreChanges caveat applies:
   rewritten files re-emit their copied rows; dedup downstream on a key).
-  Replayed/backfilled files are read through the END version's deletion
-  vectors, so rows a later dv commit deleted are never re-emitted raw.
+  Replayed files are read through the deletion vectors as of each
+  BATCH's end version, so a backfill that admits a dv commit in the
+  same batch never re-emits its deleted rows raw; a dv commit landing
+  in a later batch cannot retroactively filter already-emitted rows
+  (the standard ignoreChanges caveat — use changemode=cdf for exact
+  retractions).
 - ``changemode=cdf``: row-level changes (the Delta CDF stream): each
   batch's rows carry ``_change_type`` ('insert' for added files,
   'delete' retractions for the positions a dv commit newly covers) and
@@ -166,10 +170,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "dedup downstream)"
                 )
             for rel in c["add"]:
-                # ignore_changes replays apply the END version's vectors
-                # so a backfill never re-emits rows a later dv commit
-                # deleted (a dv commit re-adds no file, so downstream
-                # dedup would have nothing newer to converge on)
+                # ignore_changes replays apply the vectors as of the
+                # BATCH's end version, so a backfill that admits the dv
+                # commit in the same batch never re-emits its deleted
+                # rows raw (a dv commit re-adds no file, so downstream
+                # dedup would have nothing newer to converge on). A dv
+                # commit landing in a LATER batch cannot retroactively
+                # filter rows already emitted — the standard
+                # ignoreChanges caveat: dedup/retract downstream, or use
+                # changemode=cdf for exact retractions.
                 d = st.dv.get(rel) if self.mode == "ignore_changes" else None
                 parts.append(_FileSlice(
                     os.path.join(self.path, rel),
@@ -184,36 +193,44 @@ class SnapshotStreamReader(DataSourceStreamReader):
         """changemode=cdf — emit row-level CHANGES per commit (the Delta
         CDF-stream shape): added files become 'insert' rows; a dv commit
         becomes 'delete' rows for exactly the positions its blob newly
-        covers (new blob minus the file's previous vector). A DV MERGE
-        surfaces as delete+insert pairs (split-update CDF
-        representation — keyed consumers converge). Commits that REMOVE
-        files (copy-on-write rewrites, compaction, rollback) are not
-        row-exact in a file-sliced stream and fail it — use
-        snapshot_diff for version-to-version CDF over rewrites."""
+        covers (new blob minus the file's previous vector — sound
+        because every DV writer UNIONS the previous vector, so vectors
+        only grow). A DV MERGE surfaces as delete+insert pairs
+        (split-update CDF representation — keyed consumers converge).
+        Commits that REMOVE files (copy-on-write rewrites, compaction)
+        and ROLLBACKS (the only commits that can shrink or clear a
+        vector — emitting nothing would silently hide the resurrected
+        rows) are not row-exact in a file-sliced stream and fail it —
+        use snapshot_diff for version-to-version CDF over those."""
         from ops_spark.io.snapshots import SnapshotError, _read_commit, _state
 
         # the dv state each commit's deltas are computed AGAINST: fold
         # forward from the batch's start version
         dvmap = dict(_state(self.path, lo).dv) if lo >= 0 else {}
         parts: list[_FileSlice] = []
+        wanted: set[str] = set()  # rels each planned slice will read
         for v in range(lo + 1, hi + 1):
             c = _read_commit(self.path, v)
-            if c["remove"]:
+            op = str(c.get("op", ""))
+            if c["remove"] or op.startswith("rollback:") or any(
+                d is None for d in (c.get("dv") or {}).values()
+            ):
                 raise SnapshotError(
-                    f"commit {v} ({c['op']}) rewrites/removes files; the "
-                    "cdf stream mode is exact only over appends and "
-                    "deletion-vector commits — read changes across "
-                    "rewrites with snapshots.snapshot_diff"
+                    f"commit {v} ({op}) rewrites/removes files or "
+                    "restores deletion vectors; the cdf stream mode is "
+                    "exact only over appends and vector-growing dv "
+                    "commits — read changes across rewrites/rollbacks "
+                    "with snapshots.snapshot_diff"
                 )
             for rel in c["add"]:
+                wanted.add(rel)
                 parts.append(_FileSlice(
                     os.path.join(self.path, rel), st.schema_json,
                     change="insert", commit_version=v,
                 ))
             for rel, d in (c.get("dv") or {}).items():
-                if d is None:
-                    continue  # explicit clear (no remove): nothing deleted
                 prev = dvmap.get(rel)
+                wanted |= {rel, d} | ({prev} if prev is not None else set())
                 parts.append(_FileSlice(
                     os.path.join(self.path, rel), st.schema_json,
                     dv_abs=os.path.join(self.path, d),
@@ -224,6 +241,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     ),
                 ))
                 dvmap[rel] = d
+        # existence check BEFORE any task launches: a vacuumed historical
+        # file/blob surfaces as the clean retention error, not a raw
+        # executor FileNotFoundError (same guard as read_snapshot/diff)
+        gone = [f for f in sorted(wanted)
+                if not os.path.exists(os.path.join(self.path, f))]
+        if gone:
+            raise SnapshotError(
+                f"{len(gone)} files in ({lo}, {hi}] were vacuumed; the "
+                "cdf backfill window is bounded by the vacuum retention"
+            )
         if not parts:
             parts.append(_FileSlice(None, st.schema_json, change="insert"))
         return parts
@@ -241,15 +268,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
 def _blob_positions(blob_abs: str, base: str) -> set:
     """The physical row positions a deletion-vector blob holds for ONE
-    file (blobs are per-commit and may cover several files)."""
-    import pyarrow.compute as pc
+    file (blobs are per-commit and may cover several files). The
+    file==base predicate is pushed into the parquet read (row-group
+    pruning + late materialization), so a slice touching one file of a
+    many-file blob does not materialize the whole vector — the per-file
+    fan-out cost is bounded by the file's own positions plus pruned
+    row-group metadata."""
     import pyarrow.parquet as pq
 
-    dvt = pq.read_table(blob_abs, columns=["file", "pos"])
-    return set(
-        dvt.filter(pc.equal(dvt.column("file"), base))
-        .column("pos").to_pylist()
+    dvt = pq.read_table(
+        blob_abs, columns=["pos"], filters=[("file", "=", base)]
     )
+    return set(dvt.column("pos").to_pylist())
 
 
 def _read_slice(partition: _FileSlice):
@@ -357,6 +387,15 @@ class SnapshotBatchReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("ops_snapshot requires .option('path', table_dir)")
+        if options.get("changemode"):
+            # the advertised schema would carry the CDF columns but batch
+            # slices never produce them — reject up front instead of
+            # failing the scan with an Arrow schema mismatch
+            raise ValueError(
+                "changemode is a STREAMING option (spark.readStream); a "
+                "batch read sees one version — use versionasof/"
+                "timestampasof, or snapshots.snapshot_diff for batch CDF"
+            )
         self.path = path
         st = _state(path, _resolve_version(options))
         if st is None or st.schema_json is None:

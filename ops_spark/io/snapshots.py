@@ -918,7 +918,17 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
 #     once it outlives the grace.
 
 _STAGE_MANIFEST = "_moved.json"
-_INFLIGHT_STAGES: dict[str, list[str]] = {}  # abspath(table) -> stage dirs
+# (abspath(table), thread id) -> this WRITER's manifest dirs. Keyed per
+# thread so one committer's retire cannot strip a concurrent
+# same-process writer's clock-skew protection mid-flight — each write's
+# stage/commit/retire sequence runs on one thread.
+_INFLIGHT_STAGES: dict[tuple[str, int], list[str]] = {}
+
+
+def _stage_key(path: str) -> tuple[str, int]:
+    import threading
+
+    return (os.path.abspath(path), threading.get_ident())
 
 
 def _manifest_stage(path: str, added: list[str]) -> None:
@@ -934,15 +944,16 @@ def _manifest_stage(path: str, added: list[str]) -> None:
         with open(tmp, "w") as fh:
             json.dump({"files": added}, fh)
         os.replace(tmp, os.path.join(stage, _STAGE_MANIFEST))
-        _INFLIGHT_STAGES.setdefault(os.path.abspath(path), []).append(stage)
+        _INFLIGHT_STAGES.setdefault(_stage_key(path), []).append(stage)
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
 
 
 def _retire_stages(path: str) -> None:
-    """Drop this process's manifest dirs for ``path`` — called once the
-    commit published (files now referenced) or unstaged (files gone)."""
-    for stage in _INFLIGHT_STAGES.pop(os.path.abspath(path), []):
+    """Drop this WRITER's (thread's) manifest dirs for ``path`` — called
+    once the commit published (files now referenced) or unstaged (files
+    gone). Other threads' in-flight manifests are untouched."""
+    for stage in _INFLIGHT_STAGES.pop(_stage_key(path), []):
         shutil.rmtree(stage, ignore_errors=True)
 
 

@@ -96,11 +96,19 @@ EXCLUDED_MD5 = {
 }
 # Hive-only SYNTAX Spark's parser rejects outright: the FROM-first
 # nested form ("FROM ( FROM src SELECT ... )") and script TRANSFORM
-# pipelines ("SELECT TRANSFORM(...) USING 'cat'"). Families leaning on
-# them are skipped whole — transpiling them would pin the transpiler,
-# not the engine.
-_HIVE_ONLY_SYNTAX = re.compile(
-    r"from\s*\(\s*from\b|transform\s*\(", re.I)
+# pipelines ("SELECT TRANSFORM(...) USING 'cat'" — the USING anchor
+# keeps Spark's legitimate higher-order transform(array, x -> ...)
+# pinnable). Families leaning on them are skipped whole — transpiling
+# them would pin the transpiler, not the engine.
+_FROM_FIRST = re.compile(r"from\s*\(\s*from\b", re.I)
+_SCRIPT_TRANSFORM = re.compile(r"transform\s*\(", re.I)
+_USING_SCRIPT = re.compile(r"\busing\s+'", re.I)
+
+
+def _hive_only_syntax(low: str) -> bool:
+    if _FROM_FIRST.search(low):
+        return True
+    return bool(_SCRIPT_TRANSFORM.search(low) and _USING_SCRIPT.search(low))
 # Whole families excluded with cause:
 EXCLUDED_FAMILIES = {
     # FIELD() is a MySQL-ism Hive ships and Spark deliberately does not
@@ -243,7 +251,7 @@ def extract_family(family: str):
         low = stmt.lower()
         first = low.split(None, 1)[0] if low.split() else ""
         if first in ("select", "with", "insert", "from") and \
-                _HIVE_ONLY_SYNTAX.search(low):
+                _hive_only_syntax(low):
             return None, "hive-only FROM-first/TRANSFORM syntax"
         if first in ("set", "explain", "describe", "desc", "show", "analyze",
                      "drop", "reset", "add", "alter", "use", "dfs"):

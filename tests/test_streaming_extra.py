@@ -418,6 +418,47 @@ def test_snapshot_stream_cdf_mode(spark, tmp_path):
         run_bounded(cow, name="snap_cdf_cow")
 
 
+def test_snapshot_stream_cdf_guards(spark, tmp_path):
+    """cdf-mode refusal edges: a ROLLBACK that clears/restores vectors
+    fails the stream (emitting nothing would silently hide resurrected
+    rows — vectors only ever grow on the DML paths); a vacuumed
+    historical blob fails at PLAN time with the clean retention error;
+    a BATCH read rejects changemode up front (its slices could never
+    produce the advertised CDF columns)."""
+    import pytest as _pytest
+
+    import ops_spark.io.snapshots as S
+    from ops_spark.io.snapshot_stream import SnapshotStreamReader
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    S.write_snapshot(spark, df.coalesce(1), tbl)        # v0
+    S.delete_where(spark, tbl, "k % 10 = 3", dv=True)   # v1
+    S.rollback(spark, tbl, 0)                           # v2: clears the dv
+
+    r = SnapshotStreamReader({"path": tbl, "changemode": "cdf"})
+    r.initialOffset()
+    with _pytest.raises(S.SnapshotError, match="rollback"):
+        r.partitions({"version": 1}, {"version": 2})
+    # window below the rollback still plans fine
+    assert r.partitions({"version": -1}, {"version": 1})
+
+    # retire the blob (rollback keeps the same data files live, so only
+    # the v1 blob leaves): a cdf backfill over v1 must fail cleanly
+    S.vacuum(tbl, retain_last=1, retain_hours=0.0, orphan_grace_hours=0.0)
+    r2 = SnapshotStreamReader({"path": tbl, "changemode": "cdf"})
+    r2.initialOffset()
+    with _pytest.raises(S.SnapshotError, match="vacuumed"):
+        r2.partitions({"version": 0}, {"version": 1})
+
+    from ops_spark.io.snapshot_stream import SnapshotBatchReader
+
+    with _pytest.raises(ValueError, match="STREAMING option"):
+        SnapshotBatchReader({"path": tbl, "changemode": "cdf"})
+
+
 def test_snapshot_stream_max_files_per_trigger(spark, tmp_path):
     """maxfilespertrigger paces a backlogged tail into bounded batches:
     whole commits only, >= 1 commit per trigger, offsets pinned per
