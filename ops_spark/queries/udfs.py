@@ -1430,10 +1430,17 @@ def io_snapshot_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("changemode", "cdf")
         .load()
     )
-    drained = run_bounded(cdf, name=f"snap_dvcdf_{digest}")
-    return drained.groupBy("_change_type", "o_orderpriority").agg(
+    # aggregate INSIDE the stream (complete mode): the memory sink then
+    # holds the ~10-row grouped result, not the full change feed — at
+    # 100x the raw feed is ~15M wide rows, past any driver's
+    # maxResultSize; collecting it would be the anti-pattern the cdf
+    # source exists to avoid
+    agg = cdf.groupBy("_change_type", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("total_cents"),
+    )
+    return run_bounded(
+        agg, output_mode="complete", name=f"snap_dvcdf_{digest}"
     )
 
 
