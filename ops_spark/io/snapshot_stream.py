@@ -47,8 +47,10 @@ Change semantics mirror Delta's:
   ever planned with end < start and no commit below N is emitted.
 - ``maxfilespertrigger=K``: admission control (Delta's
   maxFilesPerTrigger). Each micro-batch advances the end offset only
-  through as many whole commits as fit K added files — a backlogged
-  tail drains as several bounded batches instead of one giant plan.
+  through as many whole commits as fit K work units — added files plus
+  dv re-points, each of which costs a whole-file read slice in
+  cdf/ignore_changes — so a backlogged tail drains as several bounded
+  batches instead of one giant plan.
   Commits are never split (the offset is a version number), and a
   single commit larger than K still admits alone so the stream always
   progresses. Pacing needs the current read position, which the
@@ -135,7 +137,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if self.max_files is not None and self._cursor is not None:
             files, paced = 0, self._cursor
             for v in range(self._cursor + 1, head + 1):
-                files += len(_read_commit(self.path, v)["add"])
+                c = _read_commit(self.path, v)
+                # a dv re-point adds no file but costs a whole-file read
+                # slice in cdf/ignore_changes — count it toward the
+                # admission budget or a backlog of dv commits would
+                # admit unbounded per-batch work
+                files += len(c["add"]) + sum(
+                    1 for d in (c.get("dv") or {}).values() if d is not None
+                )
                 if files > self.max_files and paced > self._cursor:
                     break  # admit whole commits only, always >= 1
                 paced = v

@@ -503,6 +503,28 @@ def test_snapshot_stream_max_files_per_trigger(spark, tmp_path):
     out = run_bounded(paced, name="snap_paced")
     assert sorted(x.k for x in out.collect()) == list(range(500))
 
+    # dv re-points count toward the admission budget: each costs a
+    # whole-file read slice in cdf/ignore_changes, so a dv commit
+    # touching 3 files must not ride along free
+    tbl2 = str(tmp_path / "tbl2")
+    for base in range(0, 300, 100):
+        S.write_snapshot(
+            spark,
+            spark.createDataFrame([(base + i,) for i in range(100)], "k long")
+            .coalesce(1),
+            tbl2, mode="append",
+        )
+    S.delete_where(spark, tbl2, "k % 100 = 7", dv=True)  # v3: 3 re-points
+    r2 = SnapshotStreamReader({"path": tbl2, "maxfilespertrigger": "2"})
+    r2.initialOffset()
+    ends2 = []
+    for _ in range(4):
+        end = r2.latestOffset()
+        ends2.append(end["version"])
+        r2.commit(end)
+    # 1+1=2 -> v1; v2 alone (v3's 3 units overflow); v3 admits alone
+    assert ends2 == [1, 2, 3, 3]
+
 
 def test_snapshot_stream_starting_version_beyond_head(spark, tmp_path):
     """startingversion greater than the current head holds the offset at
