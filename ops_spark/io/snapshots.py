@@ -46,7 +46,12 @@ staying pure Spark + JSON:
   point deletes cost the deleted ROWS, not the touched files, and no
   data file is rewritten.
   A removed/rewritten file sheds its vector, so copy-on-write and
-  compaction fold vectors away naturally.
+  compaction fold vectors away naturally. Every dv commit also records
+  each touched file's vector CARDINALITY (``dv_rows``, Delta's
+  deletionVector.cardinality) — advisory metadata that lets
+  maintenance (``reorg_purge``) pick its rewrite set from the log with
+  zero data I/O; legacy commits without it fall back to counting the
+  vectors.
 
 - PROTOCOL / FEATURE STAMP (Delta's table-features rule): every commit
   (and checkpoint) whose content a naive reader would silently misread
@@ -470,12 +475,12 @@ class _State:
 
     __slots__ = (
         "latest", "version", "live", "stats", "schema_json",
-        "constraints", "commit_reads", "dv",
+        "constraints", "commit_reads", "dv", "dv_rows",
     )
 
     def __init__(
         self, latest, version, live, stats, schema_json, constraints,
-        commit_reads, dv=None,
+        commit_reads, dv=None, dv_rows=None,
     ):
         self.latest = latest
         self.version = version
@@ -485,6 +490,13 @@ class _State:
         self.constraints = constraints  # name -> SQL boolean expr
         self.commit_reads = commit_reads
         self.dv = dv or {}  # rel -> deletion-vector blob rel (current)
+        # rel -> rows in the file's CURRENT vector (Delta's
+        # deletionVector.cardinality): advisory metadata recorded at
+        # DV-write time so maintenance decisions (reorg_purge) read the
+        # LOG, not the vectors. May be missing for legacy dv commits —
+        # consumers fall back to scanning; never load-bearing for
+        # correctness, so it is NOT a reader feature.
+        self.dv_rows = dv_rows or {}
 
     @property
     def schema(self):
@@ -497,9 +509,9 @@ class _State:
 
 def _read_checkpoint(
     path: str, version: int
-) -> tuple[set, dict, str | None, dict, dict]:
+) -> tuple[set, dict, str | None, dict, dict, dict]:
     """Load a checkpoint's (live set, stats map, schema json,
-    constraints, deletion-vector map)."""
+    constraints, deletion-vector map, dv cardinality map)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_checkpoint_path(path, version))
@@ -517,16 +529,22 @@ def _read_checkpoint(
     live: set[str] = set()
     stats: dict[str, dict] = {}
     dv: dict[str, str] = {}
+    dv_rows: dict[str, int] = {}
     # pre-DV checkpoints have no "dv" column; they also predate any dv
-    # commit, so an empty map is exact, not lossy
+    # commit, so an empty map is exact, not lossy (same for dv_rows —
+    # pre-cardinality checkpoints simply leave consumers on the scan
+    # fallback)
     dvs = (t.column("dv").to_pylist() if "dv" in t.column_names
            else [None] * t.num_rows)
-    for rel, is_live, rows, mm, d in zip(
+    dvr = (t.column("dv_rows").to_pylist() if "dv_rows" in t.column_names
+           else [None] * t.num_rows)
+    for rel, is_live, rows, mm, d, dn in zip(
         t.column("file").to_pylist(),
         t.column("live").to_pylist(),
         t.column("rows").to_pylist(),
         t.column("minmax").to_pylist(),
         dvs,
+        dvr,
     ):
         if is_live:
             live.add(rel)
@@ -534,7 +552,9 @@ def _read_checkpoint(
             stats[rel] = {"rows": rows, "minmax": json.loads(mm)}
         if d is not None:
             dv[rel] = d
-    return live, stats, schema_json, constraints, dv
+            if dn is not None:
+                dv_rows[rel] = dn
+    return live, stats, schema_json, constraints, dv, dv_rows
 
 
 def _state(path: str, version: int | None = None) -> _State | None:
@@ -558,12 +578,12 @@ def _state(path: str, version: int | None = None) -> _State | None:
     schema_json: str | None = None
     constraints: dict = {}
     dv: dict[str, str] = {}
+    dv_rows: dict[str, int] = {}
     start = 0
     for base in reversed([c for c in ckpt_vs if c <= v]):
         try:
-            live, stats, schema_json, constraints, dv = _read_checkpoint(
-                path, base
-            )
+            (live, stats, schema_json, constraints, dv,
+             dv_rows) = _read_checkpoint(path, base)
             start = base + 1
             break
         except FeatureUnsupported:
@@ -571,7 +591,8 @@ def _state(path: str, version: int | None = None) -> _State | None:
         except Exception:
             # unreadable/corrupt checkpoint: try an older one, finally
             # the full replay — checkpoints only ever accelerate
-            live, stats, schema_json, constraints, dv = set(), {}, None, {}, {}
+            live, stats, schema_json, constraints = set(), {}, None, {}
+            dv, dv_rows = {}, {}
     reads = 0
     for i in range(start, v + 1):
         c = _read_commit(path, i)
@@ -580,18 +601,26 @@ def _state(path: str, version: int | None = None) -> _State | None:
         live |= set(c["add"])
         for rel in c["remove"]:  # a rewritten/retired file sheds its DV
             dv.pop(rel, None)
+            dv_rows.pop(rel, None)
         for rel, d in (c.get("dv") or {}).items():
             if d is None:  # explicit clear (rollback restoring pre-delete)
                 dv.pop(rel, None)
+                dv_rows.pop(rel, None)
             else:  # newest blob per file wins (blobs hold the full union)
                 dv[rel] = d
+                n = (c.get("dv_rows") or {}).get(rel)
+                if n is not None:
+                    dv_rows[rel] = n
+                else:  # legacy dv commit without cardinality: unknown
+                    dv_rows.pop(rel, None)
         stats.update(c.get("stats") or {})
         if c.get("schema"):
             schema_json = c["schema"]
         if "constraints" in c:  # full map per constraint-changing commit
             constraints = c["constraints"]
     return _State(
-        latest, v, sorted(live), stats, schema_json, constraints, reads, dv
+        latest, v, sorted(live), stats, schema_json, constraints, reads, dv,
+        dv_rows,
     )
 
 
@@ -608,7 +637,7 @@ def _write_checkpoint(path: str, version: int) -> None:
     if st is None:
         return
     live_set = set(st.live)
-    files, lives, rows, mm, dvs = [], [], [], [], []
+    files, lives, rows, mm, dvs, dvr = [], [], [], [], [], []
     for rel in sorted(set(st.stats) | live_set):
         if rel not in live_set and not os.path.exists(os.path.join(path, rel)):
             continue
@@ -618,6 +647,7 @@ def _write_checkpoint(path: str, version: int) -> None:
         rows.append(None if entry is None else entry.get("rows"))
         mm.append(None if entry is None else json.dumps(entry.get("minmax") or {}))
         dvs.append(st.dv.get(rel))
+        dvr.append(st.dv_rows.get(rel))
     table = pa.table(
         {
             "file": pa.array(files, pa.string()),
@@ -625,6 +655,7 @@ def _write_checkpoint(path: str, version: int) -> None:
             "rows": pa.array(rows, pa.int64()),
             "minmax": pa.array(mm, pa.string()),
             "dv": pa.array(dvs, pa.string()),
+            "dv_rows": pa.array(dvr, pa.int64()),
         }
     )
     meta = {b"snapshot_version": str(version).encode()}
@@ -1648,6 +1679,14 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
         now = st_cur.dv.get(rel) if rel in cur else None
         if tgt != now:
             dv_restore[rel] = tgt
+    # restore the target version's vector CARDINALITIES alongside (known
+    # from its folded state; absent entries leave consumers on the scan
+    # fallback, never wrong)
+    dv_rows_restore = {
+        rel: st_old.dv_rows[rel]
+        for rel, tgt in dv_restore.items()
+        if tgt is not None and rel in st_old.dv_rows
+    }
     # Record the restored version's schema: without it, the schema fold
     # would walk past the rollback to the schema of the very overwrite
     # being UNDONE, and reads of the restored files would project through
@@ -1661,6 +1700,7 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
             "add": sorted(want - cur),
             "remove": sorted(cur - want),
             **({"dv": dv_restore} if dv_restore else {}),
+            **({"dv_rows": dv_rows_restore} if dv_rows_restore else {}),
             **({"schema": st_old.schema_json} if st_old.schema_json else {}),
         },
     )
@@ -2082,7 +2122,7 @@ def _merge_dv(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         )
         n_matched = matched.count()
-        blob = _stage_dv_blob(spark, path, st, hits, touched, version)
+        blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
 
         pieces = []
         if when_matched == "update":
@@ -2140,6 +2180,7 @@ def _merge_dv(
                 "add": added,
                 "remove": [],
                 "dv": {rel: blob for rel in touched},
+                "dv_rows": dv_rows,
                 "schema": out_schema.json(),
                 "stats": _collect_stats(path, added),
                 "merge_key": phys_key,
@@ -2406,15 +2447,21 @@ def delete_where(
 def _stage_dv_blob(
     spark: SparkSession, path: str, st: _State, hits, touched: list[str],
     version: int,
-) -> str:
+) -> tuple[str, dict]:
     """Union the deleted-position ``hits`` (a (file, pos) DataFrame of
     PHYSICAL row positions) with the touched files' PREVIOUS vectors —
     the newest blob is always a file's whole vector — and stage the
     result as ONE parquet blob through the same path as data files (a
     crash leaves only an unreferenced file; vacuum's orphan grace
     applies). Entirely distributed: positions never land on the driver.
-    Returns the blob's rel path. Shared by delete_where(dv=True),
-    merge_snapshot(dv=True) and update_where(dv=True)."""
+    Returns (blob rel path, {data-file rel: vector cardinality}) — the
+    per-file counts (Delta's deletionVector.cardinality) come from one
+    small distributed aggregate over the just-staged blob and go into
+    the commit so maintenance (reorg_purge) decides from the LOG.
+    Shared by delete_where(dv=True), merge_snapshot(dv=True) and
+    update_where(dv=True)."""
+    from pyspark.sql import functions as F
+
     need_prev = {
         os.path.basename(r): st.dv[r] for r in touched
         if st.dv.get(r) is not None
@@ -2426,7 +2473,14 @@ def _stage_dv_blob(
     if len(added) != 1:  # one blob per commit: the dv map points at it
         _unstage(path, added)
         raise SnapshotError(f"expected one dv blob, staged {len(added)}")
-    return added[0]
+    by_base = {os.path.basename(r): r for r in touched}
+    counts = {
+        by_base[r["file"]]: r["n"]
+        for r in spark.read.parquet(os.path.join(path, added[0]))
+        .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["file"] in by_base
+    }
+    return added[0], counts
 
 
 def _delete_where_dv(
@@ -2449,7 +2503,7 @@ def _delete_where_dv(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(cond, 1)).alias("matched"),
     ).first()
-    blob = _stage_dv_blob(spark, path, st, hits, touched, version)
+    blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
     try:
         _atomic_commit(
             path,
@@ -2459,6 +2513,7 @@ def _delete_where_dv(
                 "add": [],
                 "remove": [],
                 "dv": {rel: blob for rel in touched},
+                "dv_rows": dv_rows,
                 "schema": st.schema_json,
             },
         )
@@ -2591,7 +2646,7 @@ def _update_where_dv(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         )
         n_matched = matched.count()
-        blob = _stage_dv_blob(spark, path, st, hits, touched, version)
+        blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
 
         def _val(name):
             if name not in assignments:
@@ -2619,6 +2674,7 @@ def _update_where_dv(
                     "add": added,
                     "remove": [],
                     "dv": {rel: blob for rel in touched},
+                    "dv_rows": dv_rows,
                     "schema": st.schema_json,
                     "stats": _collect_stats(path, added),
                 },
@@ -3134,13 +3190,16 @@ def reorg_purge(
     invisible), so this is a pure layout commit like compact: readers
     are never torn, snapshot_diff across it is empty, and time travel
     still reaches the pre-purge layout until vacuum. Per-file deleted
-    counts come from a distributed scan of the applied vectors (counts,
-    not positions, land on the driver); totals from the commit-log
-    stats, with a driver footer read only for legacy files the log has
-    no row count for.
+    counts come from the commit log's vector CARDINALITIES
+    (``dv_rows``, recorded at DV-write time — zero data I/O for the
+    decision), falling back to one distributed scan of the applied
+    vectors only for legacy dv commits written before cardinalities;
+    totals from the commit-log stats, with a driver footer read only
+    for legacy files the log has no row count for.
 
-    Returns {version, files_purged, rows_dropped, files_kept};
-    version -1 when no file crosses the threshold (no commit)."""
+    Returns {version, files_purged, rows_dropped, files_kept,
+    counts_from ('log' | 'scan')}; version -1 when no file crosses the
+    threshold (no commit)."""
     from pyspark.sql import functions as F
 
     st = _state(path)
@@ -3153,13 +3212,18 @@ def reorg_purge(
     }
     if not need:
         return {"version": -1, "files_purged": 0, "rows_dropped": 0,
-                "files_kept": len(st.live)}
-    deleted = {
-        r["file"]: r["n"]
-        for r in _dv_applied(spark, path, need)
-        .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+                "files_kept": len(st.live), "counts_from": "log"}
     by_base = {os.path.basename(f): f for f in st.live}
+    if all(by_base[b] in st.dv_rows for b in need):
+        counts_from = "log"
+        deleted = {b: st.dv_rows[by_base[b]] for b in need}
+    else:  # legacy dv commits without cardinality: count the vectors
+        counts_from = "scan"
+        deleted = {
+            r["file"]: r["n"]
+            for r in _dv_applied(spark, path, need)
+            .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
 
     def _rows(rel: str) -> int | None:
         entry = st.stats.get(rel)
@@ -3183,7 +3247,7 @@ def reorg_purge(
             dropped += n_del
     if not purge:
         return {"version": -1, "files_purged": 0, "rows_dropped": 0,
-                "files_kept": len(st.live)}
+                "files_kept": len(st.live), "counts_from": counts_from}
     version = st.latest + 1
     schema = st.schema
     df = _read_files(spark, path, purge, schema, dv=st.dv)
@@ -3211,4 +3275,5 @@ def reorg_purge(
         "files_purged": len(purge),
         "rows_dropped": dropped,
         "files_kept": len(st.live) - len(purge),
+        "counts_from": counts_from,
     }

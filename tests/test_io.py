@@ -2591,7 +2591,7 @@ def test_snapshot_checkpoint_drops_vacuumed_stats(spark, tmp_path):
         S.write_snapshot(spark, df, t, mode="overwrite")  # v4: orphan v0-v3 files
         S.vacuum(t, retain_last=1)  # physically delete the old files
         S._write_checkpoint(t, 4)
-        live, stats, _, _, _ = S._read_checkpoint(t, 4)
+        live, stats, _, _, _, _ = S._read_checkpoint(t, 4)
         assert len(live) >= 1
         assert set(stats) == set(live)  # vacuumed entries dropped
         assert S.read_snapshot(spark, t).count() == 1
@@ -4057,6 +4057,51 @@ def test_snapshot_dv_reorg_purge(spark, tmp_path):
     r3 = S.reorg_purge(spark, t, min_deleted_ratio=1e-9)
     assert r3["rows_dropped"] == 1 and S._state(t).dv == {}
     assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
+
+
+def test_snapshot_dv_cardinality_in_log(spark, tmp_path):
+    """Every dv commit records per-file vector cardinalities (dv_rows);
+    the fold tracks the CURRENT vector (unions accumulate, rewrites
+    shed), checkpoints carry them, rollback restores the target
+    version's counts, and reorg_purge decides from the LOG — falling
+    back to a vector scan only for legacy commits without counts."""
+    import json as _json
+
+    import ops_spark.io.snapshots as S
+
+    old_iv = S.CHECKPOINT_INTERVAL
+    S.CHECKPOINT_INTERVAL = 3
+    try:
+        t = _dv_table(spark, tmp_path, n=200, files=1)  # 2 files x 100
+        S.delete_where(spark, t, "k < 30", dv=True)   # v2: file1 -> 30
+        c2 = S._read_commit(t, 2)
+        assert sum(c2["dv_rows"].values()) == 30
+        S.delete_where(spark, t, "k < 40", dv=True)   # v3 -> checkpoint
+        assert S._log_entries(t)[1] == [3]
+        st = S._state(t)  # folds THROUGH the checkpoint
+        assert sum(st.dv_rows.values()) == 40  # whole-vector count
+
+        v = S.rollback(spark, t, 2)  # restore v2's vector AND its count
+        st_back = S._state(t)
+        assert sum(st_back.dv_rows.values()) == 30
+        S.rollback(spark, t, v - 1)  # forward again to the 40-vector
+
+        r = S.reorg_purge(spark, t, min_deleted_ratio=0.1)
+        assert r["counts_from"] == "log" and r["rows_dropped"] == 40
+        assert S._state(t).dv_rows == {}
+        assert S.read_snapshot(spark, t).count() == 160
+
+        # legacy dv commit (no dv_rows): purge falls back to the scan
+        t2 = _dv_table(spark, tmp_path / "t2", n=200, files=1)
+        S.delete_where(spark, t2, "k < 30", dv=True)
+        p = S._commit_path(t2, 2)
+        c = _json.load(open(p))
+        del c["dv_rows"]
+        _json.dump(c, open(p, "w"))
+        r2 = S.reorg_purge(spark, t2, min_deleted_ratio=0.1)
+        assert r2["counts_from"] == "scan" and r2["rows_dropped"] == 30
+    finally:
+        S.CHECKPOINT_INTERVAL = old_iv
 
 
 def test_snapshot_dv_merge_occ_conflicts(spark, tmp_path):
