@@ -83,9 +83,14 @@ EXCLUDED_MD5 = {
     # double expansion — display-only, the DOUBLE/DECIMAL variants of
     # the same statement are pinned
     "798ef5064b61d0ae403e3e11c8fd749b": "float32 display",
-    # Hive prints doubles via Java Double.toString (3.14E8); Python
-    # prints 314000000.0 — display-only (r11 tranche)
-    "3863c17e03c9c1cd68452106a8721d13": "java Double.toString display",
+    # radians(57.2958): Spark parses the bare literal as DECIMAL and
+    # casts to double, landing 1 ulp off Hive's double-literal compute —
+    # same root cause as the decimal-literal typing exclusions
+    "cb8462f25c18b7405c41a50e52476d04": "decimal-literal typing (1 ulp)",
+    # minute/second('2009-08-07'): Hive returns NULL for a date-only
+    # string, Spark parses it as midnight (documented modern behavior)
+    "270055c684846e87444b037226cf554c": "date-only string: NULL vs midnight",
+    "2496e4d3c64ca028184431c2930d82cf": "date-only string: NULL vs midnight",
     # 'face''book' is adjacent-literal CONCATENATION in Hive (facebook)
     # but a doubled-quote ESCAPE (face'book) in Spark/ANSI — a
     # deliberate modern-Spark parser divergence
@@ -161,7 +166,7 @@ def parse_create(stmt: str):
         ty = _TYPE_MAP.get(parts[1].lower())
         if ty is None:
             return None  # complex type: skip family
-        cols.append(f"{parts[0]} {ty}")
+        cols.append(f"{parts[0].strip('`')} {ty}")
     delim = "\x01"
     dm = re.search(r"terminated\s+by\s+'([^']*)'", tail, re.I)
     if dm:

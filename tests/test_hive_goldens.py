@@ -35,19 +35,41 @@ SETUP_SQL = {**SETUP_SQL1, **SETUP_SQL2, **SETUP_SQL3}
 FAMILIES = sorted({fam for fam, _, _ in ENTRIES})
 
 
+def _java_double(v: float) -> str:
+    """Java Double.toString: shortest round-trip digits, plain decimal
+    inside [1e-3, 1e7), scientific 'd.dddEn' outside — the format every
+    golden was recorded in. Python's repr uses the same shortest-digit
+    rule but different thresholds (no scientific until 1e16), so large/
+    small magnitudes need re-shaping, not re-rounding."""
+    if v != v:
+        return "NaN"
+    if v in (float("inf"), float("-inf")):
+        return "Infinity" if v > 0 else "-Infinity"
+    m = abs(v)
+    if m == 0.0:
+        return "-0.0" if str(v)[0] == "-" else "0.0"
+    if 1e-3 <= m < 1e7:
+        s = repr(v)
+        return s if "." in s else s + ".0"
+    from decimal import Decimal
+
+    sign, digits, exp = Decimal(repr(v)).as_tuple()
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    e = exp + len(digits) - 1
+    return ("-" if sign else "") + ds[0] + "." + (ds[1:] or "0") + "E" + str(e)
+
+
 def _fmt(v):
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        if v != v:
-            return "NaN"  # java Double.toString spelling, like the goldens
-        if v in (float("inf"), float("-inf")):
-            return "Infinity" if v > 0 else "-Infinity"
-        return repr(v)
+        return _java_double(v)
     if isinstance(v, (list, dict)):
         return json.dumps(v, separators=(",", ":"))
+    if hasattr(v, "asDict"):  # pyspark Row (struct): Hive prints JSON
+        return json.dumps(v.asDict(recursive=True), separators=(",", ":"))
     return str(v)
 
 
