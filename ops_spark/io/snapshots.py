@@ -1908,22 +1908,30 @@ def merge_snapshot(
                     "files that diverge from the table schema)"
                 )
 
-    # ambiguity guard (Delta semantics): >1 source row per key is an error
-    dup = (
+    # ONE source pass for both preamble facts: the ambiguity guard
+    # (Delta semantics: >1 source row per key is an error) and the
+    # leading-key range for phase-1 stats pruning. The per-key groupBy
+    # covers every key, so min/max over the groups == min/max over rows;
+    # the dup EXAMPLE is fetched by a second job only on the error path.
+    rng = (
         source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1).limit(1).collect()
+        .agg(
+            F.max("__n").alias("__mx"),
+            F.min(on[0]).alias("lo"),
+            F.max(on[0]).alias("hi"),
+        )
+        .first()
     )
-    if dup:
-        raise SnapshotError(f"source has duplicate merge keys, e.g. {dup[0][:-1]}")
+    if (rng["__mx"] or 0) > 1:
+        dup = (
+            source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1).limit(1).collect()
+        )
+        raise SnapshotError(
+            f"source has duplicate merge keys, e.g. {dup[0][:-1]}"
+        )
 
     live = st.live
-
-    # phase 1: log-stats pruning on the leading key's source range (the
-    # per-file min/max recorded at commit time; footer reads only for
-    # legacy commits without them — see _stats_prune)
-    rng = source.agg(
-        F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
-    ).first()
     # log stats (and footers) are keyed by the PHYSICAL column name
     phys_key = _physical_name(target_schema[on[0]])
     candidates, pruned, footer_reads = _stats_prune(
@@ -1935,23 +1943,29 @@ def merge_snapshot(
     # evolution null-fill an evolved-in key (and correctly never match)
     # instead of failing inference-dependent analysis
     touched: list[str] = []
+    n_matched_pre = 0
     if candidates:
         cand_df = _read_files(spark, path, candidates, target_schema,
                               dv=st.dv, with_pos=True)
         by_base = {os.path.basename(f): f for f in live}
+        # per-file MATCH counts in the same column-pruned pass that finds
+        # the touched files: their sum is exactly _merge_dv's matched-row
+        # count (matches only occur in touched files), so the DV path
+        # never runs a separate count() job over the touched reads
         hits = (
             cand_df.select(*on, F.col("__dv_file").alias("__f"))
             .join(source.select(*on).distinct(), on=on, how="leftsemi")
-            .select("__f").distinct().collect()
+            .groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
         )
         touched = sorted(by_base[r["__f"]] for r in hits)
+        n_matched_pre = sum(r["__n"] for r in hits)
 
     version = st.latest + 1
     if dv and touched:
         return _merge_dv(
             spark, path, st, source, on, when_matched, when_not_matched,
             target_schema, out_schema, touched, pruned, footer_reads,
-            phys_key, _stat_val(rng.lo), _stat_val(rng.hi),
+            phys_key, _stat_val(rng.lo), _stat_val(rng.hi), n_matched_pre,
         )
     t = None
     if touched:
@@ -2098,7 +2112,7 @@ def _merge_dv(
     spark: SparkSession, path: str, st: _State, source: DataFrame,
     on: list[str], when_matched: str, when_not_matched: str,
     target_schema, out_schema, touched: list[str], pruned: int,
-    footer_reads: int, phys_key: str, qlo, qhi,
+    footer_reads: int, phys_key: str, qlo, qhi, n_matched: int,
 ) -> dict:
     """The deletion-vector MERGE path: every MATCHED target row's
     physical position goes into one blob (touched files keep their
@@ -2121,7 +2135,6 @@ def _merge_dv(
         hits = matched.select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         )
-        n_matched = matched.count()
         blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
 
         pieces = []
@@ -2146,7 +2159,10 @@ def _merge_dv(
                 for f in out_schema.fields
             ]))
         n_insert = 0
+        obs = None
         if when_not_matched == "insert":
+            from pyspark.sql import Observation
+
             ins = source.join(
                 matched.select(*on).distinct(), on, "left_anti"
             ).select(*[
@@ -2156,9 +2172,11 @@ def _merge_dv(
                 ).alias(f.name)
                 for f in out_schema.fields
             ])
-            n_insert = ins.count()
-            if n_insert:
-                pieces.append(ins)
+            # count the inserts ON the staging write (CollectMetrics)
+            # instead of a separate count() job that recomputes the
+            # left_anti join
+            obs = Observation()
+            pieces.append(ins.observe(obs, F.count(F.lit(1)).alias("n")))
         new_rows = None
         for p in pieces:
             new_rows = p if new_rows is None else new_rows.unionByName(p)
@@ -2174,6 +2192,14 @@ def _merge_dv(
                     path,
                     version,
                 )
+            if obs is not None and added:
+                n_insert = int(obs.get["n"])
+                if n_insert == 0 and when_matched != "update":
+                    # nothing actually inserted and no update piece: the
+                    # stage wrote only an empty shell — drop it so the
+                    # commit matches the pre-observation behavior
+                    _unstage(path, added)
+                    added = []
             commit = {
                 "version": version,
                 "op": "merge",
@@ -2342,33 +2368,46 @@ def replace_range(
 
 def _touched_by_predicate(
     spark: SparkSession, path: str, st: _State, cond
-) -> tuple[list[str], "DataFrame | None"]:
+) -> tuple[list[str], "DataFrame | None", int, int]:
     """Files of ``st.live`` that contain at least one row matching
     ``cond`` — found with ONE column-pruned scan (Catalyst reads only
     the predicate's columns + file name), the same touch-detection shape
-    as the merge's phase 2. Returns (touched rel paths, the touched-file
-    DataFrame read through the table schema, or None)."""
+    as the merge's phase 2. The same pass also aggregates per-file
+    (total, matched) row counts, so callers never pay a second
+    full-table job just for their rows_deleted/rows_updated stats.
+    Returns (touched rel paths, the touched-file DataFrame read through
+    the table schema or None, total rows in touched files, matched rows
+    in touched files)."""
     from pyspark.sql import functions as F
 
     schema = st.schema
     if schema is None:
         raise SnapshotError("no schema recorded; cannot run predicate DML")
     if not st.live:
-        return [], None
+        return [], None, 0, 0
     # _metadata-based file identity (input_file_name() refuses plans
     # with a second source, which the DV anti-join legitimately adds)
     df = _read_files(spark, path, st.live, schema, dv=st.dv, with_pos=True)
     by_base = {os.path.basename(f): f for f in st.live}
-    hits = (
-        df.where(cond)
-        .select(F.col("__dv_file").alias("__f"))
-        .distinct()
+    per_file = (
+        df.groupBy(F.col("__dv_file").alias("__f"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(cond, 1)).alias("__m"),
+        )
         .collect()
     )
-    touched = sorted(by_base[r["__f"]] for r in hits)
+    touched = sorted(by_base[r["__f"]] for r in per_file if r["__m"] > 0)
     if not touched:
-        return [], None
-    return touched, _read_files(spark, path, touched, schema, dv=st.dv)
+        return [], None, 0, 0
+    n_rows = sum(r["__n"] for r in per_file if r["__m"] > 0)
+    n_matched = sum(r["__m"] for r in per_file if r["__m"] > 0)
+    return (
+        touched,
+        _read_files(spark, path, touched, schema, dv=st.dv),
+        n_rows,
+        n_matched,
+    )
 
 
 def delete_where(
@@ -2403,7 +2442,7 @@ def delete_where(
     st = _state(path)
     if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
-    touched, t = _touched_by_predicate(spark, path, st, cond)
+    touched, t, n_rows, n_matched = _touched_by_predicate(spark, path, st, cond)
     if not touched:
         return {
             "version": -1, "files_rewritten": 0, "files_kept": len(st.live),
@@ -2411,13 +2450,11 @@ def delete_where(
         }
     version = st.latest + 1
     if dv:
-        return _delete_where_dv(spark, path, st, cond, touched, version)
+        return _delete_where_dv(
+            spark, path, st, cond, touched, version, n_rows, n_matched
+        )
     # NULL-condition rows are retained (DELETE's WHERE keeps them)
     retained = t.where(~F.coalesce(cond, F.lit(False)))
-    counts = t.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(cond, 1)).alias("matched"),
-    ).first()
     added = _stage_add(_to_physical(retained, st.schema), path, version)
     try:
         _atomic_commit(
@@ -2439,8 +2476,8 @@ def delete_where(
         "version": version,
         "files_rewritten": len(touched),
         "files_kept": len(st.live) - len(touched),
-        "rows_deleted": counts.matched,
-        "rows_retained": counts.n - counts.matched,
+        "rows_deleted": n_matched,
+        "rows_retained": n_rows - n_matched,
     }
 
 
@@ -2469,7 +2506,11 @@ def _stage_dv_blob(
     posdf = hits
     if need_prev:
         posdf = posdf.unionByName(_dv_applied(spark, path, need_prev))
-    added = _stage_add(posdf.coalesce(1), path, version)
+    # repartition(1), not coalesce(1): callers no longer pre-materialize
+    # the match set with a count() job, so coalesce would collapse the
+    # whole touched-file scan into one task; the exchange shuffles only
+    # the (file, pos) hit rows — tiny — while the scan stays parallel
+    added = _stage_add(posdf.repartition(1), path, version)
     if len(added) != 1:  # one blob per commit: the dv map points at it
         _unstage(path, added)
         raise SnapshotError(f"expected one dv blob, staged {len(added)}")
@@ -2485,13 +2526,14 @@ def _stage_dv_blob(
 
 def _delete_where_dv(
     spark: SparkSession, path: str, st: _State, cond, touched: list[str],
-    version: int,
+    version: int, n_rows: int, n_matched: int,
 ) -> dict:
     """The deletion-vector half of delete_where: compute the physical
     positions of matching rows in the touched files (through their
     CURRENT vectors, so re-deleting is idempotent) and publish ONE
     commit whose ``dv`` map re-points every touched file at the staged
-    blob (_stage_dv_blob folds in the previous vectors)."""
+    blob (_stage_dv_blob folds in the previous vectors). Row counts
+    arrive from the caller's touch-detection pass — no extra job."""
     from pyspark.sql import functions as F
 
     schema = st.schema
@@ -2499,10 +2541,6 @@ def _delete_where_dv(
     hits = df.where(cond).select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
-    counts = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(cond, 1)).alias("matched"),
-    ).first()
     blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
     try:
         _atomic_commit(
@@ -2525,8 +2563,8 @@ def _delete_where_dv(
         "version": version,
         "files_rewritten": len(touched),
         "files_kept": len(st.live) - len(touched),
-        "rows_deleted": counts.matched,
-        "rows_retained": counts.n - counts.matched,
+        "rows_deleted": n_matched,
+        "rows_retained": n_rows - n_matched,
     }
 
 
@@ -2565,7 +2603,7 @@ def update_where(
     unknown = [c for c in assignments if c not in cols]
     if unknown:
         raise SnapshotError(f"UPDATE SET columns not in table schema: {unknown}")
-    touched, t = _touched_by_predicate(spark, path, st, cond)
+    touched, t, n_rows, n_matched = _touched_by_predicate(spark, path, st, cond)
     if not touched:
         return {
             "version": -1, "files_rewritten": 0, "files_kept": len(st.live),
@@ -2574,7 +2612,7 @@ def update_where(
     version = st.latest + 1
     if dv:
         return _update_where_dv(
-            spark, path, st, assignments, cond, touched, version
+            spark, path, st, assignments, cond, touched, version, n_matched
         )
     hit = F.coalesce(cond, F.lit(False))
 
@@ -2590,10 +2628,6 @@ def update_where(
         )
 
     updated = t.select(*[_val(c).alias(c) for c in cols])
-    counts = t.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(cond, 1)).alias("matched"),
-    ).first()
     added = _stage_add(
         _to_physical(_enforce_constraints(updated, st.constraints), schema),
         path,
@@ -2619,20 +2653,22 @@ def update_where(
         "version": version,
         "files_rewritten": len(touched),
         "files_kept": len(st.live) - len(touched),
-        "rows_updated": counts.matched,
-        "rows_copied": counts.n - counts.matched,
+        "rows_updated": n_matched,
+        "rows_copied": n_rows - n_matched,
     }
 
 
 def _update_where_dv(
     spark: SparkSession, path: str, st: _State, assignments: dict, cond,
-    touched: list[str], version: int,
+    touched: list[str], version: int, n_matched: int,
 ) -> dict:
     """The deletion-vector UPDATE path: matched rows' physical positions
     go into one blob (touched files keep their bytes) and the updated
     rows are staged as new files — the same one-commit shape as
     _merge_dv, with the SET expressions evaluated against the pre-update
-    row (applied unconditionally here: only matched rows reach them)."""
+    row (applied unconditionally here: only matched rows reach them).
+    ``n_matched`` arrives from the caller's touch-detection pass; the
+    blob write is what first materializes the persisted match set."""
     from pyspark.sql import functions as F
 
     schema = st.schema
@@ -2645,7 +2681,6 @@ def _update_where_dv(
         hits = matched.select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         )
-        n_matched = matched.count()
         blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
 
         def _val(name):

@@ -108,6 +108,7 @@ def dsir_importance(
     text_col: str = "text",
     n_buckets: int = 4096,
     bigrams: bool = True,
+    target_subset: bool = False,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169):
@@ -127,17 +128,36 @@ def dsir_importance(
     BIGINTs — exact and order-independent regardless of partial-agg
     interleaving. Returns (id, n_features, weight_e4).
 
-    Scale shape: feature extraction is one exploded stream per corpus;
-    bucket counts are map-side-combinable groupBys bounded by n_buckets
-    rows; the llr table (≤ n_buckets rows) broadcasts; totals ride 1-row
-    broadcasts (the blessed scalar crossJoin shape). Per-doc scoring is
-    one equi join + one groupBy on the doc key. Nothing scales with
-    corpus² and no stage materializes more than the token stream.
+    Scale shape: feature extraction is ONE exploded stream over the raw
+    corpus, aggregated once to (doc, bucket, c); every other table
+    derives from that aggregate, so the tokenize+md5 pass — the dominant
+    cost — runs once and its exchange is shared by all consumers
+    (exchange reuse / AQE stage cache). Bucket counts are map-side-
+    combinable groupBys bounded by n_buckets rows; the llr table
+    (≤ n_buckets rows) broadcasts; totals ride 1-row broadcasts (the
+    blessed scalar crossJoin shape). Per-doc scoring is one equi join +
+    one groupBy on the doc key. Nothing scales with corpus² and no stage
+    materializes more than the token stream.
+
+    ``target_subset=True`` declares that ``target`` is a row-subset of
+    ``raw`` (same ids ⇒ same text). Then target bucket counts are
+    derived from the raw per-doc aggregate via a semi-ish join on the
+    target's ids instead of re-tokenizing the target slice — identical
+    counts, one fewer corpus scan. Leave False when target text comes
+    from a different table.
     """
     rf = _hashed_features(raw, id_col, text_col, n_buckets, bigrams)
-    tf_ = _hashed_features(target, id_col, text_col, n_buckets, bigrams)
-    raw_counts = rf.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_counts = tf_.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    per_doc = rf.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    raw_counts = per_doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    if target_subset:
+        tgt_counts = (
+            per_doc.join(target.select(id_col), id_col)
+            .groupBy("bucket")
+            .agg(F.sum("c").alias("ct"))
+        )
+    else:
+        tf_ = _hashed_features(target, id_col, text_col, n_buckets, bigrams)
+        tgt_counts = tf_.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     raw_tot = raw_counts.agg(F.sum("cr").alias("tr"))
     tgt_tot = tgt_counts.agg(F.sum("ct").alias("tt"))
     # llr per bucket present in the RAW stream (buckets absent from raw
@@ -162,7 +182,6 @@ def dsir_importance(
             .alias("llr_e4"),
         )
     )
-    per_doc = rf.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
     return (
         per_doc.join(F.broadcast(llr), "bucket")
         .groupBy(id_col)
@@ -182,6 +201,7 @@ def dsir_gumbel_topk(
     text_col: str = "text",
     n_buckets: int = 4096,
     bigrams: bool = True,
+    target_subset: bool = False,
 ) -> DataFrame:
     """DSIR's selection step: sample k documents WITHOUT replacement by
     importance weight via the Gumbel-top-k trick — top-k of
@@ -197,7 +217,9 @@ def dsir_gumbel_topk(
     driver merge of k·partitions rows, never a corpus-wide sort or
     single-partition window.
     """
-    w = dsir_importance(raw, target, id_col, text_col, n_buckets, bigrams)
+    w = dsir_importance(
+        raw, target, id_col, text_col, n_buckets, bigrams, target_subset
+    )
     u = (token_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) + 1.0) / float(
         (1 << 60) + 1
     )

@@ -738,11 +738,15 @@ def char_bigram_lm_scores(
     encoding damage, and non-linguistic payloads — the same screening slot
     real pipelines fill with a KenLM n-gram model.
 
-    Scale contract: the model is two aggregations over exploded bigrams
-    (map-side partial combine; the result is at most |charset|² rows), then
-    scoring is one broadcast join back onto the exploded stream + one
-    per-doc aggregation. Train and score each scan the corpus once; persist
-    the model table to amortize it across runs.
+    Scale contract: the exploded bigram stream is aggregated ONCE to
+    (doc, bg, cnt); the model, context and per-doc score tables all derive
+    from that aggregate, so the explode — the dominant cost — runs a
+    single time and its exchange is shared by every consumer (exchange
+    reuse / AQE stage cache). The model is at most |charset|² rows and
+    broadcasts; the per-doc mean is the cnt-weighted mean over distinct
+    bigrams, identical to the per-occurrence mean. The vocab count
+    explodes per-doc DISTINCT chars (≤ |charset| rows per doc) instead of
+    every char occurrence.
     """
     # sequence(1, 0) in Spark yields DESCENDING [1, 0], not empty — short
     # strings need an explicit guard or they'd emit phantom grams.
@@ -758,27 +762,34 @@ def char_bigram_lm_scores(
         f" i -> substring({text_col}, i, 1))"
         f" ELSE array() END"
     )
-    grams = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    gcounts = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = gcounts.groupBy("bg").agg(F.sum("cnt").alias("c"))
     ctx = model.groupBy(F.substring("bg", 1, 1).alias("p")).agg(
         F.sum("c").alias("cc")
     )
     vocab = (
-        df.select(F.explode(chars).alias("ch"))
+        df.select(F.explode(F.array_distinct(chars)).alias("ch"))
         .agg(F.countDistinct("ch").alias("v"))
     )
     scored = (
-        grams.join(F.broadcast(model), "bg")
+        gcounts.join(F.broadcast(model), "bg")
         .join(F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("p"))
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
+            F.col("cnt"),
             F.log((F.col("c") + 1.0) / (F.col("cc") + F.col("v"))).alias("logp"),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.round(F.avg("logp"), 4).alias("avg_logp"),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"), 4).alias(
+            "avg_logp"
+        ),
     )
 
 
@@ -965,14 +976,22 @@ def fluency_score_e6(
         f" i -> substring({text_col}, i, 2))"
         f" ELSE array() END"
     )
-    grams = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # one explode pass: aggregate to (doc, bg, cnt) first so the model and
+    # the per-doc score both derive from the same exchange (reused at
+    # runtime) instead of each re-exploding the corpus; integer math keeps
+    # the derived sums exactly equal to the per-occurrence ones
+    gcounts = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = gcounts.groupBy("bg").agg(F.sum("cnt").alias("c"))
     return (
-        grams.join(F.broadcast(model), "bg")
+        gcounts.join(F.broadcast(model), "bg")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("c").alias("__sum_c"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("c")).alias("__sum_c"),
         )
         # both operands positive ⇒ DIV (truncating) == floor division in
         # Spark AND DuckDB's integer `//` — engine-exact

@@ -1792,7 +1792,9 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ops_spark.operators.retrieval import dsir_importance
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), target_subset=True
+    )
 
 
 @register(
@@ -1856,7 +1858,9 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ops_spark.operators.retrieval import dsir_gumbel_topk
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_gumbel_topk(docs, docs.filter(F.col("lang") == "en"), k=50)
+    return dsir_gumbel_topk(
+        docs, docs.filter(F.col("lang") == "en"), k=50, target_subset=True
+    )
 
 
 @register(
