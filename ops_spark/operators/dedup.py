@@ -922,10 +922,17 @@ def duplicate_span_coverage(
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("t")
     ).withColumn("n_tokens", F.size("t").cast("bigint"))
+    # repartition by the gram key so BOTH consumers (the occurrence count
+    # and the join back) hang off ONE exchange of the positioned-gram
+    # stream: the tokenize+md5 explode — the dominant cost — runs once
+    # (AQE stage cache) instead of once per consumer, and the join needs
+    # no further shuffle on this side
     pg = toks.select(
         id_col,
         F.explode(positioned_grams(F.col("t"), n)).alias("pg"),
-    ).select(id_col, F.col("pg.pos").alias("pos"), F.md5("pg.g").alias("gk"))
+    ).select(
+        id_col, F.col("pg.pos").alias("pos"), F.md5("pg.g").alias("gk")
+    ).repartition("gk")
     dup_keys = (
         pg.groupBy("gk")
         .agg(F.count("*").alias("occ"))

@@ -338,11 +338,54 @@ def spatial_topk_neighbors(
     at the 100x audit scale); on sparse data phase 2 degenerates to the
     single-pass plan plus a cheap phase-1 probe. Ties break
     deterministically by (dist_km, neighbor).
+
+    DENSITY GATE (scale-adaptive, result-identical either way): on a
+    SPARSE corpus almost every point is underfilled at r0, so phase 1 is
+    pure overhead — phase 2 reruns ~everything at the full radius. One
+    cheap narrow job (per-cell counts on the r0 grid) estimates the
+    expected in-r0 disk occupancy; when it can't plausibly reach k, the
+    prefilter is skipped and the single full-radius pass runs directly.
+    Both paths are exact (phase 2 IS the full-radius plan), so the gate
+    only ever changes cost, never output.
     Output: (id, neighbor, dist_km, rank 1..k)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("dist_km", "neighbor")
     r0 = radius_km / prefilter_factor
+    if prefilter_factor > 1.0:
+        h, m = _grid_params(r0)
+        home = _cell_at(
+            F.col(lat_col), F.col(lon_col), 0, 0, h, r0, min_cos_lat, m
+        )
+        occ = (
+            df.select(home.alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1)).alias("pairs"),
+                F.sum("c").alias("n"),
+            )
+            .first()
+        )
+        # mean same-cell co-occupants per point; the r0 disk covers ~π/9
+        # of the 9-cell probe area, so ~3.1x this is the expected in-disk
+        # count. Require it to plausibly reach k (with 2x slack for
+        # clustering) or skip phase 1.
+        lam = (occ["pairs"] or 0) / occ["n"] if occ and occ["n"] else 0.0
+        if 2.0 * 3.1 * lam < k:
+            sym = _symmetric_pairs(
+                df, df, id_col, lat_col, lon_col, radius_km, min_cos_lat
+            )
+            return (
+                sym.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.col("id").alias(id_col),
+                    "neighbor",
+                    "dist_km",
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
     sym0 = _symmetric_pairs(
         df, df, id_col, lat_col, lon_col, r0, min_cos_lat
     )

@@ -48,7 +48,10 @@ def bm25_scores(
         F.col(id_col), F.explode(tokens(F.col(text_col), lowercase=True)).alias("t")
     )
     tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # dl derives from tf (Σ per-term counts == token count), so the
+    # exploded stream is aggregated ONCE and tf's exchange is shared by
+    # every downstream table instead of re-exploding the corpus per table
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     consts = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -1993,3 +1993,50 @@ def test_k_core_convergence_costs_one_query_per_round(spark):
     # the 3rd's observed metric) + the empty-result collect = 5; the old
     # count-per-round shape needed >= 8
     assert n_exec <= 6, f"k-core ran {n_exec} queries - convergence is not folded"
+
+
+def test_spatial_topk_density_gate_both_branches(spark):
+    """spatial_topk_neighbors' density gate (r11 optimization) must be
+    result-invariant: a SPARSE corpus (gate skips the r0 prefilter) and
+    a DENSE corpus (gate keeps the two-phase plan) both match the
+    brute-force ranking exactly."""
+    import itertools
+    import math
+
+    from ops_spark.operators.geo import equirect_km, spatial_topk_neighbors
+
+    def brute(pts, radius, k):
+        out = set()
+        for (i, la1, lo1) in pts:
+            cand = []
+            for (j, la2, lo2) in pts:
+                if i == j:
+                    continue
+                mlat = math.radians((la1 + la2) / 2.0)
+                cos = 1.0 - mlat * mlat / 2.0 + mlat ** 4 / 24.0
+                dx = (lo2 - lo1) * cos * 111.32
+                dy = (la2 - la1) * 111.32
+                d = math.sqrt(dx * dx + dy * dy)
+                if d <= radius:
+                    cand.append((d, j))
+            cand.sort()
+            for rank, (d, j) in enumerate(cand[:k], start=1):
+                out.add((i, j, rank))
+        return out
+
+    # sparse: 12 points hundreds of km apart -> expected in-r0 density
+    # far below k, single-pass branch
+    sparse = [(i, 10.0 + 3.0 * i, 5.0 * i) for i in range(12)]
+    # dense: a 30-point cluster inside ~40 km -> phase 1 saturates
+    dense = [
+        (i, 40.0 + 0.06 * (i % 6), 7.0 + 0.08 * (i // 6)) for i in range(30)
+    ]
+    for pts in (sparse, dense):
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {
+            (r.id, r.neighbor, r.rank)
+            for r in spatial_topk_neighbors(
+                df, "id", "lat", "lon", radius_km=200.0, k=5
+            ).collect()
+        }
+        assert got == brute(pts, 200.0, 5)
