@@ -312,12 +312,13 @@ def simhash_fingerprints(
 
     Same plan shape as minhash_signatures: one md5 per token, map-side
     partial aggregation collapses to one row per doc pre-shuffle. Docs with
-    zero tokens get fingerprint 0 (empty sums are non-positive), preserved
-    via left join. Prefer this over the simhash32 Column form in pipelines —
-    the Column form re-hashes the token array once per bit position.
+    zero tokens get fingerprint 0: explode_outer keeps them as one null-hash
+    row, null sums fail every `s > 0` test, and all 32 bits fall to the
+    otherwise(0) branch — so the former keep-empty-docs left join back onto
+    df (a second scan + an id-keyed shuffle) is not needed.
     """
     rows = spread(df).select(
-        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+        F.col(id_col).alias("__id"), F.explode_outer(tokens(text_col)).alias("__t")
     )
     hashed = rows.select("__id", token_hash64(F.col("__t")).alias("h"))
     sums = [
@@ -331,10 +332,7 @@ def simhash_fingerprints(
         fp = fp + F.when(F.col(f"__s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0)
         )
-    fps = hashed.groupBy("__id").agg(*sums).select("__id", fp.alias("__fp"))
-    return df.select(F.col(id_col).alias("__id")).join(fps, "__id", "left").select(
-        "__id", F.coalesce("__fp", F.lit(0).cast("bigint")).alias("__fp")
-    )
+    return hashed.groupBy("__id").agg(*sums).select("__id", fp.alias("__fp"))
 
 
 def simhash_candidates(
@@ -1004,10 +1002,17 @@ def exact_substring_remove(
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("t")
     ).withColumn("n_tokens", F.size("t").cast("bigint"))
+    # repartition by the gram key so BOTH consumers (the dup aggregate and
+    # the join back) hang off ONE exchange of the positioned-gram stream —
+    # the tokenize+md5 explode runs once via the AQE stage cache instead of
+    # once per consumer, and neither consumer needs a further shuffle on
+    # this side (same discipline as duplicate_span_coverage above)
     pg = toks.select(
         id_col,
         F.explode(positioned_grams(F.col("t"), n)).alias("pg"),
-    ).select(id_col, F.col("pg.pos").alias("pos"), F.md5("pg.g").alias("gk"))
+    ).select(
+        id_col, F.col("pg.pos").alias("pos"), F.md5("pg.g").alias("gk")
+    ).repartition("gk")
     # occurrence count + canonical (min (doc,pos)) in ONE partial-aggregable
     # pass over the gram stream
     dup = (

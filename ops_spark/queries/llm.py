@@ -2027,12 +2027,17 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # repartition by the shingle key BEFORE the distinct: HashPartitioning(g)
+    # satisfies the (source, g) dedup clustering AND the join-on-g
+    # distribution, so the explode runs once (AQE stage cache shares the one
+    # g-exchange between both join sides) and the join adds no shuffle.
     sh = (
         docs.select(
             "source",
             F.explode(D.shingles(T.tokens(F.col("text")))).alias("g"),
         )
-        .distinct()
+        .repartition("g")
+        .dropDuplicates(["source", "g"])
     )
     a = sh.select(F.col("source").alias("source_a"), "g")
     b = sh.select(F.col("source").alias("source_b"), F.col("g").alias("g_b"))
