@@ -689,7 +689,7 @@ def io_snapshot_read_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ops_spark.io.snapshots import read_snapshot, write_snapshot
+    from ops_spark.io.snapshots import read_snapshot
 
     src = os.path.join(sf_dir, "orders.parquet")
     digest = hashlib.md5(
@@ -705,17 +705,20 @@ def io_snapshot_read_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()
     # 8 disjoint-range commits: a CDC-ish ingest keyed on a monotone id,
-    # the layout read-side skipping exists for
+    # the layout read-side skipping exists for. The when-chain assigns each
+    # key the SAME slice its between(s, e) filter would have selected; one
+    # partitioned staging job replaces 8 scan+write jobs (append_slices),
+    # with the identical 8-append-commit log.
+    from ops_spark.io.snapshots import append_slices
+
     span = (bounds.hi - bounds.lo + 1) / 8.0
+    sl = None
     for i in range(8):
         s = bounds.lo + int(math.floor(i * span))
         e = bounds.lo + int(math.floor((i + 1) * span)) - 1
-        write_snapshot(
-            spark,
-            base.filter(F.col("o_orderkey").between(s, e)).coalesce(1),
-            tbl,
-            mode="append",
-        )
+        cond = F.col("o_orderkey").between(s, e)
+        sl = F.when(cond, i) if sl is None else sl.when(cond, i)
+    append_slices(spark, base.withColumn("__slice", sl), tbl, "__slice", 8)
     cut = int(math.floor(bounds.hi / 4.0))
     return (
         read_snapshot(spark, tbl, key_range=("o_orderkey", None, cut))
@@ -1023,16 +1026,16 @@ def io_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     n_commits = 24
-    for i in range(n_commits):  # one commit per micro-batch, CDC-sink style
-        S.write_snapshot(
-            spark,
-            # repartition, not coalesce: coalesce(1) would collapse the SCAN
-            # to one task too; this keeps the filter parallel and only
-            # funnels the small slice into a single staged file
-            base.filter(F.col("o_orderkey") % n_commits == i).repartition(1),
-            tbl,
-            mode="append",
-        )
+    # one commit per micro-batch, CDC-sink style — staged by ONE
+    # partitioned write (append_slices) instead of 24 scan+write jobs;
+    # the commit log still holds 24 append versions, one per residue
+    S.append_slices(
+        spark,
+        base.withColumn("__slice", F.col("o_orderkey") % n_commits),
+        tbl,
+        "__slice",
+        n_commits,
+    )
     # the checkpoint must actually have engaged (v20 at the default
     # interval) — a silently-skipped checkpoint would make this query
     # test nothing
@@ -1717,15 +1720,16 @@ def io_snapshot_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()
     span = b.hi - b.lo + 1
-    for i in range(8):  # range-clustered layout, one commit per slice
+    # range-clustered layout, one commit per slice — staged by one
+    # partitioned write; the when-chain reproduces the between(s, e)
+    # slice membership exactly, the log still holds 8 append commits
+    sl = None
+    for i in range(8):
         s = b.lo + int(math.floor(i * span / 8.0))
         e = b.lo + int(math.floor((i + 1) * span / 8.0)) - 1
-        S.write_snapshot(
-            spark,
-            base.filter(F.col("o_orderkey").between(s, e)).coalesce(1),
-            tbl,
-            mode="append",
-        )
+        cond = F.col("o_orderkey").between(s, e)
+        sl = F.when(cond, i) if sl is None else sl.when(cond, i)
+    S.append_slices(spark, base.withColumn("__slice", sl), tbl, "__slice", 8)
     lo = b.lo + int(math.floor(span * 0.25))
     hi = b.lo + int(math.floor(span * 0.50)) - 1
     restated = (
@@ -1784,11 +1788,7 @@ def io_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ops_spark.io.snapshots import (
-        compact_snapshot,
-        read_snapshot,
-        write_snapshot,
-    )
+    from ops_spark.io.snapshots import compact_snapshot, read_snapshot
 
     src = os.path.join(sf_dir, "orders.parquet")
     digest = hashlib.md5(
@@ -1801,14 +1801,18 @@ def io_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     # 8 commits of interleaved residues: every file spans ~the whole
-    # key plane on BOTH dimensions, so pre-compaction stats skip nothing
-    for r in range(8):
-        write_snapshot(
-            spark,
-            base.filter(F.col("o_orderkey") % 8 == r).coalesce(1),
-            tbl,
-            mode="append",
-        )
+    # key plane on BOTH dimensions, so pre-compaction stats skip nothing.
+    # One partitioned staging job (append_slices) replaces 8 scan+write
+    # jobs; the log still holds 8 residue commits.
+    from ops_spark.io.snapshots import append_slices
+
+    append_slices(
+        spark,
+        base.withColumn("__slice", F.col("o_orderkey") % 8),
+        tbl,
+        "__slice",
+        8,
+    )
     compact_snapshot(
         spark, tbl, target_bytes=1 << 18, min_file_bytes=1 << 30,
         zorder_by=("o_orderkey", "o_custkey"),

@@ -4160,3 +4160,86 @@ def test_snapshot_dv_merge_enforces_constraints(spark, tmp_path):
     assert S.latest_version(t) == pre
     assert set(os.listdir(os.path.join(t, "data"))) == data_before
     assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
+
+
+def test_append_slices_matches_write_snapshot_loop(spark, tmp_path):
+    """append_slices (one staging job + N log appends) builds the SAME
+    table a write_snapshot-per-slice loop would: same version count, same
+    rows at EVERY version (time travel), per-file stats recorded, fresh-
+    table-only guard, zero-file commits for empty slices."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 50).alias("v"),
+    )
+    n = 5
+    a = str(tmp_path / "batch")
+    b = str(tmp_path / "loop")
+    last = S.append_slices(
+        spark, df.withColumn("__slice", F.col("k") % n), a, "__slice", n
+    )
+    for i in range(n):
+        S.write_snapshot(
+            spark, df.filter(F.col("k") % n == i).repartition(1), b,
+            mode="append",
+        )
+    assert last == n - 1 == S.latest_version(a) == S.latest_version(b)
+    for v in range(n):
+        ra = S.read_snapshot(spark, a, version=v)
+        rb = S.read_snapshot(spark, b, version=v)
+        assert ra.columns == rb.columns == ["k", "v"]  # staging col gone
+        assert sorted(map(tuple, ra.collect())) == sorted(
+            map(tuple, rb.collect())
+        )
+    # stats land in the log exactly like the loop's commits
+    sa = S._state(a)
+    assert sa.stats and all(
+        "rows" in sa.stats[f] and "minmax" in sa.stats[f] for f in sa.live
+    )
+    # one file per non-empty slice (the loop's repartition(1) shape)
+    assert len(sa.live) == n
+    # fresh-table-only guard
+    with pytest.raises(S.SnapshotError, match="fresh"):
+        S.append_slices(
+            spark, df.withColumn("__slice", F.col("k") % n), a, "__slice", n
+        )
+    # an empty slice commits a version with zero files
+    c = str(tmp_path / "gaps")
+    S.append_slices(
+        spark,
+        df.filter(F.col("k") < 40).withColumn("__slice", F.col("k") % 60),
+        c,
+        "__slice",
+        60,
+    )
+    assert S.latest_version(c) == 59
+    assert S.read_snapshot(spark, c, version=59).count() == 40
+    assert S.read_snapshot(spark, c, version=39).count() == 40
+    assert S.read_snapshot(spark, c, version=38).count() == 39
+
+
+def test_append_slices_checkpoint_cadence(spark, tmp_path):
+    """Crossing CHECKPOINT_INTERVAL inside append_slices writes the same
+    checkpoint a commit loop would, and the folded read matches."""
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    n = S.CHECKPOINT_INTERVAL + 2
+    df = spark.range(0, 10 * n).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    t = str(tmp_path / "ckpt")
+    S.append_slices(
+        spark, df.withColumn("__slice", F.col("k") % n), t, "__slice", n
+    )
+    expect = (n - 1) // S.CHECKPOINT_INTERVAL * S.CHECKPOINT_INTERVAL
+    assert os.path.exists(S._checkpoint_path(t, expect))
+    assert S.read_snapshot(spark, t).count() == 10 * n
+    assert (
+        S.read_snapshot(spark, t, version=expect - 1).count()
+        == 10 * expect
+    )
