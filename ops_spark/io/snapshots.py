@@ -2630,12 +2630,21 @@ def _stage_dv_blob(
     if len(added) != 1:  # one blob per commit: the dv map points at it
         _unstage(path, added)
         raise SnapshotError(f"expected one dv blob, staged {len(added)}")
+    # per-file cardinalities via pyarrow on the single just-staged blob —
+    # one driver-local column read (the _collect_stats pattern) instead of
+    # a whole Spark job (read + groupBy + collect) per DV commit
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
     by_base = {os.path.basename(r): r for r in touched}
+    fcol = pq.read_table(
+        os.path.join(path, added[0]), columns=["file"]
+    ).column("file")
     counts = {
-        by_base[r["file"]]: r["n"]
-        for r in spark.read.parquet(os.path.join(path, added[0]))
-        .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
-        if r["file"] in by_base
+        by_base[f]: n
+        for f, n in Counter(fcol.to_pylist()).items()
+        if f in by_base
     }
     return added[0], counts
 

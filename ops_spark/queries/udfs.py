@@ -1414,13 +1414,15 @@ def io_snapshot_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    for i in range(2):
-        S.write_snapshot(
-            spark,
-            base.filter(F.col("o_orderkey") % 2 == i).repartition(2),
-            tbl,
-            mode="append",
-        )
+    # 2 append commits staged by one partitioned write (append_slices);
+    # the dv deletes and the cdf stream see the identical 2-commit log
+    S.append_slices(
+        spark,
+        base.withColumn("__slice", F.col("o_orderkey") % 2),
+        tbl,
+        "__slice",
+        2,
+    )
     S.delete_where(
         spark, tbl, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0",
         dv=True,
