@@ -96,6 +96,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, don't abort the run
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             elapsed = -1.0
+        print(f"bench: {name} {elapsed}s", file=sys.stderr, flush=True)
         release_session_memory()
         now = cum_task_ms()
         fam = family_of(name)

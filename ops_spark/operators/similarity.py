@@ -742,6 +742,8 @@ def embedding_clusters(
     audits what would be deduped. Vectors with no qualifying edge are
     singleton clusters of themselves.
     Output: (id, cluster_id = min id in cluster, cluster_size)."""
+    from pyspark.sql.window import Window as W
+
     from ops_spark.operators.graph import connected_components
 
     edges = knn_graph(df, id_col=id_col, vec_col=vec_col, **knn_kwargs).filter(
@@ -756,11 +758,15 @@ def embedding_clusters(
             "id", F.coalesce("comp", F.col("id")).alias("cluster_id")
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return labeled.join(sizes, "cluster_id").select(
-        F.col("id").alias(id_col), "cluster_id", "cluster_size"
+    # cluster_size as a window count over the SAME cluster_id key: one
+    # exchange, and `labeled` (vector scan + label join) executes once —
+    # the former groupBy + join-back re-ran the whole labeled subplan as
+    # the aggregate's second input (guide §2.4: two operations keyed the
+    # same way share one exchange).
+    return labeled.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
     )
 
 

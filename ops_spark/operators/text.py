@@ -121,6 +121,15 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Mirrors the C4/Gopher-style heuristics: length, token stats, symbol
     ratios, stopword ratio, and a composite quality score in [0,1].
+
+    Deliberately the flat withColumn shape: an explode(array(struct))
+    evaluate-once barrier was tried in the r11 optimization round and
+    MEASURED 2x SLOWER (qprof 1.00 -> 2.09 s on llm_text_stats) — the
+    Generate blocks struct-field pruning, so consumers that select a
+    subset of the stats (quality_filter, the pipeline queries) pay for
+    every stat including the BPE count, while codegen subexpression
+    elimination already de-duplicates the repeated tokenize here (no HOF
+    lambda wraps it at top level).
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -159,31 +168,37 @@ def language_id(text_col: str = "text") -> Column:
     Deterministic argmax: highest marker count wins, ties broken by
     language code order; no markers → 'und' (undetermined).
     """
-    toks = tokens(text_col, lowercase=True)
     langs = sorted(LANG_MARKERS)
 
     def marker_filter(markers: tuple[str, ...]):
         arr = F.array(*[F.lit(w) for w in markers])
         return lambda x: F.array_contains(arr, x)
 
-    counts = {
-        lang: F.size(F.filter(toks, marker_filter(LANG_MARKERS[lang])))
-        for lang in langs
-    }
-    # argmax via struct-greatest: max count wins; ties fall to the higher
-    # tiebreak value = earlier alphabetical language. All codegen, no UDF.
-    candidates = [
-        F.struct(
-            counts[lang].alias("n"),
-            F.lit(len(langs) - i).alias("tb"),
-            F.lit(lang).alias("lang"),
-        )
-        for i, lang in enumerate(langs)
-    ]
-    best = F.greatest(*candidates)
-    return F.when(best.getField("n") > 0, best.getField("lang")).otherwise(
-        F.lit("und")
-    )
+    # Evaluate-once shape: the token array and the argmax struct are each
+    # bound to a lambda variable (transform(array(..))[0]) so the tokenize
+    # runs once per row instead of once per language vote, and the
+    # greatest() fold once instead of once per extracted field — HOF
+    # lambdas defeat codegen subexpression elimination (guide §1.2 step 2).
+    def _vote(tk: Column) -> Column:
+        # argmax via struct-greatest: max count wins; ties fall to the
+        # higher tiebreak value = earlier alphabetical language. All
+        # codegen, no UDF.
+        candidates = [
+            F.struct(
+                F.size(F.filter(tk, marker_filter(LANG_MARKERS[lang]))).alias("n"),
+                F.lit(len(langs) - i).alias("tb"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+        return F.transform(
+            F.array(F.greatest(*candidates)),
+            lambda best: F.when(
+                best.getField("n") > 0, best.getField("lang")
+            ).otherwise(F.lit("und")),
+        )[0]
+
+    return F.transform(F.array(tokens(text_col, lowercase=True)), _vote)[0]
 
 
 def pack_sequences(
@@ -691,20 +706,42 @@ def gopher_rules(
     whole-stage codegen, zero shuffle — a scan-bound map at 100 TB.
     """
     t = F.col(text_col)
-    w = tokens(t)
-    n_words = F.size(w)
-    sum_len = F.aggregate(
-        w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    )
-    mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(0.0)
-    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
-    symbol_ratio = F.when(
-        n_words > 0, n_symbols.cast("double") / n_words
-    ).otherwise(0.0)
-    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(0.0)
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+
+    # Evaluate-once shape (guide §1.2 step 2): tokenize once per row via a
+    # lambda binding, raw counts once via an explode(array(..)) Generate
+    # barrier — HOF lambdas defeat codegen subexpression elimination, and
+    # inlining `tokens(t)` into every rule column re-split the document
+    # ~15× per row (the ngram_repetition_stats discipline). Derived
+    # ratios/rules are the same expressions over the struct fields.
+    def _counts(w: Column) -> Column:
+        return F.struct(
+            F.size(w).alias("nw"),
+            F.aggregate(
+                w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).alias("sl"),
+            F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("na"),
+            F.size(
+                F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x)))
+            ).alias("ns"),
+        )
+
+    raw = F.struct(
+        F.transform(F.array(tokens(t)), _counts)[0].alias("tk"),
+        F.regexp_count(t, F.lit(r"#|\.\.\.")).alias("nsym"),
+    )
+    base = df.select("*", F.explode(F.array(raw)).alias("__gr"))
+    n_words = F.col("__gr.tk.nw")
+    mean_len = F.when(
+        n_words > 0, F.col("__gr.tk.sl").cast("double") / n_words
+    ).otherwise(0.0)
+    symbol_ratio = F.when(
+        n_words > 0, F.col("__gr.nsym").cast("double") / n_words
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0, F.col("__gr.tk.na").cast("double") / n_words
+    ).otherwise(0.0)
+    n_stop = F.col("__gr.tk.ns")
     passes = (
         (n_words >= min_words)
         & (n_words <= max_words)
@@ -715,12 +752,13 @@ def gopher_rules(
         & (n_stop >= min_stopwords)
     )
     return (
-        df.withColumn("n_words", n_words.cast("bigint"))
+        base.withColumn("n_words", n_words.cast("bigint"))
         .withColumn("mean_word_len", F.round(mean_len, 4))
         .withColumn("symbol_ratio", F.round(symbol_ratio, 4))
         .withColumn("alpha_frac", F.round(alpha_frac, 4))
         .withColumn("n_stopwords", n_stop.cast("bigint"))
         .withColumn("passes_gopher", passes)
+        .drop("__gr")
     )
 
 
@@ -917,32 +955,52 @@ def hashed_bow_score(
     ``keep ⇔ w_sum_units > threshold_units * n_feats`` (mean weight
     above threshold, kept in exact integer form).
     """
-    toks = tokens(F.col(text_col), lowercase=True)
-    feats = toks
-    if bigrams:
-        bg = F.zip_with(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-        feats = F.concat(toks, bg)
-
+    # Evaluate-once shape (guide §1.2 step 2): the tokenize and the feature
+    # array are lambda-bound (HOF lambdas defeat codegen subexpression
+    # elimination — the naive inline recomputed the split ~20× per row and
+    # the md5 weight fold 2×), and the (n, sum) struct rides an
+    # explode(array(..)) Generate so CollapseProject cannot inline the fold
+    # once per output column. Same expressions, evaluated once — values
+    # bit-identical.
     def weight(f: Column) -> Column:
         bucket = token_hash64(f) % n_buckets
         return (
             token_hash64(F.concat(F.lit("w#"), bucket.cast("string"))) % 2001
         ) - 1000
 
-    w_sum = F.aggregate(
-        F.transform(feats, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
-    )
-    n = F.size(feats).cast("bigint")
-    return df.select(
+    def _feats(tk: Column) -> Column:
+        if not bigrams:
+            return tk
+        bg = F.zip_with(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.concat(tk, bg)
+
+    def _score(fs: Column) -> Column:
+        return F.struct(
+            F.size(fs).cast("bigint").alias("n"),
+            F.aggregate(
+                F.transform(fs, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("s"),
+        )
+
+    bound = F.transform(
+        F.array(tokens(F.col(text_col), lowercase=True)),
+        lambda tk: F.transform(F.array(_feats(tk)), _score)[0],
+    )[0]
+    base = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        n.alias("n_feats"),
-        w_sum.alias("w_sum_units"),
-        (w_sum > F.lit(threshold_units) * n).alias("keep"),
+        F.explode(F.array(bound)).alias("__bw"),
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col("__bw.n").alias("n_feats"),
+        F.col("__bw.s").alias("w_sum_units"),
+        (F.col("__bw.s") > F.lit(threshold_units) * F.col("__bw.n")).alias("keep"),
     )
 
 
