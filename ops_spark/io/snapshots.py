@@ -2060,29 +2060,58 @@ def merge_snapshot(
     # instead of failing inference-dependent analysis
     touched: list[str] = []
     n_matched_pre = 0
+    dv_matched = None
     if candidates:
         cand_df = _read_files(spark, path, candidates, target_schema,
                               dv=st.dv, with_pos=True)
         by_base = {os.path.basename(f): f for f in live}
-        # per-file MATCH counts in the same column-pruned pass that finds
-        # the touched files: their sum is exactly _merge_dv's matched-row
-        # count (matches only occur in touched files), so the DV path
-        # never runs a separate count() job over the touched reads
-        hits = (
-            cand_df.select(*on, F.col("__dv_file").alias("__f"))
-            .join(source.select(*on).distinct(), on=on, how="leftsemi")
-            .groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
+        # DV mode: unless the update piece needs target values (schema
+        # evolution with source-omitted columns), the key+position rows
+        # found here are EVERYTHING _merge_dv needs — persist them so
+        # the blob, the update piece and the insert anti-join read the
+        # cache instead of re-scanning the touched files.
+        needs_t_vals = dv and when_matched == "update" and any(
+            f.name in target_cols and f.name not in source.columns
+            for f in out_schema.fields
         )
+        if dv and not needs_t_vals:
+            dv_matched = (
+                cand_df.select(*on, "__dv_file", "__dv_pos")
+                .join(source.select(*on).distinct(), on=on, how="leftsemi")
+            )
+            dv_matched.persist()
+            hits = (
+                dv_matched.groupBy(F.col("__dv_file").alias("__f"))
+                .agg(F.count(F.lit(1)).alias("__n")).collect()
+            )
+        else:
+            # per-file MATCH counts in the same column-pruned pass that
+            # finds the touched files: their sum is exactly _merge_dv's
+            # matched-row count (matches only occur in touched files),
+            # so the DV path never runs a separate count() job over the
+            # touched reads
+            hits = (
+                cand_df.select(*on, F.col("__dv_file").alias("__f"))
+                .join(source.select(*on).distinct(), on=on, how="leftsemi")
+                .groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
+            )
         touched = sorted(by_base[r["__f"]] for r in hits)
         n_matched_pre = sum(r["__n"] for r in hits)
 
     version = st.latest + 1
     if dv and touched:
-        return _merge_dv(
-            spark, path, st, source, on, when_matched, when_not_matched,
-            target_schema, out_schema, touched, pruned, footer_reads,
-            phys_key, _stat_val(rng.lo), _stat_val(rng.hi), n_matched_pre,
-        )
+        try:
+            return _merge_dv(
+                spark, path, st, source, on, when_matched, when_not_matched,
+                target_schema, out_schema, touched, pruned, footer_reads,
+                phys_key, _stat_val(rng.lo), _stat_val(rng.hi), n_matched_pre,
+                matched=dv_matched,
+            )
+        finally:
+            if dv_matched is not None:
+                dv_matched.unpersist()
+    if dv_matched is not None:  # dv requested but nothing touched
+        dv_matched.unpersist()
     t = None
     if touched:
         t = _read_files(spark, path, touched, target_schema, dv=st.dv)
@@ -2229,6 +2258,7 @@ def _merge_dv(
     on: list[str], when_matched: str, when_not_matched: str,
     target_schema, out_schema, touched: list[str], pruned: int,
     footer_reads: int, phys_key: str, qlo, qhi, n_matched: int,
+    matched=None,
 ) -> dict:
     """The deletion-vector MERGE path: every MATCHED target row's
     physical position goes into one blob (touched files keep their
@@ -2237,15 +2267,24 @@ def _merge_dv(
     publishes both, flowing through the same OCC loop as copy-on-write
     (a DV re-point counts as touching the file for conflict detection —
     see _assert_rebase_safe). Unchanged rows in touched files are never
-    rewritten: rows_copied is 0 by construction."""
+    rewritten: rows_copied is 0 by construction.
+
+    ``matched`` is the caller's already-PERSISTED (keys, __dv_file,
+    __dv_pos) match set from touch detection — the update piece takes
+    every non-key value from the source in this mode, so key+position
+    is the whole target contribution and no touched file is read a
+    second time. None (schema evolution with source-omitted columns)
+    re-reads the touched files for their pre-merge values."""
     from pyspark.sql import functions as F
 
     version = st.latest + 1
     target_cols = [f.name for f in target_schema.fields]
-    t = _read_files(spark, path, touched, target_schema, dv=st.dv,
-                    with_pos=True)
-    matched = t.join(source.select(*on).distinct(), on, "leftsemi")
-    matched.persist()
+    own_persist = matched is None
+    if matched is None:
+        t = _read_files(spark, path, touched, target_schema, dv=st.dv,
+                        with_pos=True)
+        matched = t.join(source.select(*on).distinct(), on, "leftsemi")
+        matched.persist()
     blob = None
     try:
         hits = matched.select(
@@ -2337,7 +2376,8 @@ def _merge_dv(
             _unstage(path, added + [blob])
             raise
     finally:
-        matched.unpersist()
+        if own_persist:
+            matched.unpersist()
     _maybe_checkpoint(path, version)
     return {
         "version": version,
@@ -2526,6 +2566,51 @@ def _touched_by_predicate(
     )
 
 
+def _live_rows_from_stats(st: _State, touched: list[str]) -> "int | None":
+    """Total LIVE rows in ``touched`` derived from the commit log alone:
+    physical rows recorded at write time minus the file's current
+    deletion-vector cardinality (the newest blob is always the whole
+    vector, so the subtraction is exact). Returns None when any touched
+    file lacks log stats (legacy/unreadable footer) — callers fall back
+    to a count job for just those reads."""
+    total = 0
+    for rel in touched:
+        rows = (st.stats.get(rel) or {}).get("rows")
+        if rows is None:
+            return None
+        total += rows - st.dv_rows.get(rel, 0)
+    return total
+
+
+def _matched_live(
+    spark: SparkSession, path: str, st: _State, cond, keep_cols: list[str]
+):
+    """ONE column-pruned scan of the live files (through their current
+    vectors) caching only the rows matching ``cond``, pruned to
+    ``keep_cols`` + (__dv_file, __dv_pos). The per-file match counts are
+    collected off the cached set — the job that materializes it — so DV
+    DML never re-scans the touched files afterwards: the blob positions,
+    the update re-inserts and the merge pieces all read the cache.
+    Returns (touched rel paths, persisted matched DataFrame, matched-row
+    count). The caller owns the unpersist."""
+    from pyspark.sql import functions as F
+
+    df = _read_files(spark, path, st.live, st.schema, dv=st.dv,
+                     with_pos=True)
+    matched = df.where(cond).select(
+        *keep_cols, "__dv_file", "__dv_pos"
+    )
+    matched.persist()
+    per_file = (
+        matched.groupBy("__dv_file").agg(F.count(F.lit(1)).alias("__m"))
+        .collect()
+    )
+    by_base = {os.path.basename(f): f for f in st.live}
+    touched = sorted(by_base[r["__dv_file"]] for r in per_file)
+    n_matched = sum(r["__m"] for r in per_file)
+    return touched, matched, n_matched
+
+
 def delete_where(
     spark: SparkSession, path: str, condition, dv: bool = False
 ) -> dict:
@@ -2558,6 +2643,32 @@ def delete_where(
     st = _state(path)
     if st is None:
         raise SnapshotError(f"not a snapshot table: {path}")
+    if dv:
+        # DV regime: matched rows are few by design, so ONE scan caches
+        # just their positions; touched-file totals come from the commit
+        # log (rows at write time minus current vector cardinality)
+        # instead of a second aggregation job over the data.
+        if st.schema is None:
+            raise SnapshotError("no schema recorded; cannot run predicate DML")
+        touched, matched, n_matched = _matched_live(spark, path, st, cond, [])
+        try:
+            if not touched:
+                return {
+                    "version": -1, "files_rewritten": 0,
+                    "files_kept": len(st.live),
+                    "rows_deleted": 0, "rows_retained": 0,
+                }
+            n_rows = _live_rows_from_stats(st, touched)
+            if n_rows is None:  # legacy files without log stats
+                n_rows = _read_files(
+                    spark, path, touched, st.schema, dv=st.dv
+                ).count()
+            return _delete_where_dv(
+                spark, path, st, matched, touched, st.latest + 1,
+                n_rows, n_matched,
+            )
+        finally:
+            matched.unpersist()
     touched, t, n_rows, n_matched = _touched_by_predicate(spark, path, st, cond)
     if not touched:
         return {
@@ -2565,10 +2676,6 @@ def delete_where(
             "rows_deleted": 0, "rows_retained": 0,
         }
     version = st.latest + 1
-    if dv:
-        return _delete_where_dv(
-            spark, path, st, cond, touched, version, n_rows, n_matched
-        )
     # NULL-condition rows are retained (DELETE's WHERE keeps them)
     retained = t.where(~F.coalesce(cond, F.lit(False)))
     added = _stage_add(_to_physical(retained, st.schema), path, version)
@@ -2650,20 +2757,19 @@ def _stage_dv_blob(
 
 
 def _delete_where_dv(
-    spark: SparkSession, path: str, st: _State, cond, touched: list[str],
+    spark: SparkSession, path: str, st: _State, matched, touched: list[str],
     version: int, n_rows: int, n_matched: int,
 ) -> dict:
-    """The deletion-vector half of delete_where: compute the physical
-    positions of matching rows in the touched files (through their
-    CURRENT vectors, so re-deleting is idempotent) and publish ONE
-    commit whose ``dv`` map re-points every touched file at the staged
-    blob (_stage_dv_blob folds in the previous vectors). Row counts
-    arrive from the caller's touch-detection pass — no extra job."""
+    """The deletion-vector half of delete_where: publish ONE commit
+    whose ``dv`` map re-points every touched file at the staged blob
+    (_stage_dv_blob folds in the previous vectors). ``matched`` is the
+    caller's PERSISTED single-scan match set (positions computed through
+    the current vectors, so re-deleting is idempotent) — the blob stages
+    straight from the cache; no file is read twice. Row counts arrive
+    from the same pass / the commit log — no extra job."""
     from pyspark.sql import functions as F
 
-    schema = st.schema
-    df = _read_files(spark, path, touched, schema, dv=st.dv, with_pos=True)
-    hits = df.where(cond).select(
+    hits = matched.select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
     blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
@@ -2728,6 +2834,27 @@ def update_where(
     unknown = [c for c in assignments if c not in cols]
     if unknown:
         raise SnapshotError(f"UPDATE SET columns not in table schema: {unknown}")
+    if dv:
+        # same single-scan shape as delete_where(dv=True): the cached
+        # match set (full rows — the SET expressions evaluate against
+        # the pre-update row) feeds both the position blob and the
+        # re-inserted files; touched files are never read twice
+        touched, matched, n_matched = _matched_live(
+            spark, path, st, cond, cols
+        )
+        try:
+            if not touched:
+                return {
+                    "version": -1, "files_rewritten": 0,
+                    "files_kept": len(st.live),
+                    "rows_updated": 0, "rows_copied": 0,
+                }
+            return _update_where_dv(
+                spark, path, st, assignments, matched, touched,
+                st.latest + 1, n_matched,
+            )
+        finally:
+            matched.unpersist()
     touched, t, n_rows, n_matched = _touched_by_predicate(spark, path, st, cond)
     if not touched:
         return {
@@ -2735,10 +2862,6 @@ def update_where(
             "rows_updated": 0, "rows_copied": 0,
         }
     version = st.latest + 1
-    if dv:
-        return _update_where_dv(
-            spark, path, st, assignments, cond, touched, version, n_matched
-        )
     hit = F.coalesce(cond, F.lit(False))
 
     def _val(name):
@@ -2784,7 +2907,7 @@ def update_where(
 
 
 def _update_where_dv(
-    spark: SparkSession, path: str, st: _State, assignments: dict, cond,
+    spark: SparkSession, path: str, st: _State, assignments: dict, matched,
     touched: list[str], version: int, n_matched: int,
 ) -> dict:
     """The deletion-vector UPDATE path: matched rows' physical positions
@@ -2792,58 +2915,52 @@ def _update_where_dv(
     rows are staged as new files — the same one-commit shape as
     _merge_dv, with the SET expressions evaluated against the pre-update
     row (applied unconditionally here: only matched rows reach them).
-    ``n_matched`` arrives from the caller's touch-detection pass; the
-    blob write is what first materializes the persisted match set."""
+    ``matched`` is the caller's PERSISTED single-scan match set; both
+    the blob and the re-inserts read the cache, never the files."""
     from pyspark.sql import functions as F
 
     schema = st.schema
     cols = [f.name for f in schema.fields]
-    df = _read_files(spark, path, touched, schema, dv=st.dv, with_pos=True)
-    matched = df.where(F.coalesce(cond, F.lit(False)))
-    matched.persist()
     blob = None
+    hits = matched.select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
+
+    def _val(name):
+        if name not in assignments:
+            return F.col(name)
+        expr = assignments[name]
+        expr = F.expr(expr) if isinstance(expr, str) else expr
+        # cast to the RECORDED dtype, like the copy-on-write path
+        return expr.cast(schema[name].dataType)
+
+    updated = matched.select(*[_val(c).alias(c) for c in cols])
+    added: list[str] = []
     try:
-        hits = matched.select(
-            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        added = _stage_add(
+            _to_physical(
+                _enforce_constraints(updated, st.constraints), schema
+            ),
+            path,
+            version,
         )
-        blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
-
-        def _val(name):
-            if name not in assignments:
-                return F.col(name)
-            expr = assignments[name]
-            expr = F.expr(expr) if isinstance(expr, str) else expr
-            # cast to the RECORDED dtype, like the copy-on-write path
-            return expr.cast(schema[name].dataType)
-
-        updated = matched.select(*[_val(c).alias(c) for c in cols])
-        added: list[str] = []
-        try:
-            added = _stage_add(
-                _to_physical(
-                    _enforce_constraints(updated, st.constraints), schema
-                ),
-                path,
-                version,
-            )
-            _atomic_commit(
-                path,
-                {
-                    "version": version,
-                    "op": "update_where",
-                    "add": added,
-                    "remove": [],
-                    "dv": {rel: blob for rel in touched},
-                    "dv_rows": dv_rows,
-                    "schema": st.schema_json,
-                    "stats": _collect_stats(path, added),
-                },
-            )
-        except Exception:
-            _unstage(path, added + [blob])
-            raise
-    finally:
-        matched.unpersist()
+        _atomic_commit(
+            path,
+            {
+                "version": version,
+                "op": "update_where",
+                "add": added,
+                "remove": [],
+                "dv": {rel: blob for rel in touched},
+                "dv_rows": dv_rows,
+                "schema": st.schema_json,
+                "stats": _collect_stats(path, added),
+            },
+        )
+    except Exception:
+        _unstage(path, added + [blob])
+        raise
     _maybe_checkpoint(path, version)
     return {
         "version": version,

@@ -4059,6 +4059,41 @@ def test_snapshot_dv_reorg_purge(spark, tmp_path):
     assert not [n for n in os.listdir(t) if n.startswith(".stage-")]
 
 
+def test_snapshot_dv_single_scan_row_accounting(spark, tmp_path):
+    """The r11 single-scan DV DML shape: rows_retained derives from the
+    commit log (physical rows minus current vector cardinality), never a
+    second data pass — chained vectors must subtract exactly, and a
+    table whose stats are missing must fall back to counting without
+    changing the answer."""
+    import ops_spark.io.snapshots as S
+
+    t = _dv_table(spark, tmp_path)  # 200 rows, 4 files
+    r1 = S.delete_where(spark, t, "k % 10 = 3", dv=True)
+    assert r1["rows_deleted"] == 20 and r1["rows_retained"] == 180
+    # second vector: totals must be LIVE rows (200 - 20), not physical
+    r2 = S.delete_where(spark, t, "k % 10 = 7", dv=True)
+    assert r2["rows_deleted"] == 20 and r2["rows_retained"] == 160
+    # update over vectors: matched counted through the current vector
+    r3 = S.update_where(spark, t, {"v": "'x'"}, "k % 10 = 3", dv=True)
+    assert r3["version"] == -1  # all matching rows already deleted
+    r4 = S.update_where(spark, t, {"v": "'x'"}, "k % 10 = 4", dv=True)
+    assert r4["rows_updated"] == 20
+    assert S.read_snapshot(spark, t).filter("v = 'x'").count() == 20
+
+    # stats-less fallback: same answers via the count path
+    n = S._live_rows_from_stats
+    try:
+        S._live_rows_from_stats = lambda st, touched: None
+        r5 = S.delete_where(spark, t, "k % 10 = 5", dv=True)
+        assert r5["rows_deleted"] == 20
+        # touched = the 4 original files only (the re-inserted v='x'
+        # file holds k%10=4): 200 physical - 60 vectored - 20 = 120
+        assert r5["rows_retained"] == 120
+    finally:
+        S._live_rows_from_stats = n
+    assert S.read_snapshot(spark, t).count() == 140
+
+
 def test_snapshot_dv_cardinality_in_log(spark, tmp_path):
     """Every dv commit records per-file vector cardinalities (dv_rows);
     the fold tracks the CURRENT vector (unions accumulate, rewrites
