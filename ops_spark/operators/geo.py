@@ -259,14 +259,19 @@ def spatial_neighbor_counts(
     sym = _symmetric_pairs(
         df, df, id_col, lat_col, lon_col, radius_km, min_cos_lat
     )
-    counts = sym.groupBy("id").agg(F.count("*").alias("n_neighbors"))
+    # zero-neighbor points ride the SAME aggregation as the pairs (a
+    # 0-contribution row per point unioned under the count key) instead
+    # of a groupBy + left-join-back onto the point set — one exchange on
+    # id total, and the join's second id-keyed shuffle of df is gone
+    # (guide §2.4). sum(pairs' 1s) == count(*) per id, bit-identical.
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(counts, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+        sym.select("id", F.lit(1).alias("__c"))
+        .unionByName(
+            df.select(F.col(id_col).alias("id"), F.lit(0).alias("__c"))
         )
+        .groupBy("id")
+        .agg(F.sum("__c").cast("bigint").alias("n_neighbors"))
+        .select(F.col("id").alias(id_col), "n_neighbors")
     )
 
 

@@ -56,6 +56,8 @@ def connected_components(
         .distinct()
     )
     free_checkpoint(ein)  # labels/sym materialized eagerly above
+    from pyspark.sql import Observation
+
     for it in range(max_iterations):
         # each vertex adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -70,6 +72,7 @@ def connected_components(
             F.least(
                 F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
             ).alias("comp"),
+            F.col("comp").alias("__prev"),  # pre-round label, for the probe
         )
         # pointer jumping (comp := comp(comp)): halves label-tree depth each
         # round, so convergence is O(log diameter) instead of O(diameter) —
@@ -78,6 +81,14 @@ def connected_components(
         jump = propagated.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
+        # convergence probe as a df.observe at the PLAN ROOT, collected as
+        # a side effect of the eager localCheckpoint that materializes the
+        # round (the k_core discipline) — zero extra jobs, so it runs
+        # EVERY round instead of every second one and the loop exits the
+        # moment the labels are stable (the former join + limit(1).count()
+        # probe cost a full propagation-sized job and was amortized to
+        # alternate rounds, running one extra round on average).
+        obs = Observation()
         new_labels = tracked_local_checkpoint(  # cut lineage per round
             propagated.join(jump, propagated.comp == jump.jid, "left")
             .select(
@@ -85,24 +96,15 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
+                "__prev",
             )
+            .observe(obs, F.count(F.when(F.col("comp") != F.col("__prev"), 1))
+                     .alias("changed"))
         )
-        # convergence probe every second round: with pointer jumping the
-        # label tree collapses in O(log n) rounds, so the probe (a full
-        # join + count job, as expensive as a propagation round on small
-        # state) is worth amortizing; at most one extra round runs.
-        if it % 2 == 1:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                free_checkpoint(labels)
-                free_checkpoint(sym)
-                return adopt_tracking(new_labels, new_labels.select("id", "comp"))
+        if obs.get["changed"] == 0:
+            free_checkpoint(labels)
+            free_checkpoint(sym)
+            return adopt_tracking(new_labels, new_labels.select("id", "comp"))
         # new_labels is materialized (eager checkpoint): the superseded
         # round's RDD blocks can go — released via the JVM RDD handle
         # (DataFrame.unpersist alone would leave localCheckpoint blocks

@@ -297,7 +297,17 @@ def pq_train(
         .limit(sample_n)
         .collect()
     )
-    X = np.asarray([[float(x) for x in r.c] for r in rows], dtype=np.float64)
+    return pq_train_rows([r.c for r in rows], m, nbits, iters)
+
+
+def pq_train_rows(
+    vecs: list, m: int = 8, nbits: int = 6, iters: int = 5
+) -> np.ndarray:
+    """pq_train's math over an already-collected hash-ordered sample —
+    lets ivfpq_topk fetch ONE ordered sample serving both the centroid
+    prefix and PQ training (the n_centroids smallest-md5 vectors are by
+    definition a prefix of the sample_n smallest)."""
+    X = np.asarray([[float(x) for x in c] for c in vecs], dtype=np.float64)
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     nrm[nrm == 0.0] = 1.0
     X = X / nrm
@@ -388,8 +398,23 @@ def ivfpq_topk(
     centroid + codebook metadata (n_centroids·dim + m·2^nbits·dim/m
     floats) ever reaches the driver.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    books = pq_train(corpus, m, nbits, sample_n, train_iters, id_col, vec_col)
+    # ONE hash-ordered sample collect serves both metadata fits: the
+    # n_centroids smallest-md5 vectors (ivf_centroids' definition) are a
+    # prefix of the sample_n smallest (pq_train's), so slicing one
+    # TakeOrdered result is bit-identical to the former two corpus passes
+    # (guide §1.2 step 1).
+    take = max(sample_n, n_centroids)
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("c"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(take)
+        .collect()
+    )
+    cents = [[float(x) for x in r.c] for r in rows[:n_centroids]]
+    books = pq_train_rows([r.c for r in rows[:sample_n]], m, nbits, train_iters)
     enc = pq_encode(books)
     mm, kk, dsub = books.shape
     short_n = max(k * shortlist_factor, k)

@@ -464,6 +464,7 @@ def bpe_merges(
             F.col("freq"),
         )
     )
+    anchor = words  # the most recent MATERIALIZED words (owns RDD blocks)
     out = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -498,16 +499,21 @@ def bpe_merges(
                 "pair_freq": top["pair_freq"],
             }
         )
-        prev = words
-        words = tracked_local_checkpoint(
-            words.select(
-                _apply_merge(F.col("sym"), top["l"], top["r"]).alias("sym"), "freq"
-            )
+        words = words.select(
+            _apply_merge(F.col("sym"), top["l"], top["r"]).alias("sym"), "freq"
         )
-        # superseded round: free its RDD blocks so the loop doesn't pin k
-        # copies of the vocab (DataFrame.unpersist alone can't drop them)
-        free_checkpoint(prev)
-    free_checkpoint(words)  # result is the driver-side merge table, not `words`
+        # checkpoint every 4th merge, not every one: each round's argmax
+        # job happily re-executes the pending merge folds from the last
+        # checkpoint (vocab-sized, in-memory HOF work — cheap), so the
+        # per-round materialization action bought nothing but a Spark job
+        # of scheduler overhead. The cadence still bounds plan depth for
+        # large n_merges; anchor tracks the materialized predecessor so
+        # its RDD blocks are freed the moment a newer checkpoint exists.
+        if rank % 4 == 0:
+            prev_anchor = anchor
+            words = anchor = tracked_local_checkpoint(words)
+            free_checkpoint(prev_anchor)
+    free_checkpoint(anchor)  # result is the driver-side merge table
     return pd.DataFrame(out)
 
 
