@@ -2175,31 +2175,33 @@ def merge_snapshot(
             F.lit("insert").alias("__action"),
         )
 
+    from pyspark.sql import Observation
+
     merged = merged.filter(~F.col("__action").isin("delete", "ignore"))
-    merged.persist()
-    try:
-        counts = {
-            r["__action"]: r["n"]
-            for r in merged.groupBy("__action").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
-        added = (
-            _stage_add(
-                _to_physical(
-                    _enforce_constraints(
-                        merged.drop("__action"), st.constraints
-                    ),
-                    out_schema,
-                ),
-                path,
-                version,
-            )
-            if counts
-            else []
-        )
-    finally:
-        merged.unpersist()
+    # per-action counts ride the staging write as CollectMetrics — the
+    # former persist + groupBy(__action).collect() pre-pass executed the
+    # whole full-outer join once just for the stats; now the join runs
+    # exactly once, inside the write. An all-empty merge stages an empty
+    # shell that is unstaged below (the _merge_dv observation dance).
+    obs = Observation()
+    merged = merged.observe(
+        obs,
+        F.count(F.when(F.col("__action") == "update", 1)).alias("update"),
+        F.count(F.when(F.col("__action") == "insert", 1)).alias("insert"),
+        F.count(F.when(F.col("__action") == "copy", 1)).alias("copy"),
+    )
+    added = _stage_add(
+        _to_physical(
+            _enforce_constraints(merged.drop("__action"), st.constraints),
+            out_schema,
+        ),
+        path,
+        version,
+    )
+    counts = {k: v for k, v in obs.get.items() if v}
+    if not counts:
+        _unstage(path, added)  # empty shell: commit contents unchanged
+        added = []
     if not counts and not touched:  # empty source, nothing touched
         return {
             "version": -1, "files_live": len(live),
@@ -2208,13 +2210,10 @@ def merge_snapshot(
             "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
             "rows_copied": 0,
         }
-    # matched-but-dropped rows never reach `counts`; recover the delete
-    # count from the touched rows minus the survivors that came from t
-    rows_deleted = 0
-    if when_matched == "delete" and touched:
-        n_touched = _read_files(spark, path, touched, target_schema,
-                                dv=st.dv).count()
-        rows_deleted = n_touched - counts.get("copy", 0)
+    # matched-but-dropped rows never reach `counts`; their count is the
+    # touch-detection pass's per-file match sum (matches occur only in
+    # touched files), so no extra count job runs
+    rows_deleted = n_matched_pre if when_matched == "delete" and touched else 0
     qlo, qhi = _stat_val(rng.lo), _stat_val(rng.hi)
     commit = {
         "version": version,
@@ -2477,10 +2476,18 @@ def replace_range(
         except TypeError:
             rewrite.append(rel)
 
+    from pyspark.sql import Observation
+
     version = st.latest + 1
-    new = df.select(*[F.col(c).cast(target_schema[c].dataType) for c in cols])
-    n_inserted = new.count()
-    n_retained = 0
+    # inserted/retained counts ride the staging write as CollectMetrics
+    # (one observation per union branch) — the former standalone
+    # new.count() + retained.count() jobs re-executed both subplans
+    # purely for the stats the write was about to compute anyway
+    obs_new = Observation()
+    new = df.select(
+        *[F.col(c).cast(target_schema[c].dataType) for c in cols]
+    ).observe(obs_new, F.count(F.lit(1)).alias("n"))
+    obs_ret = None
     if rewrite:
         old = _read_files(spark, path, rewrite, target_schema, dv=st.dv)
         # complement: rows outside [lo, hi]; null keys are retained too
@@ -2489,13 +2496,15 @@ def replace_range(
             | (F.col(key) < F.lit(lo))
             | (F.col(key) > F.lit(hi))
         )
-        n_retained = retained.count()
-        new = new.unionByName(retained)
+        obs_ret = Observation()
+        new = new.unionByName(retained.observe(obs_ret, F.count(F.lit(1)).alias("n")))
     added = _stage_add(
         _to_physical(_enforce_constraints(new, st.constraints), target_schema),
         path,
         version,
     )
+    n_inserted = int(obs_new.get["n"])
+    n_retained = int(obs_ret.get["n"]) if obs_ret is not None else 0
     try:
         _atomic_commit(
             path,
