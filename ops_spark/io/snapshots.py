@@ -2289,7 +2289,11 @@ def _merge_dv(
         hits = matched.select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         )
-        blob, dv_rows = _stage_dv_blob(spark, path, st, hits, touched, version)
+        # own_persist: the fallback cache above is not yet materialized,
+        # so the narrow path would run its whole build join single-task
+        blob, dv_rows = _stage_dv_blob(
+            spark, path, st, hits, touched, version, narrow=not own_persist
+        )
 
         pieces = []
         if when_matched == "update":
@@ -2715,7 +2719,7 @@ def delete_where(
 
 def _stage_dv_blob(
     spark: SparkSession, path: str, st: _State, hits, touched: list[str],
-    version: int,
+    version: int, narrow: bool = True,
 ) -> tuple[str, dict]:
     """Union the deleted-position ``hits`` (a (file, pos) DataFrame of
     PHYSICAL row positions) with the touched files' PREVIOUS vectors —
@@ -2738,11 +2742,16 @@ def _stage_dv_blob(
     posdf = hits
     if need_prev:
         posdf = posdf.unionByName(_dv_applied(spark, path, need_prev))
-    # repartition(1), not coalesce(1): callers no longer pre-materialize
-    # the match set with a count() job, so coalesce would collapse the
-    # whole touched-file scan into one task; the exchange shuffles only
-    # the (file, pos) hit rows — tiny — while the scan stays parallel
-    added = _stage_add(posdf.repartition(1), path, version)
+    # narrow=True (every standard DV caller): ``hits`` reads an
+    # already-MATERIALIZED persisted match set, so coalesce(1) collapses
+    # only cached-partition reads plus the previous-vector blob scans
+    # (single small parquet files) into one task — no exchange, one AQE
+    # stage-job fewer per DV commit. narrow=False (the _merge_dv
+    # schema-evolution fallback, whose cache is not yet materialized):
+    # repartition(1) keeps the upstream touched-file scan parallel and
+    # moves only the (file, pos) hit rows through the exchange.
+    one = posdf.coalesce(1) if narrow else posdf.repartition(1)
+    added = _stage_add(one, path, version)
     if len(added) != 1:  # one blob per commit: the dv map points at it
         _unstage(path, added)
         raise SnapshotError(f"expected one dv blob, staged {len(added)}")
