@@ -44,10 +44,23 @@ def bm25_scores(
     across libms in the last ulp — scores are continuous, so quantized
     buckets are stable, but bit-exactness is not promised).
     """
+    from ops_spark.operators.blocks import adopt_tracking, tracked_local_checkpoint
+
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col), lowercase=True)).alias("t")
     )
-    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    # Materialize the postings ONCE (eager localCheckpoint): dl, dfreq,
+    # consts and the scoring join all consume tf, but when the planner
+    # broadcasts the small derived tables their build subtrees inline tf's
+    # whole tokenize pipeline and AQE's exchange-reuse only dedups some of
+    # them (executed fixture plan: 4 live corpus scans, 1 ReusedExchange).
+    # The checkpoint pins the aggregated (doc, term, tf) postings — the
+    # index structure every BM25 system builds — so the corpus is
+    # tokenized exactly once at any scale instead of once per derived
+    # table. Blocks are released by the caller / between-query sweep.
+    tf = tracked_local_checkpoint(
+        toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    )
     # dl derives from tf (Σ per-term counts == token count), so the
     # exploded stream is aggregated ONCE and tf's exchange is shared by
     # every downstream table instead of re-exploding the corpus per table
@@ -67,14 +80,15 @@ def bm25_scores(
         * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
-    return (
+    return adopt_tracking(
+        tf,
         tf.join(F.broadcast(q), "t")  # restrict to query terms first
         .join(dl, id_col)
         .join(dfreq, "t")  # equi join; left side already query-term-only
         .crossJoin(F.broadcast(consts))  # 1-row corpus constants
         .withColumn("__s", idf * tf_part)
         .groupBy(query_id_col, id_col)
-        .agg(F.sum("__s").alias("score"))
+        .agg(F.sum("__s").alias("score")),
     )
 
 
@@ -149,8 +163,18 @@ def dsir_importance(
     counts, one fewer corpus scan. Leave False when target text comes
     from a different table.
     """
+    from ops_spark.operators.blocks import adopt_tracking, tracked_local_checkpoint
+
     rf = _hashed_features(raw, id_col, text_col, n_buckets, bigrams)
-    per_doc = rf.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # materialize (doc, bucket, c) ONCE: raw_counts/tgt_counts/totals all
+    # broadcast, and each broadcast-build subtree would otherwise inline
+    # the whole tokenize+md5 pipeline again (executed fixture plan for
+    # llm_dsir_weights: 19 live corpus scans, only 4 ReusedExchange — AQE
+    # does not reliably dedup broadcast builds; the bm25_scores finding).
+    # One checkpoint guarantees one feature-extraction pass at any scale.
+    per_doc = tracked_local_checkpoint(
+        rf.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
     raw_counts = per_doc.groupBy("bucket").agg(F.sum("c").alias("cr"))
     if target_subset:
         tgt_counts = (
@@ -185,13 +209,14 @@ def dsir_importance(
             .alias("llr_e4"),
         )
     )
-    return (
+    return adopt_tracking(
+        per_doc,
         per_doc.join(F.broadcast(llr), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("c").cast("bigint").alias("n_features"),
             F.sum(F.col("c") * F.col("llr_e4")).cast("bigint").alias("weight_e4"),
-        )
+        ),
     )
 
 
@@ -336,6 +361,13 @@ def tfidf_topk(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col), lowercase=True)).alias("term")
     )
+    # NOT checkpointed (measured, r11 session 3): broadcast(dfreq)'s build
+    # subtree inlines the tokenize+tf pipeline a second time (the
+    # bm25_scores finding), but with only TWO passes here a
+    # tracked_local_checkpoint of tf measured ~0.4 s SLOWER in 3/3
+    # interleaved A/B cycles at sf0.1 (1.3-1.8 s vs 1.0-1.2 s) — the
+    # materialization costs more than the one duplicated pass it saves.
+    # bm25_scores keeps its checkpoint (4 passes saved; its A/B won).
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_df_table:

@@ -806,6 +806,16 @@ def char_bigram_lm_scores(
         f" i -> substring({text_col}, i, 1))"
         f" ELSE array() END"
     )
+    # NOT checkpointed (measured, r11 session 3): the executed fixture
+    # plan runs 11 live corpus scans — the model/ctx broadcast-build
+    # subtrees each inline the bigram explode, and AQE exchange reuse
+    # dedups only some of them. A tracked_local_checkpoint of gcounts
+    # fixes that (1 explode) but measured ~1.5 s SLOWER in 3/3
+    # interleaved A/B cycles at sf0.1 (6.2-7.7 s vs 4.7-5.5 s): the
+    # duplicated builds run concurrently on idle cores while the
+    # checkpoint serializes materialize-then-consume. fluency_score_e6
+    # keeps the checkpoint (its A/B won); revisit here if corpus passes
+    # dominate at real scale.
     gcounts = (
         df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
@@ -1040,17 +1050,21 @@ def fluency_score_e6(
         f" i -> substring({text_col}, i, 2))"
         f" ELSE array() END"
     )
-    # one explode pass: aggregate to (doc, bg, cnt) first so the model and
-    # the per-doc score both derive from the same exchange (reused at
-    # runtime) instead of each re-exploding the corpus; integer math keeps
-    # the derived sums exactly equal to the per-occurrence ones
-    gcounts = (
+    from ops_spark.operators.blocks import adopt_tracking, tracked_local_checkpoint
+
+    # one explode pass: aggregate to (doc, bg, cnt) first and CHECKPOINT
+    # it — broadcast(model)'s build subtree would otherwise inline the
+    # explode a second time (AQE exchange reuse does not dedup broadcast
+    # builds reliably; the bm25_scores finding). Integer math keeps the
+    # derived sums exactly equal to the per-occurrence ones.
+    gcounts = tracked_local_checkpoint(
         df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     model = gcounts.groupBy("bg").agg(F.sum("cnt").alias("c"))
-    return (
+    return adopt_tracking(
+        gcounts,
         gcounts.join(F.broadcast(model), "bg")
         .groupBy(id_col)
         .agg(

@@ -631,7 +631,12 @@ def io_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ops_spark.io import load_table
-    from ops_spark.io.snapshots import read_snapshot, rollback, write_snapshot
+    from ops_spark.io.snapshots import (
+        append_slices,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
 
     src = os.path.join(sf_dir, "orders.parquet")
     digest = hashlib.md5(
@@ -651,9 +656,22 @@ def io_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "yr", "n_orders", F.col("__t").cast("double").alias("total"))
     )
-    write_snapshot(spark, agg.filter(F.col("yr") < 1997), tbl)  # v0
-    write_snapshot(spark, agg.filter(F.col("yr") >= 1997), tbl, mode="append")  # v1
-    corrupt = agg.withColumn("total", F.col("total") * 2)
+    # v0 (pre-1997 slice) + v1 (rest) land as two append commits staged by
+    # ONE execution of the aggregate (append_slices: identical log shape
+    # to the former per-slice write_snapshot loop); the corrupt v2 then
+    # derives from reading v0+v1 BACK instead of running the aggregate a
+    # third time — the written rows ARE the aggregate, so doubling them
+    # yields bit-identical corrupt values.
+    append_slices(
+        spark,
+        agg.withColumn(
+            "__s", F.when(F.col("yr") < 1997, 0).otherwise(1).cast("int")
+        ),
+        tbl,
+        "__s",
+        2,
+    )  # v0 + v1
+    corrupt = read_snapshot(spark, tbl).withColumn("total", F.col("total") * 2)
     write_snapshot(spark, corrupt, tbl, mode="overwrite")  # v2: the bad run
     rollback(spark, tbl, 1)  # v3: the undo
     return read_snapshot(spark, tbl)  # latest == v1 == the true aggregate
