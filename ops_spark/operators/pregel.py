@@ -17,12 +17,24 @@ DataFrame primitives): per superstep,
 4. new state = ``update`` expressions over old state + ``_msg`` (null when
    the vertex received nothing this round)
 
-Scale posture: every superstep is two equi-joins + one keyed aggregate —
-all hash-partitioned on vertex id, AQE-skew-splittable, no driver data path.
-Lineage is cut per round with localCheckpoint (mandatory for iterative
-DataFrame plans). Convergence: fixed ``max_iter``, with optional early stop
-when no vertex state changed (one anti-join probe per round, amortized by
-``check_every``).
+Scale posture: every superstep is equi-joins + one keyed aggregate — all
+hash-partitioned on vertex id, AQE-skew-splittable, no driver data path.
+Like GraphX's ``tripletFields`` optimization, the operator analyzes which
+triplet sides each message expression actually references (a driver-side
+resolution probe against an empty frame — no job): when every message reads
+only the OPPOSITE side's state (the common vertex-program shape: a vertex
+sends a function of its own state along its edges), the 3-way triplets join
+collapses to ONE state join over the direction-tagged edge union, and when
+the full triplet is genuinely needed, both messages are emitted from a
+single execution of the join via ``explode`` instead of a self-union that
+would run the join twice. Lineage is cut per round with localCheckpoint
+(mandatory for iterative DataFrame plans). Convergence: fixed ``max_iter``
+with early exit when no vertex state changed — detected by a ``df.observe``
+count riding the round's eager checkpoint (zero extra jobs), so it runs
+every round. Early exit never changes the result: a round that changed
+nothing is a fixed point, so all remaining rounds would compute the
+identical state (deterministic message/update expressions assumed — the
+same assumption reproducible vertex programs already make).
 """
 
 from __future__ import annotations
@@ -30,9 +42,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ops_spark.operators.blocks import free_checkpoint, tracked_local_checkpoint
+from ops_spark.operators.blocks import (
+    adopt_tracking,
+    free_checkpoint,
+    tracked_local_checkpoint,
+)
 
 MSG = "_msg"
+
+
+def _resolves(spark, expr: Column, fields) -> bool:
+    """Whether ``expr`` analyzes against a frame with exactly ``fields``.
+
+    Driver-only probe over an empty LocalRelation — no Spark job. Used to
+    detect which triplet sides a message expression references (GraphX
+    tripletFields kin)."""
+    from pyspark.sql.types import StructType
+
+    try:
+        spark.createDataFrame([], StructType(fields)).select(expr)
+        return True
+    except Exception:  # noqa: BLE001 — unresolved column / type error
+        return False
 
 
 def pregel(
@@ -59,9 +90,12 @@ def pregel(
     update: {state_col: expression over old state cols + MSG} applied to
         every vertex each round (MSG is null for an empty inbox — express
         "keep state" with coalesce/least as the algorithm requires).
-    check_every: probe for convergence (no state changed) every N rounds;
-        0 disables the probe (pure fixed-iteration, fully deterministic
-        round count — required when the result feeds an unrolled-SQL oracle).
+    check_every: retained for API compatibility. The convergence probe now
+        rides every round's checkpoint as a free ``observe`` count, so the
+        loop always exits at the first round that changed no vertex state —
+        which is provably the final answer (fixed point), independent of
+        max_iter. Round COUNT may therefore be lower than max_iter; the
+        returned STATE is identical.
     """
     if msg_to_dst is None and msg_to_src is None:
         raise ValueError("at least one of msg_to_dst / msg_to_src is required")
@@ -70,6 +104,7 @@ def pregel(
     if unknown:
         raise ValueError(f"update targets unknown state columns: {sorted(unknown)}")
 
+    spark = vertices.sparkSession
     state = tracked_local_checkpoint(
         vertices.select(F.col(id_col).alias("id"), *state_cols)
     )
@@ -85,62 +120,146 @@ def pregel(
         )
     )
 
-    for it in range(max_iter):
-        src_state = state.select(
-            F.col("id").alias("edge_src"),
-            *[F.col(c).alias(f"src_{c}") for c in state_cols],
-        )
-        dst_state = state.select(
-            F.col("id").alias("edge_dst"),
-            *[F.col(c).alias(f"dst_{c}") for c in state_cols],
-        )
-        triplets = e.join(src_state, "edge_src").join(dst_state, "edge_dst")
-        outboxes = []
-        if msg_to_dst is not None:
-            outboxes.append(
-                triplets.select(
+    # tripletFields analysis (driver-only, once): does each message read
+    # ONLY the opposite side's state? Then the 3-way triplets join is
+    # unnecessary — one state join over the direction-tagged edge union
+    # produces every message.
+    from pyspark.sql.types import StructField
+
+    e_fields = [StructField(f.name, f.dataType, True) for f in e.schema.fields]
+    st_types = {f.name: f.dataType for f in state.schema.fields}
+    src_fields = [
+        StructField(f"src_{c}", st_types[c], True) for c in state_cols
+    ]
+    dst_fields = [
+        StructField(f"dst_{c}", st_types[c], True) for c in state_cols
+    ]
+    one_sided = (
+        msg_to_dst is None or _resolves(spark, msg_to_dst, e_fields + src_fields)
+    ) and (
+        msg_to_src is None or _resolves(spark, msg_to_src, e_fields + dst_fields)
+    )
+
+    from pyspark.sql import Observation
+
+    probe = " OR ".join(f"NOT (`{c}` <=> `__prev_{c}`)" for c in state_cols)
+
+    for _ in range(max_iter):
+        if one_sided:
+            # ONE state join: tag each edge with the message direction and
+            # flip it so __nbr is the state-carrying side; the neighbor's
+            # state is aliased to BOTH src_* and dst_* (each message only
+            # reads its own side, proven by the resolution probe above).
+            ecols = [F.col(c) for c in e.columns]
+            branches = []
+            if msg_to_dst is not None:
+                branches.append(
+                    e.select(
+                        F.col("edge_dst").alias("__tgt"),
+                        F.col("edge_src").alias("__nbr"),
+                        F.lit(0).alias("__dir"),
+                        *ecols,
+                    )
+                )
+            if msg_to_src is not None:
+                branches.append(
+                    e.select(
+                        F.col("edge_src").alias("__tgt"),
+                        F.col("edge_dst").alias("__nbr"),
+                        F.lit(1).alias("__dir"),
+                        *ecols,
+                    )
+                )
+            contrib = (
+                branches[0]
+                if len(branches) == 1
+                else branches[0].unionByName(branches[1])
+            )
+            nbr_state = state.select(
+                F.col("id").alias("__nbr"),
+                *[F.col(c).alias(f"src_{c}") for c in state_cols],
+                *[F.col(c).alias(f"dst_{c}") for c in state_cols],
+            )
+            joined = contrib.join(nbr_state, "__nbr")
+            if msg_to_dst is not None and msg_to_src is not None:
+                msg = F.when(F.col("__dir") == 0, msg_to_dst).otherwise(
+                    msg_to_src
+                )
+            else:
+                msg = msg_to_dst if msg_to_dst is not None else msg_to_src
+            msgs = joined.select(F.col("__tgt").alias("id"), msg.alias(MSG))
+        else:
+            src_state = state.select(
+                F.col("id").alias("edge_src"),
+                *[F.col(c).alias(f"src_{c}") for c in state_cols],
+            )
+            dst_state = state.select(
+                F.col("id").alias("edge_dst"),
+                *[F.col(c).alias(f"dst_{c}") for c in state_cols],
+            )
+            triplets = e.join(src_state, "edge_src").join(dst_state, "edge_dst")
+            if msg_to_dst is not None and msg_to_src is not None:
+                # both messages from ONE execution of the triplets join —
+                # the former union of two selects re-ran the join per branch
+                try:
+                    pair = F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("edge_dst").alias("id"),
+                                msg_to_dst.alias(MSG),
+                            ),
+                            F.struct(
+                                F.col("edge_src").alias("id"),
+                                msg_to_src.alias(MSG),
+                            ),
+                        )
+                    )
+                    msgs = triplets.select(pair.alias("__m")).select(
+                        "__m.id", f"__m.{MSG}"
+                    )
+                except Exception:  # noqa: BLE001 — struct types not unifiable
+                    msgs = triplets.select(
+                        F.col("edge_dst").alias("id"), msg_to_dst.alias(MSG)
+                    ).unionByName(
+                        triplets.select(
+                            F.col("edge_src").alias("id"),
+                            msg_to_src.alias(MSG),
+                        )
+                    )
+            elif msg_to_dst is not None:
+                msgs = triplets.select(
                     F.col("edge_dst").alias("id"), msg_to_dst.alias(MSG)
                 )
-            )
-        if msg_to_src is not None:
-            outboxes.append(
-                triplets.select(
+            else:
+                msgs = triplets.select(
                     F.col("edge_src").alias("id"), msg_to_src.alias(MSG)
                 )
-            )
-        msgs = outboxes[0] if len(outboxes) == 1 else outboxes[0].unionByName(outboxes[1])
         inbox = (
             msgs.filter(F.col(MSG).isNotNull())
             .groupBy("id")
             .agg(agg.alias(MSG))
         )
+        # convergence probe as a df.observe at the plan root, collected as
+        # a side effect of the eager localCheckpoint that materializes the
+        # round (the connected_components discipline) — zero extra jobs,
+        # so it runs EVERY round (the former alternate-round anti-join
+        # probe cost a full propagation-sized job per check).
+        obs = Observation()
         new_state = tracked_local_checkpoint(
-            state.join(inbox, "id", "left").select(
+            state.join(inbox, "id", "left")
+            .select(
                 "id",
                 *[update.get(c, F.col(c)).alias(c) for c in state_cols],
+                *[F.col(c).alias(f"__prev_{c}") for c in state_cols],
+            )
+            .observe(
+                obs,
+                F.count(F.when(F.expr(probe), 1)).alias("changed"),
             )
         )
-        if check_every and (it + 1) % check_every == 0:
-            changed = (
-                new_state.alias("n")
-                .join(state.alias("o"), "id")
-                .filter(
-                    " OR ".join(
-                        f"NOT (n.{c} <=> o.{c})" for c in state_cols
-                    )
-                )
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                free_checkpoint(state)
-                free_checkpoint(e)
-                return new_state
-        # new_state is materialized (eager checkpoint); drop the superseded
-        # round's pinned RDD blocks (via the JVM handle — plain
-        # DataFrame.unpersist leaves localCheckpoint blocks pinned) so long
-        # loops don't accrete executor memory.
         free_checkpoint(state)
         state = new_state
+        if obs.get["changed"] == 0:
+            break
     free_checkpoint(e)
-    return state
+    return adopt_tracking(state, state.select("id", *state_cols))
