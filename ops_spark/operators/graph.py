@@ -138,15 +138,27 @@ def pagerank(
         # from `nodes`, whose blocks the free_checkpoint below releases —
         # evaluating that result later would fail (truncated lineage).
         raise ValueError("pagerank requires iterations >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = tracked_local_checkpoint(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
+    from pyspark.sql import Observation
+
+    # Materialize the (possibly expensive) edge input ONCE: nodes, deg and
+    # graph all derive from it — un-checkpointed, the upstream plan would
+    # execute three times during setup (the connected_components discipline).
+    ein = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
-    n = nodes.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    graph = tracked_local_checkpoint(e.join(deg, "src"))  # (src, dst, out_deg)
+    # vertex count rides the nodes checkpoint as an observe — the former
+    # standalone nodes.count() job is free
+    obs = Observation()
+    nodes = tracked_local_checkpoint(
+        ein.select(F.col("src").alias("id"))
+        .union(ein.select(F.col("dst").alias("id")))
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    n = obs.get["n"]
+    deg = ein.groupBy("src").agg(F.count("*").alias("out_deg"))
+    graph = tracked_local_checkpoint(ein.join(deg, "src"))  # (src, dst, out_deg)
+    free_checkpoint(ein)  # nodes/graph materialized eagerly above
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
