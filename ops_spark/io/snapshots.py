@@ -3258,15 +3258,37 @@ def snapshot_diff(
         )
     else:
         changed = F.lit(False)  # key-only table: a matched key is a copy
-    pre_rows = j.filter(p_here & (~q_here | (q_here & changed))).select(
-        *[F.col(f"p.{c}").alias(c) for c in cols],
-        F.when(q_here, F.lit("update_pre")).otherwise(F.lit("delete")).alias("__change"),
+    # Both change rows come from ONE execution of the full-outer join:
+    # the former pre_rows UNION post_rows was two filters over the same
+    # join subtree, which planned (and ran) the churned-file read + join
+    # twice per consumer. Each joined row now emits its 0-2 change rows
+    # through a single explode — copy rows produce an empty array and
+    # vanish inside the generate.
+    pre_struct = F.when(
+        p_here & (~q_here | (q_here & changed)),
+        F.struct(
+            *[F.col(f"p.{c}").alias(c) for c in cols],
+            F.when(q_here, F.lit("update_pre"))
+            .otherwise(F.lit("delete"))
+            .alias("__change"),
+        ),
     )
-    post_rows = j.filter(q_here & (~p_here | (p_here & changed))).select(
-        *[F.col(f"q.{c}").alias(c) for c in cols],
-        F.when(p_here, F.lit("update_post")).otherwise(F.lit("insert")).alias("__change"),
+    post_struct = F.when(
+        q_here & (~p_here | (p_here & changed)),
+        F.struct(
+            *[F.col(f"q.{c}").alias(c) for c in cols],
+            F.when(p_here, F.lit("update_post"))
+            .otherwise(F.lit("insert"))
+            .alias("__change"),
+        ),
     )
-    return pre_rows.unionByName(post_rows)
+    return j.select(
+        F.explode(
+            F.filter(
+                F.array(pre_struct, post_struct), lambda x: x.isNotNull()
+            )
+        ).alias("__r")
+    ).select("__r.*")
 
 
 def aggregate_snapshot(
