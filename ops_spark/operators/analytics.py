@@ -67,27 +67,57 @@ def scd2_merge(
     has_cur = F.col(f"cur.{key_cols[0]}").isNotNull()
     has_upd = F.col(f"upd.{key_cols[0]}").isNotNull()
 
-    # 1. Open rows with no update, or with an identical update: unchanged.
-    unchanged = j.filter(has_cur & (~has_upd | ~changed_cond)).select(
-        *[F.col(c).alias(c.split(".")[1]) for c in cur_cols],
-        F.col(f"cur.{eff_col}").alias(eff_col),
-        F.col(f"cur.{end_col}").alias(end_col),
-    )
-    # 2. Open rows whose tracked values changed: closed at update_ts.
-    closed_now = j.filter(has_cur & has_upd & changed_cond).select(
-        *[F.col(c).alias(c.split(".")[1]) for c in cur_cols],
-        F.col(f"cur.{eff_col}").alias(eff_col),
-        F.col(f"upd.{update_ts}").alias(end_col),
-    )
-    # 3. New versions: changed keys + brand-new keys, open-ended.
-    new_rows = j.filter(has_upd & (~has_cur | changed_cond)).select(
-        *[F.col(c).alias(c.split(".")[1]) for c in upd_cols],
-        F.col(f"upd.{update_ts}").alias(eff_col),
-        F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
+    # All three merge outcomes come from ONE execution of the full-outer
+    # join: the former three-way filter+union re-planned (and re-ran) the
+    # join per branch. Each joined row emits its 1-2 output rows through
+    # a single explode over conditional structs:
+    # 1. open row with no update, or an identical update: unchanged;
+    # 2. open row whose tracked values changed: closed at update_ts;
+    # 3. changed keys + brand-new keys: a new open-ended version.
+    def _branch(cond, cols_src, eff, end):
+        return F.when(
+            cond,
+            F.struct(
+                *[F.col(c).alias(c.split(".")[1]) for c in cols_src],
+                eff.alias(eff_col),
+                end.alias(end_col),
+            ),
+        )
+
+    null_end = F.lit(None).cast(current.schema[end_col].dataType)
+    merged = (
+        j.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        _branch(
+                            has_cur & (~has_upd | ~changed_cond),
+                            cur_cols,
+                            F.col(f"cur.{eff_col}"),
+                            F.col(f"cur.{end_col}"),
+                        ),
+                        _branch(
+                            has_cur & has_upd & changed_cond,
+                            cur_cols,
+                            F.col(f"cur.{eff_col}"),
+                            F.col(f"upd.{update_ts}"),
+                        ),
+                        _branch(
+                            has_upd & (~has_cur | changed_cond),
+                            upd_cols,
+                            F.col(f"upd.{update_ts}"),
+                            null_end,
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("__r")
+        )
+        .select("__r.*")
     )
     return closed_rows.select(
         *key_cols, *tracked_cols, eff_col, end_col
-    ).unionByName(unchanged).unionByName(closed_now).unionByName(new_rows)
+    ).unionByName(merged)
 
 
 def funnel_steps(

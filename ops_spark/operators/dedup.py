@@ -557,22 +557,33 @@ def embedding_cosine_pairs(
     )
     # A row with chunk c is the A side of block pairs (c, cb≥c) and the B
     # side of (ca≤c, c); the diagonal block sees it on both sides and the
-    # id_a < id_b mask dedups.
-    side_a = v.select(
-        F.col("c").alias("ca"),
-        F.explode(F.sequence(F.col("c"), F.lit(P - 1))).alias("cb"),
-        F.lit("a").alias("side"),
+    # id_a < id_b mask dedups. Both sides come from ONE explode over the
+    # concatenated per-side key arrays — the former side_a UNION side_b
+    # executed the corpus scan + hash projection twice.
+    both = v.select(
         "id",
         "v",
-    )
-    side_b = v.select(
-        F.explode(F.sequence(F.lit(0), F.col("c"))).alias("ca"),
-        F.col("c").alias("cb"),
-        F.lit("b").alias("side"),
-        "id",
-        "v",
-    )
-    both = side_a.unionByName(side_b)
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.col("c"), F.lit(P - 1)),
+                    lambda cb: F.struct(
+                        F.col("c").alias("ca"),
+                        cb.alias("cb"),
+                        F.lit("a").alias("side"),
+                    ),
+                ),
+                F.transform(
+                    F.sequence(F.lit(0), F.col("c")),
+                    lambda ca: F.struct(
+                        ca.alias("ca"),
+                        F.col("c").alias("cb"),
+                        F.lit("b").alias("side"),
+                    ),
+                ),
+            )
+        ).alias("__p"),
+    ).select("__p.ca", "__p.cb", "__p.side", "id", "v")
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         left = pdf[pdf["side"] == "a"]

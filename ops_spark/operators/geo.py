@@ -177,31 +177,32 @@ def spatial_self_pairs(
     """All (id_a < id_b, dist_km) pairs within ``radius_km``.
 
     Each unordered pair is enumerated EXACTLY once, so there is no
-    distinct/dedup stage anywhere in the plan: same-cell pairs come from
-    a home x home join gated by id_a < id_b; cross-cell pairs from a
-    4-forward-cells x home join — for any cross-cell pair exactly one
-    endpoint's forward probes contain the other's home cell (the reverse
-    offset is backward), and the output is canonicalized to (min, max)
-    id order (dist_km is orientation-symmetric arithmetic). Candidate
-    volume is local density x the probed area (~2x the true disk),
-    never |df|^2.
+    distinct/dedup stage anywhere in the plan: the probe side explodes
+    to home + 4 forward cells and joins the home-cell build side ONCE —
+    same-cell pairs are the rows whose probe cell IS the probe point's
+    home cell, gated by id_a < id_b; cross-cell pairs come from the
+    forward probes (for any cross-cell pair exactly one endpoint's
+    forward probes contain the other's home cell — the reverse offset is
+    backward). The former same-join UNION cross-join shape ran two joins
+    and scanned the point set four times; this is one join over two
+    scans, with the identical candidate multiset. Output is canonicalized
+    to (min, max) id order (dist_km is orientation-symmetric
+    arithmetic). Candidate volume is local density x the probed area
+    (~2x the true disk), never |df|^2.
     """
     probe, build = _sides(
-        df, df, id_col, lat_col, lon_col, radius_km, min_cos_lat, _FORWARD_4
+        df, df, id_col, lat_col, lon_col, radius_km, min_cos_lat,
+        [(0, 0)] + _FORWARD_4,
     )
-    home = build
-    same = (
-        home.select(
-            F.col("id_b").alias("id_a"),
-            F.col("lat_b").alias("lat_a"),
-            F.col("lon_b").alias("lon_a"),
-            "cell",
-        )
-        .join(build, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+    h, m = _grid_params(radius_km)
+    home_a = _cell_at(
+        F.col("lat_a"), F.col("lon_a"), 0, 0, h, radius_km, min_cos_lat, m
     )
-    cross = probe.join(build, "cell")
-    cand = same.unionByName(cross).drop("cell")
+    cand = (
+        probe.join(build, "cell")
+        .filter((F.col("cell") != home_a) | (F.col("id_a") < F.col("id_b")))
+        .drop("cell")
+    )
     return _dist_filtered(cand, radius_km).select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
