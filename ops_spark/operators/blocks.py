@@ -46,6 +46,107 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+#: Default input-bytes threshold for materialize_if_large. Chosen so the
+#: gate stays INLINE at the fixture scales the driver benches (sf0.1
+#: documents ≈ 0.6 MB, events ≈ 2 MB — where r11 measured every candidate
+#: checkpoint SLOWER, because duplicated column-pruned passes run
+#: concurrently on idle local cores while a checkpoint serializes
+#: materialize-then-consume) and CHECKPOINTS at the 100x derived scale and
+#: beyond (documents ≈ 15 MB, events ≈ 200 MB — where each duplicated pass
+#: is a full corpus scan+explode that no longer hides behind idle cores;
+#: at the 100 TB target the trade is not close). The crossover is
+#: box-dependent, so it is a conf/env knob, not a constant baked into any
+#: plan: production deployments can raise it, but any real corpus sits
+#: orders of magnitude above ANY sensible setting, which is why the exact
+#: default matters only for keeping fixture benches comparable.
+DEFAULT_MATERIALIZE_MIN_BYTES = 8 * 1024 * 1024
+
+_MATERIALIZE_CONF = "spark.ops_spark.materialize.minInputBytes"
+_MATERIALIZE_ENV = "OPS_SPARK_MATERIALIZE_MIN_BYTES"
+
+# Catalyst reports defaultSizeInBytes (Long.MaxValue-ish) for leaves it
+# cannot size (e.g. a bare LogicalRDD without stats); treat anything that
+# large as "unknown", not as evidence of a huge input.
+_UNKNOWN_SIZE_FLOOR = 1 << 60
+
+
+def estimated_input_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate summed over the plan's DISTINCT leaf
+    relations — the bytes of the sources feeding this plan, which is what
+    a checkpoint-vs-inline decision needs (guide §1.2: the cost of the
+    duplicated pass scales with its input). Driver-side plan walk, no
+    Spark job: file-source leaves report their on-disk file-size sum
+    (times spark.sql.sources.fileCompressionFactor).
+
+    Distinct, not per-reference: an iterative plan (funnel, loops)
+    references the SAME source many times, and summing every reference
+    would make the gate fire on plan depth rather than on data size —
+    the threshold is calibrated against source scale. Leaves are deduped
+    by file location when available, falling back to (class, size).
+    Returns -1 when no leaf could be sized (Connect / restricted gateway
+    / stats-less RDD scans), letting callers fall back to the
+    conservative inline path.
+    """
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        sizes: dict[str, int] = {}
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            size = int(leaf.stats().sizeInBytes())
+            if not (0 <= size < _UNKNOWN_SIZE_FLOOR):
+                continue
+            try:
+                key = leaf.relation().location().rootPaths().toString()
+            except Exception:  # noqa: BLE001 — non-file leaf (RDD, local)
+                key = f"{leaf.getClass().getName()}:{size}"
+            sizes[key] = size
+        return sum(sizes.values()) if sizes else -1
+    except Exception:  # noqa: BLE001 — estimation must never break a query
+        return -1
+
+
+def materialize_min_bytes(spark) -> int:
+    """Resolve the gate threshold: session conf beats env beats default."""
+    raw = None
+    try:
+        raw = spark.conf.get(_MATERIALIZE_CONF, None)
+    except Exception:  # noqa: BLE001
+        pass
+    if raw is None:
+        import os
+
+        raw = os.environ.get(_MATERIALIZE_ENV)
+    try:
+        return int(raw) if raw is not None else DEFAULT_MATERIALIZE_MIN_BYTES
+    except ValueError:
+        return DEFAULT_MATERIALIZE_MIN_BYTES
+
+
+def materialize_if_large(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Size-aware checkpoint-vs-inline gate (guide §5; VERDICT r11 #1).
+
+    A multi-consumer intermediate whose consumers include broadcast builds
+    is re-executed per build (AQE exchange reuse does not dedup broadcast
+    builds — r11 items 14/15), so WITHOUT materialization the upstream
+    pipeline runs N times. At fixture scale that duplication measured
+    FASTER than a checkpoint (idle cores absorb the concurrent duplicate
+    passes); at corpus scale each duplicate is a full input pass and the
+    checkpoint wins by construction. This helper makes the choice from the
+    estimated upstream input bytes instead of baking either local-mode or
+    cluster assumption into the plan.
+
+    Returns ``tracked_local_checkpoint(df)`` when the estimate meets the
+    threshold, ``df`` unchanged when it is below or unknown. Callers can
+    ``adopt_tracking``/``free_checkpoint`` the result unconditionally —
+    both are no-ops on the inline path.
+    """
+    thr = threshold if threshold is not None else materialize_min_bytes(df.sparkSession)
+    est = estimated_input_bytes(df)
+    if est < 0 or est < thr:
+        return df
+    return tracked_local_checkpoint(df)
+
+
 def adopt_tracking(src: DataFrame, dst: DataFrame) -> DataFrame:
     """Carry src's tracked checkpoint ids onto a derived dst (e.g. a final
     ``.select()`` over the last round) so callers can free the result."""

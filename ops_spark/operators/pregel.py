@@ -66,6 +66,21 @@ def _resolves(spark, expr: Column, fields) -> bool:
         return False
 
 
+def _probe_schema(spark, expr: Column, fields):
+    """The (name, type) signature ``expr`` produces against ``fields``, or
+    None when it does not resolve. Schema-dependent expressions such as
+    ``struct('*')``/``colRegex`` resolve against MANY frames but expand
+    differently per frame — comparing the resolved output signature across
+    frames detects that (ADVICE r11: a bare _resolves probe was fooled)."""
+    from pyspark.sql.types import StructType
+
+    try:
+        out = spark.createDataFrame([], StructType(fields)).select(expr)
+        return [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
+    except Exception:  # noqa: BLE001 — unresolved column / type error
+        return None
+
+
 def pregel(
     vertices: DataFrame,
     edges: DataFrame,
@@ -77,7 +92,7 @@ def pregel(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 10,
-    check_every: int = 0,
+    check_every: int | None = None,
 ) -> DataFrame:
     """Run a vertex program; returns the final vertex-state DataFrame.
 
@@ -90,11 +105,18 @@ def pregel(
     update: {state_col: expression over old state cols + MSG} applied to
         every vertex each round (MSG is null for an empty inbox — express
         "keep state" with coalesce/least as the algorithm requires).
-    check_every: retained for API compatibility. The convergence probe now
-        rides every round's checkpoint as a free ``observe`` count, so the
-        loop always exits at the first round that changed no vertex state —
-        which is provably the final answer (fixed point), independent of
-        max_iter. Round COUNT may therefore be lower than max_iter; the
+    check_every: early-exit cadence. The convergence probe rides every
+        round's checkpoint as a free ``observe`` count, so the default
+        (None) exits at the first round that changed no vertex state —
+        provably the final answer for DETERMINISTIC message/update
+        expressions (a no-change round is a fixed point, so the remaining
+        rounds recompute the identical state). ``0`` = pure
+        fixed-iteration: never exit early — the contract for programs
+        whose expressions are non-deterministic, where the fixed-point
+        argument does not hold. k>0 = consider exiting only every k-th
+        round (the historical probe cadence; the observe is free either
+        way, so this only constrains WHEN the loop may stop).
+        Round COUNT under early exit may be lower than max_iter; the
         returned STATE is identical.
     """
     if msg_to_dst is None and msg_to_src is None:
@@ -126,25 +148,72 @@ def pregel(
     # produces every message.
     from pyspark.sql.types import StructField
 
-    e_fields = [StructField(f.name, f.dataType, True) for f in e.schema.fields]
+    from pyspark.sql.types import IntegerType
+
+    e_fields =[StructField(f.name, f.dataType, True) for f in e.schema.fields]
     st_types = {f.name: f.dataType for f in state.schema.fields}
+    id_type = state.schema["id"].dataType
     src_fields = [
         StructField(f"src_{c}", st_types[c], True) for c in state_cols
     ]
     dst_fields = [
         StructField(f"dst_{c}", st_types[c], True) for c in state_cols
     ]
-    one_sided = (
-        msg_to_dst is None or _resolves(spark, msg_to_dst, e_fields + src_fields)
-    ) and (
-        msg_to_src is None or _resolves(spark, msg_to_src, e_fields + dst_fields)
+    # The frame the one-sided path would actually evaluate messages in:
+    # direction tags visible, BOTH side aliases bound to the sender's state.
+    one_sided_fields = (
+        [
+            StructField("__tgt", id_type, True),
+            StructField("__nbr", id_type, True),
+            StructField("__dir", IntegerType(), False),
+        ]
+        + e_fields
+        + src_fields
+        + dst_fields
     )
+
+    def _one_sided_ok(expr: Column | None, fields) -> bool:
+        """expr reads only its own side AND produces the same resolved
+        output signature in the one-sided joined frame as in the probe
+        frame — schema-dependent expressions (struct('*'), colRegex) can
+        resolve in both frames yet EXPAND differently where __tgt/__nbr/
+        __dir and the doubled side aliases are visible (ADVICE r11); a
+        signature mismatch falls back to the triplets join."""
+        if expr is None:
+            return True
+        sig = _probe_schema(spark, expr, fields)
+        return sig is not None and sig == _probe_schema(
+            spark, expr, one_sided_fields
+        )
+
+    one_sided = _one_sided_ok(msg_to_dst, e_fields + src_fields) and _one_sided_ok(
+        msg_to_src, e_fields + dst_fields
+    )
+    if one_sided and msg_to_dst is not None and msg_to_src is not None:
+        # the dual-direction path unifies the two message types through one
+        # CaseWhen — if coercion cannot unify them (the triplets path
+        # catches the analogous array-unification failure), fall back to
+        # the triplets shape instead of raising mid-loop (ADVICE r11)
+        merged = F.when(F.lit(True), msg_to_dst).otherwise(msg_to_src)
+        one_sided = _resolves(spark, merged, one_sided_fields)
 
     from pyspark.sql import Observation
 
-    probe = " OR ".join(f"NOT (`{c}` <=> `__prev_{c}`)" for c in state_cols)
+    # changed-count from the PRE-update frame: compare each update
+    # expression against the old column directly inside the observe
+    # aggregate, so the checkpointed projection carries only the new state
+    # (the former __prev_* mirror doubled every round's pinned block
+    # memory for wide-state programs and collided with user columns
+    # literally named __prev_<col> — ADVICE r11). Columns without an
+    # update expression are copied verbatim and can never differ.
+    changed_probe = None
+    for c in update:
+        delta = ~update[c].eqNullSafe(F.col(c))
+        changed_probe = delta if changed_probe is None else (changed_probe | delta)
+    if changed_probe is None:  # no update expressions: nothing can change
+        changed_probe = F.lit(False)
 
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         if one_sided:
             # ONE state join: tag each edge with the message direction and
             # flip it so __nbr is the state-carrying side; the neighbor's
@@ -218,9 +287,14 @@ def pregel(
                         "__m.id", f"__m.{MSG}"
                     )
                 except Exception:  # noqa: BLE001 — struct types not unifiable
+                    # positional union, NOT unionByName: both branches emit
+                    # exactly (id, MSG) by construction, and set-operation
+                    # type-widening coerces struct types field-by-position
+                    # (ignoring field names) where unionByName and CaseWhen
+                    # both reject a field-name mismatch
                     msgs = triplets.select(
                         F.col("edge_dst").alias("id"), msg_to_dst.alias(MSG)
-                    ).unionByName(
+                    ).union(
                         triplets.select(
                             F.col("edge_src").alias("id"),
                             msg_to_src.alias(MSG),
@@ -247,19 +321,21 @@ def pregel(
         obs = Observation()
         new_state = tracked_local_checkpoint(
             state.join(inbox, "id", "left")
+            .observe(
+                obs,
+                F.count(F.when(changed_probe, 1)).alias("changed"),
+            )
             .select(
                 "id",
                 *[update.get(c, F.col(c)).alias(c) for c in state_cols],
-                *[F.col(c).alias(f"__prev_{c}") for c in state_cols],
-            )
-            .observe(
-                obs,
-                F.count(F.when(F.expr(probe), 1)).alias("changed"),
             )
         )
         free_checkpoint(state)
         state = new_state
-        if obs.get["changed"] == 0:
+        may_exit = check_every is None or (
+            check_every > 0 and round_no % check_every == 0
+        )
+        if may_exit and obs.get["changed"] == 0:
             break
     free_checkpoint(e)
     return adopt_tracking(state, state.select("id", *state_cols))

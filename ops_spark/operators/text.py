@@ -806,17 +806,20 @@ def char_bigram_lm_scores(
         f" i -> substring({text_col}, i, 1))"
         f" ELSE array() END"
     )
-    # NOT checkpointed (measured, r11 session 3): the executed fixture
-    # plan runs 11 live corpus scans — the model/ctx broadcast-build
-    # subtrees each inline the bigram explode, and AQE exchange reuse
-    # dedups only some of them. A tracked_local_checkpoint of gcounts
-    # fixes that (1 explode) but measured ~1.5 s SLOWER in 3/3
-    # interleaved A/B cycles at sf0.1 (6.2-7.7 s vs 4.7-5.5 s): the
-    # duplicated builds run concurrently on idle cores while the
-    # checkpoint serializes materialize-then-consume. fluency_score_e6
-    # keeps the checkpoint (its A/B won); revisit here if corpus passes
-    # dominate at real scale.
-    gcounts = (
+    # SIZE-GATED checkpoint (materialize_if_large, VERDICT r11 #1): the
+    # executed fixture plan runs 11 live corpus scans without one — the
+    # model/ctx broadcast-build subtrees each inline the bigram explode,
+    # and AQE exchange reuse dedups only some of them. An unconditional
+    # tracked_local_checkpoint fixes that (1 explode) but measured ~1.5 s
+    # SLOWER in 3/3 interleaved A/B cycles at sf0.1 (6.2-7.7 s vs
+    # 4.7-5.5 s): the duplicated builds run concurrently on idle fixture
+    # cores while the checkpoint serializes materialize-then-consume.
+    # Above the input-bytes gate each duplicated build is a full corpus
+    # explode, so the checkpoint wins by construction — the gate encodes
+    # both measurements instead of baking in either scale's assumption.
+    from ops_spark.operators.blocks import adopt_tracking, materialize_if_large
+
+    gcounts = materialize_if_large(
         df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -839,10 +842,13 @@ def char_bigram_lm_scores(
             F.log((F.col("c") + 1.0) / (F.col("cc") + F.col("v"))).alias("logp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.sum("cnt").cast("bigint").alias("n_bigrams"),
-        F.round(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"), 4).alias(
-            "avg_logp"
+    return adopt_tracking(
+        gcounts,
+        scored.groupBy(id_col).agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"), 4).alias(
+                "avg_logp"
+            ),
         ),
     )
 

@@ -2040,3 +2040,186 @@ def test_spatial_topk_density_gate_both_branches(spark):
             ).collect()
         }
         assert got == brute(pts, 200.0, 5)
+
+
+def test_materialize_if_large_gate_thresholds(spark, sf_dir):
+    """Size-aware materialization gate (r12): below the threshold the frame
+    is returned UNCHANGED (no checkpoint barrier at fixture scale); above
+    it the result is an eagerly-materialized tracked checkpoint whose
+    blocks free_checkpoint can release."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.blocks import (
+        _persistent_ids,
+        estimated_input_bytes,
+        free_checkpoint,
+        materialize_if_large,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = estimated_input_bytes(docs.select("doc_id", "text"))
+    assert est > 0  # file-source leaves are sizable driver-side
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+    inline = materialize_if_large(agg, threshold=est + 1)
+    assert inline is agg  # below gate: identity, no barrier
+
+    before = _persistent_ids(spark)
+    ckpt = materialize_if_large(agg, threshold=est)
+    assert ckpt is not agg
+    pinned = _persistent_ids(spark) - before
+    assert pinned  # eager checkpoint pinned blocks
+    assert sorted(ckpt.collect()) == sorted(agg.collect())
+    free_checkpoint(ckpt)
+    assert not (_persistent_ids(spark) & pinned)
+
+
+def test_gated_operators_identical_results_both_gate_sides(spark, sf_dir):
+    """The three size-gated paths (char-bigram LM, funnel, minhash-LSH
+    dedup) must compute identical rows whether the gate fires or not —
+    the gate may only change plan shape, never results."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.analytics import funnel_steps
+    from ops_spark.operators.dedup import minhash_lsh_dedup
+    from ops_spark.operators.text import char_bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    conf_key = "spark.ops_spark.materialize.minInputBytes"
+
+    def both(build):
+        spark.conf.set(conf_key, str(1 << 50))
+        off = sorted(map(tuple, build().collect()))
+        spark.conf.set(conf_key, "1")
+        try:
+            on = sorted(map(tuple, build().collect()))
+        finally:
+            spark.conf.unset(conf_key)
+        return off, on
+
+    off, on = both(lambda: char_bigram_lm_scores(docs))
+    assert off == on and off
+    off, on = both(
+        lambda: funnel_steps(events, ["view", "click", "purchase"])
+    )
+    assert off == on and off
+    off, on = both(
+        lambda: minhash_lsh_dedup(docs.limit(300)).select("doc_id")
+    )
+    assert off == on and off
+
+
+def test_pregel_check_every_zero_is_pure_fixed_iteration(spark):
+    """check_every=0 contract (ADVICE r11): NEVER exit early, even though
+    the free observe probe sees a no-change round — the escape hatch for
+    non-deterministic vertex programs where the fixed-point argument does
+    not hold. Pinned via Spark job counts: the already-converged graph
+    below stabilizes in round 1, so auto mode (None) runs 1-2 rounds while
+    check_every=0 must run all 5."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.pregel import MSG, pregel
+
+    verts = spark.createDataFrame([(1, 0), (2, 0)], "id bigint, v bigint")
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+
+    def run(**kw):
+        ss = spark._jsparkSession.sparkContext().statusStore()
+        j0 = ss.jobsList(None).size()
+        out = pregel(
+            verts,
+            edges,
+            update={"v": F.least(F.col("v"), F.col(MSG))},
+            agg=F.min(F.col(MSG)),
+            msg_to_dst=F.col("src_v"),
+            max_iter=5,
+            **kw,
+        )
+        rows = {r.id: r.v for r in out.collect()}
+        return rows, ss.jobsList(None).size() - j0
+
+    rows_auto, jobs_auto = run()
+    rows_fixed, jobs_fixed = run(check_every=0)
+    assert rows_auto == rows_fixed == {1: 0, 2: 0}
+    assert jobs_fixed > jobs_auto  # 5 rounds vs early exit
+
+
+def test_pregel_schema_dependent_message_falls_back_to_triplets(spark):
+    """struct('*') resolves against ANY frame but expands per frame — the
+    one-sided probe must detect the signature mismatch and fall back to
+    the triplets join (ADVICE r11), else the message would silently
+    include __tgt/__nbr/__dir and the doubled side aliases."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.pregel import MSG, pregel
+
+    verts = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    out = pregel(
+        verts,
+        edges,
+        update={"v": F.coalesce(F.col(MSG), F.col("v"))},
+        agg=F.max(F.col(MSG)),
+        msg_to_dst=F.to_json(F.struct("*")),
+        max_iter=1,
+        check_every=0,
+    )
+    got = {r.id: r.v for r in out.collect()}
+    # triplet semantics: all four triplet columns (join-key order),
+    # nothing else — no __tgt/__nbr/__dir, no doubled side aliases
+    assert got[2] == '{"edge_dst":2,"edge_src":1,"src_v":"a","dst_v":"b"}'
+    assert got[1] == "a"
+
+
+def test_pregel_uncoercible_dual_messages_fall_back(spark):
+    """When the two one-sided message types cannot be unified by CaseWhen
+    coercion (struct field names differ), the operator must fall back to
+    the triplets/union shape instead of raising mid-loop (ADVICE r11)."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.pregel import MSG, pregel
+
+    verts = spark.createDataFrame([(1, 5), (2, 7)], "id bigint, v bigint")
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    out = pregel(
+        verts,
+        edges,
+        update={"v": F.coalesce(F.col(MSG).getField("x"), F.col("v"))},
+        agg=F.min(F.col(MSG)),
+        msg_to_dst=F.struct(F.col("src_v").alias("x")),
+        msg_to_src=F.struct(F.col("dst_v").alias("y")),
+        max_iter=1,
+        check_every=0,
+    )
+    got = {r.id: r.v for r in out.collect()}
+    # set-operation widening unifies the structs positionally (field names
+    # from the first branch): dst received {x:5}, src received {y:7}
+    # re-labelled x=7 — standard Spark union semantics, and no exception
+    assert got == {1: 7, 2: 5}
+
+
+def test_pregel_state_column_named_prev_no_collision(spark):
+    """A user state column literally named __prev_<other col> must survive:
+    the old probe projected __prev_* mirrors of every state column into
+    the checkpoint (duplicate-name analysis error + 2x pinned width);
+    the changed-count now rides the pre-update frame (ADVICE r11)."""
+    from pyspark.sql import functions as F
+
+    from ops_spark.operators.pregel import MSG, pregel
+
+    verts = spark.createDataFrame(
+        [(1, 1, 9), (2, 2, 8)], "id bigint, comp bigint, __prev_comp bigint"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    out = pregel(
+        verts,
+        edges,
+        update={"comp": F.least(F.col("comp"), F.col(MSG))},
+        agg=F.min(F.col(MSG)),
+        msg_to_dst=F.col("src_comp"),
+        msg_to_src=F.col("dst_comp"),
+        max_iter=4,
+    )
+    got = {r["id"]: (r["comp"], r["__prev_comp"]) for r in out.collect()}
+    assert got == {1: (1, 9), 2: (1, 8)}
