@@ -1845,6 +1845,41 @@ def _log_prune_decision(entry: dict, key: str, qlo, qhi) -> bool | None:
         return None  # incomparable encodings → caller's fallback
 
 
+class _Rng:
+    """Duck-typed stand-in for the preamble Row: .lo/.hi key range."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo, hi):
+        self.lo = lo
+        self.hi = hi
+
+
+def _fuse_preamble_max_rows(spark) -> int:
+    """Row-count ceiling under which a merge target counts as SMALL: the
+    standalone source preamble job exists to feed stats pruning, and
+    pruning a table this small cannot pay for that extra source pass —
+    the preamble facts ride the touch join as an observation instead.
+    Conf knob with a local-friendly default; at any real scale the log
+    row totals exceed every sensible setting and the pruning posture is
+    kept."""
+    try:
+        raw = spark.conf.get("spark.ops_spark.merge.fusePreambleMaxRows", None)
+        if raw is not None:
+            return int(raw)
+    except Exception:  # noqa: BLE001
+        pass
+    return 10_000_000
+
+
+def _raise_dup_merge_keys(src_keys) -> None:
+    """Fetch one duplicate-key example (error path only) and raise."""
+    dup = src_keys.filter(F.col("__n") > 1).limit(1).collect()
+    raise SnapshotError(
+        f"source has duplicate merge keys, e.g. {dup[0][:-1]}"
+    )
+
+
 def _stats_prune(
     path: str,
     files: list[str],
@@ -2024,35 +2059,59 @@ def merge_snapshot(
                     "files that diverge from the table schema)"
                 )
 
+    live = st.live
+    # log stats (and footers) are keyed by the PHYSICAL column name
+    phys_key = _physical_name(target_schema[on[0]])
+
     # ONE source pass for both preamble facts: the ambiguity guard
     # (Delta semantics: >1 source row per key is an error) and the
     # leading-key range for phase-1 stats pruning. The per-key groupBy
     # covers every key, so min/max over the groups == min/max over rows;
     # the dup EXAMPLE is fetched by a second job only on the error path.
-    rng = (
-        source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
-        .agg(
+    #
+    # SMALL-TABLE FUSION (VERDICT r11 #4): when the commit log PROVES the
+    # live table small (every live file has a logged row count and the
+    # total is under the knob below), phase-1 pruning cannot pay for a
+    # standalone source job — a key-column scan of the whole table is
+    # trivial — so the preamble facts ride the touch-detection join as a
+    # free observation instead (dup guard = max per-key count; lo/hi for
+    # the commit's merge_range/OCC read-set, needed only after the scan).
+    # Big or stats-less tables keep the standalone job: they are exactly
+    # where pre-scan pruning matters, and pruning needs lo/hi FIRST.
+    src_keys = source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+    pre_obs = None
+    live_rows = [st.stats.get(rel, {}).get("rows") for rel in live]
+    # BOTH bounds must hold: rows bound the key-column scan the fusion
+    # gives up pruning on; the FILE bound matters independently because
+    # pruning's value scales with file count (touch detection opens every
+    # candidate) — a 100+-file CDC table keeps the pruning posture even
+    # when its row total is modest.
+    if live and len(live) <= 32 and all(
+        r is not None for r in live_rows
+    ) and sum(live_rows) <= _fuse_preamble_max_rows(spark):
+        from pyspark.sql import Observation
+
+        pre_obs = Observation()
+        src_key_rows = src_keys.observe(
+            pre_obs,
             F.max("__n").alias("__mx"),
             F.min(on[0]).alias("lo"),
             F.max(on[0]).alias("hi"),
+        ).select(*on)
+        rng = None
+        candidates, pruned, footer_reads = list(live), 0, 0
+    else:
+        src_key_rows = source.select(*on).distinct()
+        rng = src_keys.agg(
+            F.max("__n").alias("__mx"),
+            F.min(on[0]).alias("lo"),
+            F.max(on[0]).alias("hi"),
+        ).first()
+        if (rng["__mx"] or 0) > 1:
+            _raise_dup_merge_keys(src_keys)
+        candidates, pruned, footer_reads = _stats_prune(
+            path, live, phys_key, rng.lo, rng.hi, log_stats=st.stats
         )
-        .first()
-    )
-    if (rng["__mx"] or 0) > 1:
-        dup = (
-            source.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1).limit(1).collect()
-        )
-        raise SnapshotError(
-            f"source has duplicate merge keys, e.g. {dup[0][:-1]}"
-        )
-
-    live = st.live
-    # log stats (and footers) are keyed by the PHYSICAL column name
-    phys_key = _physical_name(target_schema[on[0]])
-    candidates, pruned, footer_reads = _stats_prune(
-        path, live, phys_key, rng.lo, rng.hi, log_stats=st.stats
-    )
 
     # phase 2: exact touch detection — key-column-only scan + semi-join,
     # read through the recorded schema so files predating a schema
@@ -2077,7 +2136,7 @@ def merge_snapshot(
         if dv and not needs_t_vals:
             dv_matched = (
                 cand_df.select(*on, "__dv_file", "__dv_pos")
-                .join(source.select(*on).distinct(), on=on, how="leftsemi")
+                .join(src_key_rows, on=on, how="leftsemi")
             )
             dv_matched.persist()
             hits = (
@@ -2092,11 +2151,20 @@ def merge_snapshot(
             # touched reads
             hits = (
                 cand_df.select(*on, F.col("__dv_file").alias("__f"))
-                .join(source.select(*on).distinct(), on=on, how="leftsemi")
+                .join(src_key_rows, on=on, how="leftsemi")
                 .groupBy("__f").agg(F.count(F.lit(1)).alias("__n")).collect()
             )
         touched = sorted(by_base[r["__f"]] for r in hits)
         n_matched_pre = sum(r["__n"] for r in hits)
+    if pre_obs is not None:
+        # fused preamble: the facts rode the touch job just collected
+        # (candidates == live is non-empty on this path, so it always ran)
+        rng = pre_obs.get
+        if (rng["__mx"] or 0) > 1:
+            if dv_matched is not None:
+                dv_matched.unpersist()
+            _raise_dup_merge_keys(src_keys)
+        rng = _Rng(rng["lo"], rng["hi"])
 
     version = st.latest + 1
     if dv and touched:
@@ -2564,13 +2632,18 @@ def _touched_by_predicate(
             F.count(F.lit(1)).alias("__n"),
             F.count(F.when(cond, 1)).alias("__m"),
         )
+        # untouched files contribute nothing downstream — filtering them
+        # executor-side keeps the driver collect O(touched files), not
+        # O(live files) (VERDICT r11 #7; matters at CDC posture where a
+        # selective predicate touches a sliver of 10^5-10^6 live files)
+        .filter(F.col("__m") > 0)
         .collect()
     )
-    touched = sorted(by_base[r["__f"]] for r in per_file if r["__m"] > 0)
+    touched = sorted(by_base[r["__f"]] for r in per_file)
     if not touched:
         return [], None, 0, 0
-    n_rows = sum(r["__n"] for r in per_file if r["__m"] > 0)
-    n_matched = sum(r["__m"] for r in per_file if r["__m"] > 0)
+    n_rows = sum(r["__n"] for r in per_file)
+    n_matched = sum(r["__m"] for r in per_file)
     return (
         touched,
         _read_files(spark, path, touched, schema, dv=st.dv),

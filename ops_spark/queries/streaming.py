@@ -323,8 +323,17 @@ def x_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-keyed state is high-cardinality (bands x corpus), unlike the
     # fixture joins' few-key state: more store partitions = more parallel
     # Python group processing, and the per-store open/commit overhead is
-    # amortized by real work here
-    out = run_bounded(streaming_lsh_dedup(docs), "append", state_partitions=16)
+    # amortized by real work here. Sized to the session's parallelism
+    # instead of a constant (r12; measured at 32 cores: 4 parts 13.5 s,
+    # 8 parts 8.2 s, 16 parts 5.1 s, 32 parts 4.7 s — the stateful pandas
+    # stage is Python-CPU-bound, so stores == cores keeps every core busy
+    # at any core count; the few-key fixture joins keep 4, where 32
+    # stores measured 2.9x SLOWER from per-store open/commit overhead).
+    out = run_bounded(
+        streaming_lsh_dedup(docs),
+        "append",
+        state_partitions=max(4, spark.sparkContext.defaultParallelism),
+    )
     # one emission per co-bucketed band -> distinct; agreement is a pure
     # function of the pair so it never forks a row
     return out.select("id_a", "id_b", "agreement").distinct()

@@ -1982,14 +1982,19 @@ def source_snapshot_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    b = base.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).first()
+    # the filter cut only needs max(o_orderkey): ride it on the 2PC write
+    # as an observation instead of a standalone agg job (guide §1.2 — one
+    # fewer full source pass; max is idempotent under the range
+    # partitioner's extra sampling execution of the subtree)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    base = base.observe(obs, F.max("o_orderkey").alias("hi"))
     # one 2PC write, 6 range-clustered files -> per-file stats skip
     base.repartitionByRange(6, "o_orderkey").write.format(
         "ops_snapshot"
     ).option("path", tbl).mode("append").save()
-    cut = int(math.floor(b.hi / 3.0))
+    cut = int(math.floor(obs.get["hi"] / 3.0))
     return (
         spark.read.format("ops_snapshot")
         .option("path", tbl)

@@ -1489,7 +1489,8 @@ def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
         n: os.path.getsize(os.path.join(t, "data", n))
         for n in os.listdir(os.path.join(t, "data"))
     }
-    stats = merge_snapshot(spark, t, d([(205, "UPD")]), on=["k"])
+    with _pruning_path(spark):  # pin the at-scale pruning branch
+        stats = merge_snapshot(spark, t, d([(205, "UPD")]), on=["k"])
     assert stats["files_live"] == 4
     assert stats["files_pruned_by_stats"] == 3  # ranges are disjoint
     assert stats["files_rewritten"] == 1
@@ -4278,3 +4279,104 @@ def test_append_slices_checkpoint_cadence(spark, tmp_path):
         S.read_snapshot(spark, t, version=expect - 1).count()
         == 10 * expect
     )
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _pruning_path(spark):
+    """Force the merge preamble's STANDALONE branch (the at-scale pruning
+    posture): the r12 small-table fusion rides the preamble facts on the
+    touch join and skips phase-1 pruning for tables the commit log proves
+    tiny, so tests that pin pruning behavior opt back into the branch
+    pruning lives on."""
+    key = "spark.ops_spark.merge.fusePreambleMaxRows"
+    spark.conf.set(key, "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset(key)
+
+
+def test_snapshot_merge_small_table_fused_preamble(spark, tmp_path):
+    """Small-table merges (log-proven: every live file has logged rows,
+    total under the knob, <= 32 files) skip the standalone dup-guard +
+    key-range source job: the facts ride the touch-detection join as an
+    observation. Pinned here: (a) one fewer Spark job than the forced
+    standalone path for an identical merge, (b) identical results AND
+    identical commit merge_range metadata, (c) the duplicate-key guard
+    still raises on the fused path."""
+    import json
+    import os
+
+    import ops_spark.io.snapshots as S
+
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+
+    def build(t):
+        for base in (0, 100):
+            S.write_snapshot(
+                spark,
+                d([(base + i, f"v{base + i}") for i in range(10)]).coalesce(1),
+                t,
+                mode="append",
+            )
+
+    def last_commit(t):
+        log = sorted(os.listdir(os.path.join(t, "_log")))
+        return json.load(open(os.path.join(t, "_log", log[-1])))
+
+    def jobs():
+        return spark._jsparkSession.sparkContext().statusStore().jobsList(
+            None
+        ).size()
+
+    src = d([(105, "UPD"), (205, "NEW")])
+    t_fused = str(tmp_path / "fused")
+    build(t_fused)
+    j0 = jobs()
+    res_fused = S.merge_snapshot(spark, t_fused, src, on=["k"])
+    fused_jobs = jobs() - j0
+
+    t_std = str(tmp_path / "std")
+    build(t_std)
+    with _pruning_path(spark):
+        j0 = jobs()
+        res_std = S.merge_snapshot(spark, t_std, src, on=["k"])
+        std_jobs = jobs() - j0
+
+    assert fused_jobs < std_jobs  # the standalone preamble job is gone
+    for k in ("rows_updated", "rows_inserted", "rows_copied", "files_rewritten"):
+        assert res_fused[k] == res_std[k], k
+    assert last_commit(t_fused)["merge_range"] == last_commit(t_std)["merge_range"]
+    assert sorted(
+        tuple(r) for r in S.read_snapshot(spark, t_fused).collect()
+    ) == sorted(tuple(r) for r in S.read_snapshot(spark, t_std).collect())
+
+    # dup guard fires on the fused path too (after the touch scan, before
+    # any staging/commit)
+    v_before = S.latest_version(t_fused)
+    with pytest.raises(S.SnapshotError, match="duplicate merge keys"):
+        S.merge_snapshot(spark, t_fused, d([(1, "a"), (1, "b")]), on=["k"])
+    assert S.latest_version(t_fused) == v_before
+
+
+def test_delete_where_collect_is_o_touched(spark, tmp_path):
+    """_touched_by_predicate's per-file stats collect filters untouched
+    files executor-side (VERDICT r11 #7): on a many-file table where the
+    predicate matches one file, the driver still gets exact counts and
+    only the matching file rewrites."""
+    import ops_spark.io.snapshots as S
+
+    t = str(tmp_path / "many")
+    S.write_snapshot(
+        spark,
+        spark.range(60_000).selectExpr("id as k", "cast(id as string) as v")
+        .repartitionByRange(60, "k"),
+        t,
+    )
+    res = S.delete_where(spark, t, "k >= 59000 and k < 59500")
+    assert res["rows_deleted"] == 500
+    assert res["files_rewritten"] <= 2  # range-clustered: 1-2 files touched
+    assert S.read_snapshot(spark, t).count() == 59_500
